@@ -1,0 +1,240 @@
+"""OSM XML importer -> in-memory entity storages -> binary geodata file.
+
+Semantics match the reference importer (`src/geodata/importer.rs`):
+
+* streaming XML event parsing (here: `xml.etree.ElementTree.iterparse`,
+  which is expat/C underneath);
+* way node refs are translated from global to local ids, dropping refs
+  to nodes that were not seen;
+* consecutive duplicate node pairs are removed (`postprocess_node_refs`,
+  `importer.rs:334-353`);
+* relations tagged type=multipolygon are decomposed into closed rings
+  via `find_polygons` and stored as polygons + a multipolygon record;
+* tags are stored sorted by UTF-8 byte order (Rust BTreeMap order).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+from osm_renderer_tpu.geodata.find_polygons import (
+    NodeDesc,
+    NodeDescPair,
+    find_polygons_in_multipolygon,
+)
+from osm_renderer_tpu.geodata.saver import save_to_internal_format
+
+RawTags = Dict[str, str]
+
+
+@dataclass
+class RawNode:
+    global_id: int
+    lat: float
+    lon: float
+    tags: RawTags = field(default_factory=dict)
+
+
+@dataclass
+class RawWay:
+    global_id: int
+    node_ids: List[int] = field(default_factory=list)
+    tags: RawTags = field(default_factory=dict)
+
+
+@dataclass
+class Multipolygon:
+    global_id: int
+    polygon_ids: List[int] = field(default_factory=list)
+    tags: RawTags = field(default_factory=dict)
+
+
+class OsmEntityStorage:
+    def __init__(self):
+        self.global_id_to_local_id: Dict[int, int] = {}
+        self.entities: List = []
+
+    def add(self, global_id: int, entity) -> None:
+        self.global_id_to_local_id[global_id] = len(self.entities)
+        self.entities.append(entity)
+
+    def translate_id(self, global_id: int) -> Optional[int]:
+        return self.global_id_to_local_id.get(global_id)
+
+
+@dataclass
+class EntityStorages:
+    node_storage: OsmEntityStorage = field(default_factory=OsmEntityStorage)
+    way_storage: OsmEntityStorage = field(default_factory=OsmEntityStorage)
+    polygon_storage: List[List[int]] = field(default_factory=list)
+    multipolygon_storage: OsmEntityStorage = field(default_factory=OsmEntityStorage)
+
+
+def postprocess_node_refs(refs: List[int]) -> List[int]:
+    if not refs:
+        return refs
+    seen_node_pairs = set()
+    out = [refs[0]]
+    for idx in range(1, len(refs)):
+        cur, prev = refs[idx], refs[idx - 1]
+        if (cur, prev) not in seen_node_pairs and (prev, cur) not in seen_node_pairs:
+            seen_node_pairs.add((cur, prev))
+            out.append(cur)
+    return out
+
+
+def _relation_to_segments(
+    way_refs: List[Tuple[int, bool]], storages: EntityStorages
+) -> List[NodeDescPair]:
+    segments: List[NodeDescPair] = []
+    nodes = storages.node_storage.entities
+    for way_id, is_inner in way_refs:
+        way = storages.way_storage.entities[way_id]
+        ids = way.node_ids
+        for i in range(1, len(ids)):
+            n1, n2 = nodes[ids[i - 1]], nodes[ids[i]]
+            segments.append(
+                NodeDescPair(
+                    NodeDesc.new(ids[i - 1], n1.lat, n1.lon),
+                    NodeDesc.new(ids[i], n2.lat, n2.lon),
+                    is_inner,
+                )
+            )
+    return segments
+
+
+def _print_storage_stats(storages: EntityStorages) -> None:
+    print(
+        f"Got {len(storages.node_storage.entities)} nodes, "
+        f"{len(storages.way_storage.entities)} ways and "
+        f"{len(storages.multipolygon_storage.entities)} multipolygon relations so far"
+    )
+
+
+def _finish_relation(
+    global_id: int,
+    tags: RawTags,
+    way_refs: List[Tuple[int, bool]],
+    storages: EntityStorages,
+) -> None:
+    if tags.get("type") != "multipolygon":
+        return
+    segments = _relation_to_segments(way_refs, storages)
+    polygons = find_polygons_in_multipolygon(global_id, segments)
+    if polygons is None:
+        return
+    mp = Multipolygon(global_id=global_id, tags=tags)
+    for poly in polygons:
+        mp.polygon_ids.append(len(storages.polygon_storage))
+        storages.polygon_storage.append(poly)
+    storages.multipolygon_storage.add(global_id, mp)
+
+
+def parse_osm_xml(path: str) -> EntityStorages:
+    storages = EntityStorages()
+    elem_count = 0
+    print("Parsing XML")
+
+    # Current entity being assembled (set on start events, completed on end).
+    context = ET.iterparse(path, events=("start", "end"))
+    root = None
+    cur_node: Optional[RawNode] = None
+    cur_way: Optional[RawWay] = None
+    cur_rel_id: Optional[int] = None
+    cur_rel_tags: Optional[RawTags] = None
+    cur_rel_ways: Optional[List[Tuple[int, bool]]] = None
+
+    for event, elem in context:
+        tag = elem.tag.rpartition("}")[2]  # strip any namespace
+        if event == "start":
+            if root is None:
+                root = elem
+            if tag == "node":
+                cur_node = RawNode(
+                    global_id=int(elem.get("id")),
+                    lat=float(elem.get("lat")),
+                    lon=float(elem.get("lon")),
+                )
+            elif tag == "way":
+                cur_way = RawWay(global_id=int(elem.get("id")))
+            elif tag == "relation":
+                cur_rel_id = int(elem.get("id"))
+                cur_rel_tags = {}
+                cur_rel_ways = []
+            continue
+
+        # end events
+        if tag == "tag":
+            k, v = elem.get("k"), elem.get("v")
+            if cur_node is not None:
+                cur_node.tags[k] = v
+            elif cur_way is not None:
+                cur_way.tags[k] = v
+            elif cur_rel_tags is not None:
+                cur_rel_tags[k] = v
+        elif tag == "nd":
+            if cur_way is not None:
+                local = storages.node_storage.translate_id(int(elem.get("ref")))
+                if local is not None:
+                    cur_way.node_ids.append(local)
+        elif tag == "member":
+            if cur_rel_ways is not None and elem.get("type") == "way":
+                local = storages.way_storage.translate_id(int(elem.get("ref")))
+                if local is not None:
+                    cur_rel_ways.append((local, elem.get("role") == "inner"))
+        elif tag == "node":
+            storages.node_storage.add(cur_node.global_id, cur_node)
+            cur_node = None
+            elem_count += 1
+        elif tag == "way":
+            cur_way.node_ids = postprocess_node_refs(cur_way.node_ids)
+            storages.way_storage.add(cur_way.global_id, cur_way)
+            cur_way = None
+            elem_count += 1
+        elif tag == "relation":
+            _finish_relation(cur_rel_id, cur_rel_tags, cur_rel_ways, storages)
+            cur_rel_id = cur_rel_tags = cur_rel_ways = None
+            elem_count += 1
+
+        elem.clear()
+        if tag in ("node", "way", "relation") and root is not None:
+            root.clear()  # drop completed top-level subtrees to bound memory
+        if tag in ("node", "way", "relation") and elem_count % 100_000 == 0:
+            _print_storage_stats(storages)
+
+    _print_storage_stats(storages)
+    return storages
+
+
+def parse_pbf(path: str) -> EntityStorages:
+    """PBF import (reference: `importer.rs:89-184`, feature-gated there too).
+
+    Requires the optional `osmium` package; raises a clear error if absent.
+    """
+    try:
+        import osmium  # noqa: F401
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "PBF import requires the 'osmium' package, which is not installed. "
+            "Convert the input to OSM XML instead (e.g. `osmium cat in.pbf -o out.osm`)."
+        ) from e
+    raise NotImplementedError("PBF import not yet wired up")  # pragma: no cover
+
+
+def import_osm(input_path: str, output_path: str) -> None:
+    """Importer entry point (reference: `importer.rs:19-43`)."""
+    ext = os.path.splitext(input_path)[1].lower()
+    if ext in (".osm", ".xml"):
+        parsed = parse_osm_xml(input_path)
+    elif ext == ".pbf":
+        parsed = parse_pbf(input_path)
+    else:
+        raise ValueError("Extension not supported")
+
+    print("Converting geodata to internal format")
+    with open(output_path, "wb") as writer:
+        save_to_internal_format(writer, parsed)
