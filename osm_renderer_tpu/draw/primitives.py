@@ -1,0 +1,396 @@
+"""Host-side primitive assembly: styled entities -> device chunk stream.
+
+Converts one tile's paint-ordered styled entities into the flat,
+statically-shaped arrays consumed by the device renderers
+(`ops/render_jnp.py` / `ops/render_pallas.py`).  This replaces the
+reference's per-entity mutate-a-buffer loop (drawer.rs) with an
+explicit command stream:
+
+  passes: Fill (ways + multipolygons) -> Casing (ways) -> Stroke (ways)
+  (drawer.rs:93-100), each styled entity one primitive = one
+  "generation" (max-alpha within, src-over between).
+
+Projection matches Point::from_node (tile.rs:103-106, point.rs:11-19):
+tile-relative f64 Mercator, scaled, rounded half-away-from-zero to i32.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from osm_renderer_tpu.core.tile import Tile, coords_to_xy
+from osm_renderer_tpu.geodata.reader import Multipolygon, Way
+from osm_renderer_tpu.mapcss.styler import LineCap, Style, Styler
+from osm_renderer_tpu.ops.coverage_np import (
+    LINE_CAP_BUTT,
+    LINE_CAP_ROUND,
+    LINE_CAP_SQUARE,
+    compute_dash_profile,
+)
+
+_CAP_TO_INT = {
+    None: LINE_CAP_BUTT,
+    LineCap.BUTT: LINE_CAP_BUTT,
+    LineCap.ROUND: LINE_CAP_ROUND,
+    LineCap.SQUARE: LINE_CAP_SQUARE,
+}
+
+
+def round_half_away(x: np.ndarray) -> np.ndarray:
+    """Rust f64::round(): half cases away from zero (np.round is banker's)."""
+    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+
+def project_points(lats, lons, tile: Tile, scale: float) -> np.ndarray:
+    """(N, 2) int32 tile-relative pixel coordinates."""
+    x, y = coords_to_xy(lats, lons, tile.zoom)
+    x = x - float(tile.x * 256)
+    y = y - float(tile.y * 256)
+    pts = np.stack([round_half_away(x * scale), round_half_away(y * scale)], axis=-1)
+    return np.clip(pts, -(2**31), 2**31 - 1).astype(np.int64)
+
+
+@dataclass
+class StrokePrim:
+    kind: str  # "stroke"
+    color: Tuple[int, int, int]
+    opacity: float
+    half_width: float
+    # Per segment: (x1, y1, x2, y2), traveled-before, uses-outer-profile.
+    segs: np.ndarray
+    traveled: np.ndarray
+    outer: np.ndarray
+    dashes: Optional[Tuple[float, ...]]
+    cap: int
+    use_caps_for_dashes: bool
+    raw_pairs: Optional[np.ndarray] = None  # original consecutive point pairs
+
+
+@dataclass
+class FillPrim:
+    kind: str  # "fill"
+    color: Tuple[int, int, int]
+    opacity: float
+    edges: np.ndarray  # (E, 4)
+
+
+Prim = object  # FillPrim | StrokePrim
+
+
+def _entity_point_pairs(entity, tile: Tile, scale: float) -> np.ndarray:
+    """(N, 4) consecutive point pairs (way polyline / mp ring edges)."""
+    if isinstance(entity, Multipolygon):
+        chunks = []
+        for pi in range(entity.polygon_count()):
+            poly = entity.get_polygon(pi)
+            lats, lons = poly.node_latlons()
+            pts = project_points(lats, lons, tile, scale)
+            if len(pts) >= 2:
+                chunks.append(np.concatenate([pts[:-1], pts[1:]], axis=1))
+        if not chunks:
+            return np.zeros((0, 4), dtype=np.int64)
+        return np.concatenate(chunks, axis=0)
+    lats, lons = entity.node_latlons()
+    pts = project_points(lats, lons, tile, scale)
+    if len(pts) < 2:
+        return np.zeros((0, 4), dtype=np.int64)
+    return np.concatenate([pts[:-1], pts[1:]], axis=1)
+
+
+def _push_away_from(p, other, by: float) -> Tuple[int, int]:
+    dist = float(np.sqrt(float((p[0] - other[0]) ** 2 + (p[1] - other[1]) ** 2)))
+    f = by / dist
+    return (
+        int(p[0] + round_half_away(np.float64((p[0] - other[0]) * f))),
+        int(p[1] + round_half_away(np.float64((p[1] - other[1]) * f))),
+    )
+
+
+def make_stroke_prim(
+    pairs: np.ndarray,
+    width: float,
+    color: Tuple[int, int, int],
+    opacity: float,
+    dashes: Optional[Sequence[float]],
+    cap: int,
+    use_caps_for_dashes: bool,
+) -> StrokePrim:
+    """Expand a polyline into body + outer-cap segments with arc-length
+    phases (line.rs:9-61)."""
+    hw = width / 2.0
+    has_caps = cap in (LINE_CAP_ROUND, LINE_CAP_SQUARE)
+    segs: List[Tuple[int, int, int, int]] = []
+    travs: List[float] = []
+    outers: List[bool] = []
+    traveled = 0.0
+    n = pairs.shape[0]
+    for i in range(n):
+        p1 = (int(pairs[i, 0]), int(pairs[i, 1]))
+        p2 = (int(pairs[i, 2]), int(pairs[i, 3]))
+        if p1 != p2:
+            segs.append((*p1, *p2))
+            travs.append(traveled)
+            outers.append(False)
+        seg_len = float(np.sqrt(float((p2[0] - p1[0]) ** 2 + (p2[1] - p1[1]) ** 2)))
+        if p1 != p2 and has_caps:
+            if i == 0:
+                ce = _push_away_from(p1, p2, hw)
+                if ce != p1:
+                    segs.append((*p1, *ce))
+                    travs.append(0.0)
+                    outers.append(True)
+            if i + 1 == n:
+                ce = _push_away_from(p2, p1, hw)
+                if ce != p2:
+                    segs.append((*p2, *ce))
+                    travs.append(0.0)
+                    outers.append(True)
+        traveled += seg_len
+    return StrokePrim(
+        kind="stroke",
+        color=color,
+        opacity=opacity,
+        half_width=hw,
+        segs=np.asarray(segs, dtype=np.int64).reshape(-1, 4),
+        traveled=np.asarray(travs, dtype=np.float64),
+        outer=np.asarray(outers, dtype=bool),
+        dashes=tuple(dashes) if dashes is not None else None,
+        cap=cap,
+        use_caps_for_dashes=use_caps_for_dashes,
+        raw_pairs=pairs,
+    )
+
+
+def assemble_tile_prims(
+    entities, tile: Tile, scale: float, styler: Styler
+) -> List[Prim]:
+    """Paint-ordered fill/casing/stroke primitives for one tile.
+
+    Mirrors Drawer::draw_to_pixels passes (labels are handled separately
+    on the host).  Entities styled once; geometry projected once per
+    entity and reused across passes.
+    """
+    styled = styler.style_areas(entities.ways, entities.multipolygons, tile.zoom, False)
+    prims: List[Prim] = []
+    pair_cache: Dict[int, np.ndarray] = {}
+
+    def pairs_for(entity) -> np.ndarray:
+        key = id(entity)
+        got = pair_cache.get(key)
+        if got is None:
+            got = _entity_point_pairs(entity, tile, scale)
+            pair_cache[key] = got
+        return got
+
+    scale_dashes = lambda dashes: (
+        [d * scale for d in dashes] if dashes is not None else None
+    )
+
+    # Pass 1: fills (ways + multipolygons).
+    for entity, style in styled:
+        if style.fill_color is not None:
+            prims.append(
+                FillPrim(
+                    kind="fill",
+                    color=style.fill_color,
+                    opacity=style.fill_opacity if style.fill_opacity is not None else 1.0,
+                    edges=pairs_for(entity),
+                )
+            )
+        # fill_image handled by the CPU path only for now (icon atlas TODO).
+
+    # Pass 2: casings (ways only).
+    for entity, style in styled:
+        if isinstance(entity, Way) and style.casing_color is not None and style.casing_width is not None:
+            prims.append(
+                make_stroke_prim(
+                    pairs_for(entity),
+                    style.casing_width * scale,
+                    style.casing_color,
+                    1.0,
+                    scale_dashes(style.casing_dashes),
+                    _CAP_TO_INT[style.casing_line_cap],
+                    styler.use_caps_for_dashes,
+                )
+            )
+
+    # Pass 3: strokes (ways only).
+    for entity, style in styled:
+        if isinstance(entity, Way) and style.color is not None:
+            prims.append(
+                make_stroke_prim(
+                    pairs_for(entity),
+                    scale * (style.width if style.width is not None else 1.0),
+                    style.color,
+                    style.opacity if style.opacity is not None else 1.0,
+                    scale_dashes(style.dashes),
+                    _CAP_TO_INT[style.line_cap],
+                    styler.use_caps_for_dashes,
+                )
+            )
+
+    return prims
+
+
+# --------------------------------------------------------------------------
+# Batch building for the device path
+# --------------------------------------------------------------------------
+
+class ProfileTable:
+    """Deduplicated dash-profile table for one batch; index 0 = no dashes."""
+
+    def __init__(self, ds_max: int = 12):
+        self.ds_max = ds_max
+        self._keys: Dict[Tuple, int] = {None: 0}
+        self.rows: List[np.ndarray] = [np.full((ds_max, 8), np.inf)]
+        self.totals: List[float] = [0.0]
+
+    def index_for(
+        self, half_width: float, dashes: Optional[Tuple[float, ...]], cap: int
+    ) -> int:
+        if dashes is None:
+            return 0
+        key = (round(half_width, 9), dashes, cap)
+        idx = self._keys.get(key)
+        if idx is not None:
+            return idx
+        prof = compute_dash_profile(half_width, list(dashes), cap)
+        padded = np.full((self.ds_max, 8), np.inf)
+        n = min(prof.segments.shape[0], self.ds_max)
+        if prof.segments.shape[0] > self.ds_max:
+            raise ValueError(
+                f"dash profile with {prof.segments.shape[0]} segments exceeds ds_max={self.ds_max}"
+            )
+        padded[:n] = prof.segments[:n]
+        idx = len(self.rows)
+        self._keys[key] = idx
+        self.rows.append(padded)
+        self.totals.append(prof.total_len)
+        return idx
+
+    def arrays(self, dtype=np.float64) -> Tuple[np.ndarray, np.ndarray]:
+        return (
+            np.stack(self.rows).astype(dtype),
+            np.asarray(self.totals, dtype=dtype),
+        )
+
+
+@dataclass
+class TileStream:
+    """Flat per-tile chunk stream (numpy; padded/stacked by build_batch)."""
+    geom: List[np.ndarray] = field(default_factory=list)
+    traveled: List[np.ndarray] = field(default_factory=list)
+    profile: List[np.ndarray] = field(default_factory=list)
+    chunk_kind: List[int] = field(default_factory=list)
+    chunk_off: List[int] = field(default_factory=list)
+    chunk_cnt: List[int] = field(default_factory=list)
+    chunk_last: List[bool] = field(default_factory=list)
+    chunk_color: List[Tuple[float, float, float]] = field(default_factory=list)
+    chunk_opacity: List[float] = field(default_factory=list)
+    chunk_hw: List[float] = field(default_factory=list)
+    geom_len: int = 0
+
+
+def stream_tile(prims: List[Prim], profiles: ProfileTable, chunk_size: int) -> TileStream:
+    ts = TileStream()
+
+    def push_chunk(kind, geom, traveled, profile, last, color, opacity, hw):
+        ts.geom.append(geom)
+        ts.traveled.append(traveled)
+        ts.profile.append(profile)
+        ts.chunk_kind.append(kind)
+        ts.chunk_off.append(ts.geom_len)
+        ts.chunk_cnt.append(geom.shape[0])
+        ts.chunk_last.append(last)
+        ts.chunk_color.append(tuple(c / 255.0 for c in color))
+        ts.chunk_opacity.append(opacity)
+        ts.chunk_hw.append(hw)
+        ts.geom_len += geom.shape[0]
+
+    for prim in prims:
+        if isinstance(prim, FillPrim):
+            edges = prim.edges
+            if edges.shape[0] == 0:
+                continue
+            if edges.shape[0] > chunk_size:
+                raise ValueError(
+                    f"fill primitive with {edges.shape[0]} edges exceeds chunk size {chunk_size}"
+                )
+            z = np.zeros(edges.shape[0])
+            push_chunk(1, edges, z, z.astype(np.int64), True, prim.color, prim.opacity, 0.0)
+        else:
+            segs = prim.segs
+            if segs.shape[0] == 0:
+                continue
+            cap_for_dashes = prim.cap if prim.use_caps_for_dashes else LINE_CAP_BUTT
+            body_idx = profiles.index_for(prim.half_width, prim.dashes, cap_for_dashes)
+            outer_idx = profiles.index_for(prim.half_width, (0.0,), prim.cap)
+            pidx = np.where(prim.outer, outer_idx, body_idx).astype(np.int64)
+            n = segs.shape[0]
+            for off in range(0, n, chunk_size):
+                end = min(off + chunk_size, n)
+                push_chunk(
+                    2, segs[off:end], prim.traveled[off:end], pidx[off:end],
+                    end == n, prim.color, prim.opacity, prim.half_width,
+                )
+    return ts
+
+
+def build_batch(
+    tile_streams: List[TileStream],
+    profiles: ProfileTable,
+    chunk_size: int,
+    dtype=np.float64,
+):
+    """Stack per-tile streams into the padded TileBatch arrays."""
+    from osm_renderer_tpu.ops.render_jnp import TileBatch
+
+    T = len(tile_streams)
+    C = max(max((len(s.chunk_kind) for s in tile_streams), default=1), 1)
+    G = max(max((s.geom_len for s in tile_streams), default=1), 1) + chunk_size
+
+    geom = np.zeros((T, G, 4), dtype=np.int32)
+    traveled = np.zeros((T, G), dtype=dtype)
+    gprof = np.zeros((T, G), dtype=np.int32)
+    kind = np.zeros((T, C), dtype=np.int32)
+    off = np.zeros((T, C), dtype=np.int32)
+    cnt = np.zeros((T, C), dtype=np.int32)
+    last = np.zeros((T, C), dtype=bool)
+    color = np.zeros((T, C, 3), dtype=dtype)
+    opacity = np.zeros((T, C), dtype=dtype)
+    hw = np.zeros((T, C), dtype=dtype)
+
+    for t, s in enumerate(tile_streams):
+        if s.geom_len:
+            g = np.concatenate(s.geom, axis=0)
+            geom[t, : s.geom_len] = g
+            traveled[t, : s.geom_len] = np.concatenate(s.traveled)
+            gprof[t, : s.geom_len] = np.concatenate(s.profile)
+        n = len(s.chunk_kind)
+        if n:
+            kind[t, :n] = s.chunk_kind
+            off[t, :n] = s.chunk_off
+            cnt[t, :n] = s.chunk_cnt
+            last[t, :n] = s.chunk_last
+            color[t, :n] = s.chunk_color
+            opacity[t, :n] = s.chunk_opacity
+            hw[t, :n] = s.chunk_hw
+
+    prof_rows, prof_totals = profiles.arrays(dtype)
+    return TileBatch(
+        geom=geom,
+        geom_traveled=traveled,
+        geom_profile=gprof,
+        chunk_kind=kind,
+        chunk_off=off,
+        chunk_cnt=cnt,
+        chunk_last=last,
+        chunk_color=color,
+        chunk_opacity=opacity,
+        chunk_hw=hw,
+        profiles=prof_rows,
+        profile_total=prof_totals,
+    )

@@ -1,19 +1,26 @@
 import os
 import sys
 
-# Tests run on the CPU backend with a virtual 8-device mesh so that the
-# multi-chip sharding path is exercised without TPU hardware.  Real-TPU
-# benchmarking goes through bench.py, which does not import this conftest.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+# Tests run on the CPU backend with a virtual 8-device mesh so the
+# multi-chip sharding path is exercised without TPU hardware, and with
+# x64 enabled for the exact integer closed forms in render_jnp.
+# jax may already be imported by the environment's sitecustomize, so a
+# plain env-var is not enough — use config.update before any backend is
+# initialized.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-if REPO_ROOT not in sys.path:
-    sys.path.insert(0, REPO_ROOT)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
 
 REFERENCE_DIR = os.environ.get("OSMR_REFERENCE_DIR", "/root/reference")
 
