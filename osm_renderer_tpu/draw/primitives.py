@@ -242,7 +242,7 @@ def assemble_tile_prims(
 class ProfileTable:
     """Deduplicated dash-profile table for one batch; index 0 = no dashes."""
 
-    def __init__(self, ds_max: int = 12):
+    def __init__(self, ds_max: int = 4):
         self.ds_max = ds_max
         self._keys: Dict[Tuple, int] = {None: 0}
         self.rows: List[np.ndarray] = [np.full((ds_max, 8), np.inf)]
@@ -347,10 +347,15 @@ def build_batch(
 ):
     """Stack per-tile streams into the padded TileBatch arrays."""
     from osm_renderer_tpu.ops.render_jnp import TileBatch
+    from osm_renderer_tpu.utils.jax_setup import next_pow2
 
     T = len(tile_streams)
-    C = max(max((len(s.chunk_kind) for s in tile_streams), default=1), 1)
-    G = max(max((s.geom_len for s in tile_streams), default=1), 1) + chunk_size
+    # Bucket shapes to powers of two for stable jit signatures (the
+    # persistent compilation cache then makes compiles one-time).
+    C = next_pow2(max((len(s.chunk_kind) for s in tile_streams), default=1), 8)
+    G = next_pow2(
+        max((s.geom_len for s in tile_streams), default=1) + chunk_size, 64
+    )
 
     geom = np.zeros((T, G, 4), dtype=np.int32)
     traveled = np.zeros((T, G), dtype=dtype)

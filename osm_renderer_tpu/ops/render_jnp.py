@@ -71,6 +71,33 @@ def _require_x64():
 # Stroke coverage (dense ownership model; see coverage_np.stroke_segment_alpha)
 # --------------------------------------------------------------------------
 
+
+def _floor_div(u, v, fi, ff):
+    """Exact floor division.
+
+    On the fast int32 path, vector integer division lowers to a very
+    expensive expansion on TPU; use a float-reciprocal estimate plus
+    exact integer residual corrections instead (valid for |u| < 2^30,
+    0 < v < 2^24 — guaranteed by the fast-path coordinate bound).
+    """
+    if fi == jnp.int64:
+        return u // v
+    q = jnp.floor(u.astype(ff) / v.astype(ff)).astype(fi)
+    r = u - q * v
+    q = jnp.where(r < 0, q - 1, q)
+    r = u - q * v
+    q = jnp.where(r < 0, q - 1, q)
+    r = u - q * v
+    q = jnp.where(r >= v, q + 1, q)
+    r = u - q * v
+    q = jnp.where(r >= v, q + 1, q)
+    return q
+
+
+def _ceil_div2(a, b, fi, ff):
+    return -_floor_div(-a, b, fi, ff)
+
+
 def _opacity_by_center_distance(cd, hlw):
     feather_from = jnp.fmax(hlw - 0.5, 0.0)
     feather_to = jnp.fmax(hlw + 0.5, 1.0)
@@ -85,27 +112,39 @@ def _opacity_by_center_distance(cd, hlw):
 
 
 def _stroke_opacity(cd, start_dist, half_width, prof, prof_total, traveled):
-    """prof: (DS, 8); cd/start_dist arrays. Returns (opacity, in_line)."""
+    """prof: (DS, 8); cd/start_dist arrays. Returns (opacity, in_line).
+
+    The dash-profile reduction is unrolled as a loop over the (few,
+    statically-shaped) profile rows using only 2D arrays — trailing
+    non-128-aligned broadcast dims compile pathologically on TPU.
+    """
     dist_rem = traveled + start_dist
-    dist_rem = jnp.where(prof_total > 0.0, jnp.fmod(dist_rem, prof_total), dist_rem)
-    d = dist_rem[..., None]
-    s_from, s_to = prof[:, 0], prof[:, 1]
-    e_from, e_to = prof[:, 2], prof[:, 3]
-    mul, has_orig = prof[:, 4], prof[:, 5]
-    orig_a, orig_b = prof[:, 6], prof[:, 7]
+    d = jnp.where(prof_total > 0.0, jnp.fmod(dist_rem, prof_total), dist_rem)
 
-    in_range = (d >= s_from) & (d <= e_to)
-    ramp_in = (d - s_from) / (s_to - s_from)
-    ramp_out = (e_to - d) / (e_to - e_from)
-    base = jnp.where(d <= s_to, ramp_in, jnp.where(d < e_from, 1.0, ramp_out))
-    sd_op = jnp.max(jnp.where(in_range, mul * base, 0.0), axis=-1)
-    # Empty profile (all rows disabled): plain opacity 1.
-    any_rows = jnp.any(prof[:, 0] < jnp.inf)
+    sd_op = jnp.zeros_like(d)
+    cap_dist = jnp.full_like(d, jnp.inf)
+    any_rows = False
+    for i in range(prof.shape[0]):
+        s_from, s_to = prof[i, 0], prof[i, 1]
+        e_from, e_to = prof[i, 2], prof[i, 3]
+        mul, has_orig = prof[i, 4], prof[i, 5]
+        orig_a, orig_b = prof[i, 6], prof[i, 7]
+        in_range = (d >= s_from) & (d <= e_to)
+        base = jnp.where(
+            d <= s_to,
+            (d - s_from) / (s_to - s_from),
+            jnp.where(d < e_from, 1.0, (e_to - d) / (e_to - e_from)),
+        )
+        sd_op = jnp.fmax(sd_op, jnp.where(in_range, mul * base, 0.0))
+        cap_d = jnp.where(
+            d < orig_a, orig_a - d, jnp.where(d <= orig_b, 0.0, d - orig_b)
+        )
+        cap_dist = jnp.fmin(
+            cap_dist, jnp.where(in_range & (has_orig > 0.0), cap_d, jnp.inf)
+        )
+        any_rows = jnp.logical_or(any_rows, s_from < jnp.inf)
+    # Empty profile (all rows disabled): plain opacity 1, no cap shrink.
     sd_op = jnp.where(any_rows, sd_op, 1.0)
-
-    cap_d = jnp.where(d < orig_a, orig_a - d, jnp.where(d <= orig_b, 0.0, d - orig_b))
-    cap_valid = in_range & (has_orig > 0.0)
-    cap_dist = jnp.min(jnp.where(cap_valid, cap_d, jnp.inf), axis=-1)
     cap_dist = jnp.where(jnp.isinf(cap_dist), 0.0, cap_dist)
 
     hlw = jnp.sqrt(half_width * half_width - cap_dist * cap_dist)
@@ -113,10 +152,10 @@ def _stroke_opacity(cd, start_dist, half_width, prof, prof_total, traveled):
     return jnp.fmin(sd_op, cd_op), cd_op > 0.0
 
 
-def _stroke_segment_alpha(seg, hw, opacity, prof, prof_total, traveled, xs, ys):
+def _stroke_segment_alpha(seg, hw, opacity, prof, prof_total, traveled, xs, ys, fi, ff):
     """Alpha field of one stroke segment over the (ts, ts) grid.
 
-    seg: (4,) int64; xs: (1, ts) int64; ys: (ts, 1) int64.
+    seg: (4,) int; xs: (1, ts); ys: (ts, 1); fi/ff: int/float dtypes.
     """
     p1x, p1y, p2x, p2y = seg[0], seg[1], seg[2], seg[3]
     degenerate = (p1x == p2x) & (p1y == p2y)
@@ -136,11 +175,11 @@ def _stroke_segment_alpha(seg, hw, opacity, prof, prof_total, traveled, xs, ys):
 
     numer_const = p2x * p1y - p2y * p1x
     sdx, sdy = p2x - p1x, p2y - p1y
-    denom = jnp.sqrt((dx * dx + dy * dy).astype(jnp.float64))
+    denom = jnp.sqrt((dx * dx + dy * dy).astype(ff))
     raw = numer_const + sdy * xs - sdx * ys
-    cd = jnp.abs(raw.astype(jnp.float64)) / denom
-    dxp = (xs - p1x).astype(jnp.float64)
-    dyp = (ys - p1y).astype(jnp.float64)
+    cd = jnp.abs(raw.astype(ff)) / denom
+    dxp = (xs - p1x).astype(ff)
+    dyp = (ys - p1y).astype(ff)
     long_d = jnp.sqrt(dxp * dxp + dyp * dyp)
     start_dist = jnp.sqrt(jnp.fmax(long_d * long_d - cd * cd, 0.0))
 
@@ -152,23 +191,23 @@ def _stroke_segment_alpha(seg, hw, opacity, prof, prof_total, traveled, xs, ys):
     m0 = (MX - mx0) * mx_i
     two_mx = 2 * mx_d
     A = 2 * mn_d * n0 + two_mx * m0 + (mx_d - 1)
-    T = A // two_mx
+    T = _floor_div(A, two_mx, fi, ff)
     r = A - T * two_mx
     edge_band = r == two_mx - 1
 
     def c_of(k):
-        return (2 * k * mn_d + mx_d - 1) // two_mx
+        return _floor_div(2 * k * mn_d + mx_d - 1, two_mx, fi, ff)
 
     def h_of(k):
-        return k + (2 * c_of(k) * mn_d + mx_d - 1) // two_mx
+        return k + _floor_div(2 * c_of(k) * mn_d + mx_d - 1, two_mx, fi, ff)
 
     K = mx_d
     hK = h_of(K)
 
     def band_start(b):
         bc = jnp.clip(b, 0, hK)
-        ratio = (mx_d * mx_d).astype(jnp.float64) / (mx_d * mx_d + mn_d * mn_d).astype(jnp.float64)
-        k = (bc.astype(jnp.float64) * ratio).astype(jnp.int64)
+        ratio = (mx_d * mx_d).astype(ff) / (mx_d * mx_d + mn_d * mn_d).astype(ff)
+        k = (bc.astype(ff) * ratio).astype(fi)
         k = jnp.clip(k, 0, K)
         for _ in range(6):
             k = jnp.where((k > 0) & (h_of(k) > bc), k - 1, k)
@@ -182,9 +221,9 @@ def _stroke_segment_alpha(seg, hw, opacity, prof, prof_total, traveled, xs, ys):
         s_x = jnp.where(swap, s_mx, s_mn)
         s_y = jnp.where(swap, s_mn, s_mx)
         raw_s = numer_const + sdy * s_x - sdx * s_y
-        cd_s = jnp.abs(raw_s.astype(jnp.float64)) / denom
-        dxs = (s_x - p1x).astype(jnp.float64)
-        dys = (s_y - p1y).astype(jnp.float64)
+        cd_s = jnp.abs(raw_s.astype(ff)) / denom
+        dxs = (s_x - p1x).astype(ff)
+        dys = (s_y - p1y).astype(ff)
         long_s = jnp.sqrt(dxs * dxs + dys * dys)
         sd_s = jnp.sqrt(jnp.fmax(long_s * long_s - cd_s * cd_s, 0.0))
         _, alive = _stroke_opacity(cd_s, sd_s, hw, prof, prof_total, traveled)
@@ -217,13 +256,13 @@ def _ceil_div(a, b):
     return -((-a) // b)
 
 
-def _fill_chunk_alpha(geom, mask, fill_opacity, ts: int):
-    """geom: (CHUNK, 4) int64 edges; mask: (CHUNK,) valid. -> (ts, ts) alpha."""
+def _fill_chunk_alpha(geom, mask, fill_opacity, ts: int, fi, ff):
+    """geom: (CHUNK, 4) int edges; mask: (CHUNK,) valid. -> (ts, ts) alpha."""
     x1 = geom[:, 0][:, None]
     y1 = geom[:, 1][:, None]
     x2 = geom[:, 2][:, None]
     y2 = geom[:, 3][:, None]
-    rows = jnp.arange(ts, dtype=jnp.int64)[None, :]
+    rows = jnp.arange(ts, dtype=fi)[None, :]
 
     adx = jnp.abs(x2 - x1)
     ady = jnp.abs(y2 - y1)
@@ -236,11 +275,11 @@ def _fill_chunk_alpha(geom, mask, fill_opacity, ts: int):
 
     j = jnp.abs(rows - y1)
 
-    steep_x = x1 + sx * ((2 * j * adx + ady) // jnp.maximum(2 * ady, 1))
+    steep_x = x1 + sx * _floor_div(2 * j * adx + ady, jnp.maximum(2 * ady, 1), fi, ff)
 
     ady_nz = jnp.maximum(ady, 1)
-    i_min = jnp.clip(_ceil_div(adx * (2 * j - 1), 2 * ady_nz), 0, adx)
-    i_max = jnp.clip(_ceil_div(adx * (2 * j + 1), 2 * ady_nz) - 1, 0, adx)
+    i_min = jnp.clip(_ceil_div2(adx * (2 * j - 1), 2 * ady_nz, fi, ff), 0, adx)
+    i_max = jnp.clip(_ceil_div2(adx * (2 * j + 1), 2 * ady_nz, fi, ff) - 1, 0, adx)
     sh_lo = x1 + sx * i_min
     sh_hi = x1 + sx * i_max
     sh_a = jnp.minimum(sh_lo, sh_hi)
@@ -251,17 +290,17 @@ def _fill_chunk_alpha(geom, mask, fill_opacity, ts: int):
     b = jnp.where(steep, steep_x, sh_b)
 
     # Stable rank within each row by (a, edge index).
-    big = jnp.int64(1) << 60
+    big = fi(2**60 if fi == jnp.int64 else 2**30)
     a_masked = jnp.where(active, a, big)
     order = jnp.argsort(a_masked, axis=0, stable=True)
     rank = jnp.zeros_like(order).at[
         order, jnp.broadcast_to(rows, order.shape)
     ].set(jnp.broadcast_to(jnp.arange(order.shape[0], dtype=order.dtype)[:, None], order.shape))
-    odd_rank = active & (rank % 2 == 1)
+    odd_rank = active & ((rank & 1) == 1)
 
     n_active = active.sum(axis=0, dtype=jnp.int32)  # (ts,)
 
-    xs = jnp.arange(ts, dtype=jnp.int64)[None, None, :]
+    xs = jnp.arange(ts, dtype=fi)[None, None, :]
 
     def body(i, carry):
         N, tail = carry
@@ -277,22 +316,22 @@ def _fill_chunk_alpha(geom, mask, fill_opacity, ts: int):
     tail0 = jnp.zeros((ts, ts), dtype=bool)
     N, tail = lax.fori_loop(0, geom.shape[0] // _SUB, body, (N0, tail0))
 
-    parity = (N % 2 == 1) & ~(
-        (N == n_active[:, None]) & (n_active[:, None] % 2 == 1)
+    parity = ((N & 1) == 1) & ~(
+        (N == n_active[:, None]) & ((n_active[:, None] & 1) == 1)
     )
     filled = parity | tail
     return jnp.where(filled, fill_opacity, 0.0)
 
 
 def _stroke_chunk_alpha(
-    geom, traveled, prof_idx, mask, hw, opacity, profiles, profile_total, ts: int
+    geom, traveled, prof_idx, mask, hw, opacity, profiles, profile_total, ts: int, fi, ff
 ):
-    xs = jnp.arange(ts, dtype=jnp.int64)[None, :]
-    ys = jnp.arange(ts, dtype=jnp.int64)[:, None]
+    xs = jnp.arange(ts, dtype=fi)[None, :]
+    ys = jnp.arange(ts, dtype=fi)[:, None]
 
     def seg_alpha(seg, trav, pidx, m):
         alpha = _stroke_segment_alpha(
-            seg, hw, opacity, profiles[pidx], profile_total[pidx], trav, xs, ys
+            seg, hw, opacity, profiles[pidx], profile_total[pidx], trav, xs, ys, fi, ff
         )
         return jnp.where(m, alpha, 0.0)
 
@@ -309,8 +348,8 @@ def _stroke_chunk_alpha(
 # Chunk-scan compositor
 # --------------------------------------------------------------------------
 
-def _render_one_tile(batch: TileBatch, tile_idx, canvas_rgb, ts: int, chunk: int):
-    geom = batch.geom[tile_idx].astype(jnp.int64)
+def _render_one_tile(batch: TileBatch, tile_idx, canvas_rgb, ts: int, chunk: int, fi, ff):
+    geom = batch.geom[tile_idx].astype(fi)
     traveled = batch.geom_traveled[tile_idx]
     gprof = batch.geom_profile[tile_idx]
 
@@ -333,12 +372,12 @@ def _render_one_tile(batch: TileBatch, tile_idx, canvas_rgb, ts: int, chunk: int
         mask = idxs < cnt
 
         def fill_branch():
-            return _fill_chunk_alpha(g, mask, op, ts)
+            return _fill_chunk_alpha(g, mask, op, ts, fi, ff)
 
         def stroke_branch():
             return _stroke_chunk_alpha(
                 g, sl(traveled), sl(gprof), mask, hw, op,
-                batch.profiles, batch.profile_total, ts,
+                batch.profiles, batch.profile_total, ts, fi, ff,
             )
 
         def pad_branch():
@@ -379,13 +418,25 @@ def _finalize_rgb(C):
     return jnp.trunc(v).astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("ts", "chunk"))
-def render_batch(batch: TileBatch, canvas_rgb, ts: int, chunk: int = 64):
-    """Render all tiles in the batch -> (T, ts, ts, 3) uint8."""
-    _require_x64()
+@functools.partial(jax.jit, static_argnames=("ts", "chunk", "precision"))
+def render_batch(batch: TileBatch, canvas_rgb, ts: int, chunk: int = 64, precision: str = "exact"):
+    """Render all tiles in the batch -> (T, ts, ts, 3) uint8.
+
+    precision="exact": int64/f64 closed forms (requires jax_enable_x64),
+    bit-compatible with the CPU oracle on any geometry.
+    precision="fast": int32/f32 — exact integer membership provided all
+    tile-relative coordinates satisfy |c| < 2^14 (the host assembly
+    checks this); opacity within 1/255 of the oracle.  This is the
+    native TPU flavor.
+    """
+    if precision == "exact":
+        _require_x64()
+        fi, ff = jnp.int64, jnp.float64
+    else:
+        fi, ff = jnp.int32, jnp.float32
     T = batch.geom.shape[0]
 
     def one(i):
-        return _finalize_rgb(_render_one_tile(batch, i, canvas_rgb, ts, chunk))
+        return _finalize_rgb(_render_one_tile(batch, i, canvas_rgb, ts, chunk, fi, ff))
 
     return jax.vmap(one)(jnp.arange(T))

@@ -1,0 +1,137 @@
+"""Batched device rendering with optional multi-chip tile sharding.
+
+`BatchRenderer` turns per-tile entity sets into padded chunk-stream
+batches and dispatches them to the device renderer.  Scaling follows
+the framework's parallelism model (the analogue of the reference's
+thread-per-core request parallelism, `http_server.rs:50-83`): **tile
+data parallelism** — the batch axis is sharded across a
+`jax.sharding.Mesh` of chips over ICI, with no cross-tile
+communication; optionally the pixel-row axis can be sharded too
+("spatial" parallelism for large @2x tiles).
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from osm_renderer_tpu.core.tile import Tile
+from osm_renderer_tpu.draw import primitives as prim_mod
+from osm_renderer_tpu.draw.primitives import FillPrim, assemble_tile_prims
+from osm_renderer_tpu.mapcss.styler import Styler
+from osm_renderer_tpu.ops.render_jnp import TileBatch, render_batch
+
+FAST_COORD_BOUND = 12000  # |tile-relative coords| bound: keeps all int32 forms overflow-free
+
+
+class PreparedBatch(NamedTuple):
+    batch: TileBatch
+    canvas_rgb: jax.Array
+    ts: int
+    chunk: int
+    precision: str
+
+
+class BatchRenderer:
+    def __init__(
+        self,
+        styler: Styler,
+        precision: str = "fast",
+        chunk_size: int = 64,
+        mesh: Optional[Mesh] = None,
+    ):
+        self.styler = styler
+        self.precision = precision
+        self.chunk_size = chunk_size
+        self.mesh = mesh
+
+    def prepare(
+        self, tiles_entities: Sequence[Tuple[object, Tile]], scale: int = 1
+    ) -> PreparedBatch:
+        dtype = np.float32 if self.precision == "fast" else np.float64
+        profiles = prim_mod.ProfileTable()
+        all_prims = []
+        chunk = self.chunk_size
+        for entities, tile in tiles_entities:
+            prims = assemble_tile_prims(entities, tile, float(scale), self.styler)
+            all_prims.append(prims)
+            max_fill = max(
+                (p.edges.shape[0] for p in prims if isinstance(p, FillPrim)), default=0
+            )
+            while chunk < max_fill:
+                chunk *= 2
+        streams = [prim_mod.stream_tile(prims, profiles, chunk) for prims in all_prims]
+        batch = prim_mod.build_batch(streams, profiles, chunk, dtype=dtype)
+
+        if self.precision == "fast":
+            max_coord = int(np.abs(batch.geom).max()) if batch.geom.size else 0
+            if max_coord >= FAST_COORD_BOUND:
+                raise ValueError(
+                    f"fast (int32) path requires |coords| < {FAST_COORD_BOUND}, "
+                    f"got {max_coord}; use precision='exact'"
+                )
+
+        canvas = self.styler.canvas_fill_color
+        canvas_rgb = np.array(
+            [canvas.r, canvas.g, canvas.b] if canvas is not None else [0, 0, 0],
+            dtype=dtype,
+        ) / 255.0
+
+        batch = TileBatch(*(jnp.asarray(a) for a in batch))
+        if self.mesh is not None:
+            batch = self._shard(batch)
+        return PreparedBatch(
+            batch, jnp.asarray(canvas_rgb), 256 * scale, chunk, self.precision
+        )
+
+    def _shard(self, batch: TileBatch) -> TileBatch:
+        mesh = self.mesh
+        dp = NamedSharding(mesh, P("dp"))
+        rep = NamedSharding(mesh, P())
+        sharded = []
+        for name, arr in zip(TileBatch._fields, batch):
+            if name in ("profiles", "profile_total"):
+                sharded.append(jax.device_put(arr, rep))
+            else:
+                sharded.append(jax.device_put(arr, dp))
+        return TileBatch(*sharded)
+
+    def render_prepared(self, prepared: PreparedBatch) -> jax.Array:
+        return render_batch(
+            prepared.batch,
+            prepared.canvas_rgb,
+            prepared.ts,
+            prepared.chunk,
+            prepared.precision,
+        )
+
+    def render(
+        self, tiles_entities: Sequence[Tuple[object, Tile]], scale: int = 1
+    ) -> np.ndarray:
+        return np.asarray(self.render_prepared(self.prepare(tiles_entities, scale)))
+
+
+def pad_batch_to(tiles: int, prepared: PreparedBatch) -> PreparedBatch:
+    """Pad the batch axis to a fixed size (stable jit signatures for serving)."""
+    batch = prepared.batch
+    T = batch.geom.shape[0]
+    if T >= tiles:
+        return prepared
+    pad = tiles - T
+
+    def pad0(a):
+        widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, widths)
+
+    new = TileBatch(
+        *(
+            a if name in ("profiles", "profile_total") else pad0(a)
+            for name, a in zip(TileBatch._fields, batch)
+        )
+    )
+    return prepared._replace(batch=new)
