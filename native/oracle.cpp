@@ -139,6 +139,22 @@ class TilePixels {
     }
   }
 
+  // Successful-label staging of the center window as premult RGBA.
+  void ExportLabelLayer(double* out) const {
+    size_t out_idx = 0;
+    for (size_t y = scaled_tile_size_; y < 2 * scaled_tile_size_; ++y) {
+      for (size_t x = scaled_tile_size_; x < 2 * scaled_tile_size_; ++x) {
+        const NextPixel& np = next_pixels_[LocalCoordsToIdx(x, y)];
+        const bool ok = np.present && np.generation < label_generation_statuses_.size() &&
+                        label_generation_statuses_[np.generation];
+        out[out_idx++] = ok ? np.color.r : 0.0;
+        out[out_idx++] = ok ? np.color.g : 0.0;
+        out[out_idx++] = ok ? np.color.b : 0.0;
+        out[out_idx++] = ok ? np.color.a : 0.0;
+      }
+    }
+  }
+
   const BoundingBox& bb() const { return bb_; }
   size_t dimension() const { return scaled_tile_size_; }
 
@@ -688,6 +704,10 @@ void osmr_tile_blend_unfinished(void* t, int for_labels) {
 
 void osmr_tile_to_rgb(void* t, uint8_t* out) {
   static_cast<TilePixels*>(t)->ToRgbTriples(out);
+}
+
+void osmr_tile_export_label_layer(void* t, double* out) {
+  static_cast<TilePixels*>(t)->ExportLabelLayer(out);
 }
 
 void osmr_fill_contour_color(void* t, const int32_t* edges, size_t n_edges,

@@ -125,7 +125,7 @@ class DeviceDrawer:
                 dtype=jnp.float64,
             )
         ts = 256 * scale
-        out = np.asarray(render_batch(batch, canvas_rgb, ts, chunk))
+        out = np.array(render_batch(batch, canvas_rgb, ts, chunk))
 
         if self.labeler is not None:
             for i, (entities, tile) in enumerate(tiles_entities):

@@ -1,0 +1,214 @@
+"""Text shaping and placement (reference: `font/text_placer.rs`).
+
+Two modes: Line (glyphs walked and rotated along a way, skipped when
+the text is wider than the way) and Center (word wrap at
+MAX_TEXT_WIDTH = 32px, rows centered at the label anchor).  Glyph
+outlines are emitted into the oracle's scanline coverage rasterizer,
+with the same reversed per-segment traversal as the reference.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from osm_renderer_tpu.draw.labels.font import CURVE_TO, LINE_TO, MOVE_TO, FontEngine
+from osm_renderer_tpu.draw.oracle import GlyphRasterizer, OracleTile
+from osm_renderer_tpu.mapcss.styler import TextPosition, TextStyle
+
+MAX_TEXT_WIDTH = 256.0 / 8.0
+
+_DEFAULT_FONT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))),
+    "assets", "fonts", "NotoSans-Regular.ttf",
+)
+
+
+@dataclass
+class _Glyph:
+    ch: str
+    width: float
+    shape: Optional[tuple]
+
+
+class TextPlacer:
+    def __init__(self, font_path: Optional[str] = None):
+        self.font = FontEngine(font_path or _DEFAULT_FONT)
+
+    def place(
+        self,
+        entity,
+        text_style: TextStyle,
+        tile,
+        global_scale: float,
+        y_offset: int,
+        default_text_position: TextPosition,
+        pixels: OracleTile,
+    ) -> bool:
+        from osm_renderer_tpu.draw.labels import labelable
+
+        if text_style.font_size is None:
+            return True
+        font_size = text_style.font_size * global_scale
+
+        text = entity.tags().get_by_key(text_style.text)
+        if text is None:
+            return True
+
+        text_pos = text_style.text_position or default_text_position
+        scale = self.font.scale_for_pixel_height(font_size)
+        glyphs, total_width = self._text_to_glyphs(text, scale)
+
+        color = text_style.text_color
+        rgb = (color.r, color.g, color.b) if color is not None else (0, 0, 0)
+        rasterizer = GlyphRasterizer(rgb)
+
+        vm = self.font.v_metrics()
+        ascent = vm.ascent * scale
+        descent = vm.descent * scale
+        line_gap = vm.line_gap * scale
+
+        if text_pos == TextPosition.LINE:
+            points = labelable.get_waypoints(entity, tile, global_scale)
+            if points is not None:
+                if points.shape[0] < 2:
+                    return True
+                if points[0, 0] > points[-1, 0]:
+                    points = points[::-1]
+                seg_lens = [
+                    math.sqrt(
+                        float(
+                            (points[i, 0] - points[i - 1, 0]) ** 2
+                            + (points[i, 1] - points[i - 1, 1]) ** 2
+                        )
+                    )
+                    for i in range(1, points.shape[0])
+                ]
+                total_way_length = sum(seg_lens)
+                if total_width > total_way_length:
+                    return True
+                cur_dist = (total_way_length - total_width) / 2.0
+                glyph_center_y = (descent + ascent) / 2.0
+                for glyph in glyphs:
+                    glyph_center_x = glyph.width / 2.0
+                    wx, wy, angle = _compute_way_position(
+                        points, cur_dist + glyph_center_x
+                    )
+                    sin_a = math.sin(-angle)
+                    cos_a = math.cos(-angle)
+
+                    def tr(p, _wx=wx, _wy=wy, _s=sin_a, _c=cos_a,
+                           _gcx=glyph_center_x, _gcy=glyph_center_y):
+                        tx = p[0] - _gcx
+                        ty = p[1] - _gcy
+                        rx = tx * _c - ty * _s
+                        ry = ty * _c + tx * _s
+                        return (_wx + rx, _wy - ry)
+
+                    self._rasterize(glyph, rasterizer, scale, tr)
+                    cur_dist += glyph.width
+        else:  # Center
+            pos = labelable.get_label_position(entity, tile, global_scale)
+            if pos is not None:
+                center_x, center_y = pos
+                rows: List[Tuple[List[_Glyph], float]] = []
+                current: List[_Glyph] = []
+                current_width = 0.0
+                for idx, glyph in enumerate(glyphs):
+                    current.append(glyph)
+                    current_width += glyph.width
+                    is_last = idx + 1 == len(glyphs)
+                    should_break = glyph.ch.isspace() and (
+                        current_width + glyph.width > MAX_TEXT_WIDTH
+                    )
+                    if current and (should_break or is_last):
+                        rows.append((list(current), current_width))
+                        current.clear()
+                        current_width = 0.0
+
+                row_height = ascent - descent + line_gap
+                total_height = row_height * len(rows)
+                cur_y = center_y
+                if y_offset > 0:
+                    cur_y += float(y_offset)
+                else:
+                    cur_y -= total_height / 2.0
+
+                for row, row_width in rows:
+                    cur_x = center_x - row_width / 2.0
+                    for glyph in row:
+                        baseline = cur_y + ascent
+                        x_off = cur_x
+
+                        def tr(p, _x=x_off, _b=baseline):
+                            return (_x + p[0], _b - p[1])
+
+                        self._rasterize(glyph, rasterizer, scale, tr)
+                        cur_x += glyph.width
+                    cur_y += row_height
+
+        return rasterizer.save_to_figure(pixels)
+
+    def _text_to_glyphs(self, text: str, scale: float):
+        glyphs: List[_Glyph] = []
+        total_width = 0.0
+        prev_gid: Optional[int] = None
+        for ch in text:
+            gid = self.font.find_glyph_index(ord(ch))
+            width = float(self.font.advance_width(gid)) * scale
+            if prev_gid is not None:
+                width += float(self.font.kern_advance(prev_gid, gid)) * scale
+            glyphs.append(_Glyph(ch, width, self.font.glyph_shape(gid)))
+            total_width += width
+            prev_gid = gid
+        return glyphs, total_width
+
+    @staticmethod
+    def _rasterize(glyph: _Glyph, rasterizer: GlyphRasterizer, scale: float, tr):
+        if glyph.shape is None:
+            return
+        fx = fy = 0.0
+        for v in glyph.shape:
+            tox, toy = v.x * scale, v.y * scale
+            if v.kind == LINE_TO:
+                p1 = tr((fx, fy))
+                p0 = tr((tox, toy))
+                rasterizer.draw_line(p0[0], p0[1], p1[0], p1[1])
+            elif v.kind == CURVE_TO:
+                mx, my = v.cx * scale, v.cy * scale
+                p2 = tr((fx, fy))
+                p1 = tr((mx, my))
+                p0 = tr((tox, toy))
+                rasterizer.draw_quad(p0[0], p0[1], p1[0], p1[1], p2[0], p2[1])
+            fx, fy = tox, toy
+
+
+def _compute_way_position(points: np.ndarray, advance_by: float):
+    """Arc-length walk along integer waypoints (`text_placer.rs:270-296`)."""
+
+    def angle_at(i: int) -> float:
+        dx = float(points[i + 1, 0] - points[i, 0])
+        dy = float(points[i + 1, 1] - points[i, 1])
+        return math.atan2(dy, dx)
+
+    to_travel = advance_by
+    idx = 0
+    n = points.shape[0]
+    while to_travel > 0.0 and idx + 1 < n:
+        dx = float(points[idx + 1, 0] - points[idx, 0])
+        dy = float(points[idx + 1, 1] - points[idx, 1])
+        seg = math.sqrt(dx * dx + dy * dy)
+        if seg >= to_travel:
+            ratio = to_travel / seg
+            return (
+                float(points[idx, 0]) + dx * ratio,
+                float(points[idx, 1]) + dy * ratio,
+                angle_at(idx),
+            )
+        to_travel -= seg
+        idx += 1
+    return float(points[-1, 0]), float(points[-1, 1]), angle_at(n - 2)

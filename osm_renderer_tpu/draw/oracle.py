@@ -59,6 +59,7 @@ def _get_lib():
         lib.osmr_tile_bump_label_generation.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.osmr_tile_blend_unfinished.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.osmr_tile_to_rgb.argtypes = [ctypes.c_void_p, _U8P]
+        lib.osmr_tile_export_label_layer.argtypes = [ctypes.c_void_p, _F64P]
         lib.osmr_fill_contour_color.argtypes = [
             ctypes.c_void_p, _I32P, ctypes.c_size_t,
             ctypes.c_uint8, ctypes.c_uint8, ctypes.c_uint8, ctypes.c_double,
@@ -169,6 +170,12 @@ class OracleTile:
     def to_rgb(self) -> np.ndarray:
         out = np.empty((self.dimension, self.dimension, 3), dtype=np.uint8)
         self._lib.osmr_tile_to_rgb(self._handle, out.reshape(-1))
+        return out
+
+    def export_label_layer(self) -> np.ndarray:
+        """Successful-label staging of the center window, premult RGBA."""
+        out = np.empty((self.dimension, self.dimension, 4), dtype=np.float64)
+        self._lib.osmr_tile_export_label_layer(self._handle, out.reshape(-1))
         return out
 
 

@@ -1,0 +1,234 @@
+"""Slippy-tile HTTP server.
+
+URL contract matches the reference (`http_server.rs:229-267`):
+`GET /{z}/{x}/{y}[@Nx].png[?query]` with z <= 18, plus `/shutdown` and
+`/perf_stats`; responses carry `Access-Control-Allow-Origin: *` and
+`Connection: close`.
+
+Two serving modes:
+* backend="cpu": per-request rendering on a thread pool of oracle
+  drawers (the reference's thread-per-core model);
+* backend="device": an async micro-batcher groups concurrent tile
+  requests into one accelerator dispatch (tile data parallelism) —
+  the TPU-native serving path.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import threading
+from typing import Dict, List, Optional, Set, Tuple
+
+import numpy as np
+
+from osm_renderer_tpu.core.tile import MAX_ZOOM, Tile
+from osm_renderer_tpu.draw.drawer import CpuDrawer
+from osm_renderer_tpu.draw.labels.labeler import Labeler
+from osm_renderer_tpu.draw.png_writer import rgb_to_png
+from osm_renderer_tpu.geodata.reader import GeodataReader
+from osm_renderer_tpu.mapcss.styler import Styler
+from osm_renderer_tpu import perfstats
+
+
+def extract_tile_from_path(path: str) -> Optional[Tuple[Tile, int]]:
+    """Parse `/{z}/{x}/{y}[@Nx].png[?query]` -> (tile, scale)."""
+    qpos = path.rfind("?")
+    real_path = path[:qpos] if qpos >= 0 else path
+    if real_path.endswith(".png"):
+        real_path = real_path[: -len(".png")]
+    tokens = real_path.rsplit("/", 3)
+    if len(tokens) < 3:
+        return None
+    tokens = tokens[-3:]
+    z_str, x_str, y_str = tokens
+    scale = 1
+    if "@" in y_str:
+        y_str, _, scale_str = y_str.partition("@")
+        scale_str = scale_str.rstrip("x")
+        try:
+            scale = int(scale_str)
+        except ValueError:
+            return None
+    try:
+        z, x, y = int(z_str), int(x_str), int(y_str)
+    except ValueError:
+        return None
+    if z < 0 or z > MAX_ZOOM or scale < 1 or scale > 4:
+        return None
+    return Tile(z, x, y), scale
+
+
+class TileService:
+    """Shared immutable state + rendering dispatch."""
+
+    def __init__(
+        self,
+        geodata_file: str,
+        styler: Styler,
+        stylesheet_dir: str,
+        backend: str = "cpu",
+        osm_ids: Optional[Set[int]] = None,
+        enable_labels: bool = True,
+        precision: str = "fast",
+    ):
+        self.reader = GeodataReader.load(geodata_file)
+        self.styler = styler
+        self.osm_ids = osm_ids
+        self.backend = backend
+        self.labeler = Labeler(icon_base_path=stylesheet_dir) if enable_labels else None
+        self.perf_stats = perfstats.PerfStats()
+        self._perf_lock = threading.Lock()
+        self._local = threading.local()
+        if backend == "device":
+            from osm_renderer_tpu.parallel.renderer import BatchRenderer
+
+            self.batch_renderer = BatchRenderer(styler, precision=precision)
+        else:
+            self.batch_renderer = None
+
+    def _cpu_drawer(self) -> CpuDrawer:
+        drawer = getattr(self._local, "drawer", None)
+        if drawer is None:
+            drawer = CpuDrawer(labeler=self.labeler)
+            self._local.drawer = drawer
+        return drawer
+
+    def render_tile_cpu(self, tile: Tile, scale: int) -> bytes:
+        perfstats.start_tile(tile.zoom)
+        with perfstats.measure("Get tile entities"):
+            entities = self.reader.get_entities_in_tile_with_neighbors(
+                tile, self.osm_ids
+            )
+        with perfstats.measure("Draw tile"):
+            rgb = self._cpu_drawer().draw_to_pixels(entities, tile, scale, self.styler)
+        with perfstats.measure("RGB triples to PNG"):
+            png = rgb_to_png(rgb)
+        with self._perf_lock:
+            perfstats.finish_tile(self.perf_stats)
+        return png
+
+    def render_tiles_device(self, requests: List[Tuple[Tile, int]]) -> List[bytes]:
+        """Batched device render; one dispatch per scale group."""
+        out: Dict[int, bytes] = {}
+        by_scale: Dict[int, List[Tuple[int, Tile]]] = {}
+        for i, (tile, scale) in enumerate(requests):
+            by_scale.setdefault(scale, []).append((i, tile))
+        for scale, group in by_scale.items():
+            tiles_entities = [
+                (self.reader.get_entities_in_tile_with_neighbors(t, self.osm_ids), t)
+                for _, t in group
+            ]
+            prepared = self.batch_renderer.prepare(tiles_entities, scale)
+            rgb = np.asarray(self.batch_renderer.render_prepared(prepared))
+            for (i, t), img in zip(group, rgb):
+                if self.labeler is not None:
+                    img = self.labeler.composite_labels(
+                        img, tiles_entities[group.index((i, t))][0], t, float(scale),
+                        self.styler,
+                    )
+                out[i] = rgb_to_png(img)
+        return [out[i] for i in range(len(requests))]
+
+
+async def run_server(
+    address: str,
+    service: TileService,
+    batch_window_ms: float = 5.0,
+    max_batch: int = 32,
+) -> None:
+    host, _, port_str = address.rpartition(":")
+    port = int(port_str)
+    shutdown_event = asyncio.Event()
+    loop = asyncio.get_running_loop()
+
+    batch_queue: asyncio.Queue = asyncio.Queue()
+
+    async def batcher():
+        while True:
+            item = await batch_queue.get()
+            items = [item]
+            try:
+                deadline = loop.time() + batch_window_ms / 1e3
+                while len(items) < max_batch:
+                    timeout = deadline - loop.time()
+                    if timeout <= 0:
+                        break
+                    items.append(await asyncio.wait_for(batch_queue.get(), timeout))
+            except asyncio.TimeoutError:
+                pass
+            reqs = [(t, s) for (t, s, _) in items]
+            try:
+                pngs = await asyncio.to_thread(service.render_tiles_device, reqs)
+                for (_, _, fut), png in zip(items, pngs):
+                    if not fut.done():
+                        fut.set_result(png)
+            except Exception as e:  # pragma: no cover
+                for (_, _, fut) in items:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+    batcher_task = asyncio.create_task(batcher()) if service.backend == "device" else None
+
+    async def handle(reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
+        try:
+            first_line = await reader.readline()
+            tokens = first_line.decode("latin-1").strip().split(" ")
+            if len(tokens) != 3 or tokens[0] != "GET" or tokens[2] not in (
+                "HTTP/1.1",
+                "HTTP/1.0",
+            ):
+                return
+            path = tokens[1]
+
+            if path == "/shutdown":
+                shutdown_event.set()
+                await _respond(writer, b"shutting down\n", "text/plain")
+                return
+            if path == "/perf_stats":
+                with service._perf_lock:
+                    html = service.perf_stats.to_html()
+                await _respond(writer, html.encode(), "text/html")
+                return
+
+            parsed = extract_tile_from_path(path)
+            if parsed is None:
+                await _respond(writer, b"not a tile\n", "text/plain", status="404 Not Found")
+                return
+            tile, scale = parsed
+            if service.backend == "device":
+                fut = loop.create_future()
+                await batch_queue.put((tile, scale, fut))
+                png = await fut
+            else:
+                png = await asyncio.to_thread(service.render_tile_cpu, tile, scale)
+            await _respond(writer, png, "image/png")
+        except (ConnectionResetError, BrokenPipeError):
+            pass
+        finally:
+            try:
+                writer.close()
+                await writer.wait_closed()
+            except Exception:
+                pass
+
+    server = await asyncio.start_server(handle, host or "127.0.0.1", port)
+    try:
+        await shutdown_event.wait()
+    finally:
+        if batcher_task:
+            batcher_task.cancel()
+        server.close()
+        await server.wait_closed()
+
+
+async def _respond(writer, data: bytes, content_type: str, status: str = "200 OK"):
+    header = (
+        f"HTTP/1.1 {status}\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(data)}\r\n"
+        "Access-Control-Allow-Origin: *\r\n"
+        "Connection: close\r\n"
+        "\r\n"
+    ).encode()
+    writer.write(header + data)
+    await writer.drain()

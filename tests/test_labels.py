@@ -1,0 +1,147 @@
+"""Label subsystem: text/icon placement, collision, CPU-vs-device parity."""
+
+import os
+
+import numpy as np
+import pytest
+
+from osm_renderer_tpu.core.tile import Tile
+from osm_renderer_tpu.draw.drawer import CpuDrawer, DeviceDrawer
+from osm_renderer_tpu.draw.labels.labeler import Labeler
+from osm_renderer_tpu.draw.labels.text_placer import TextPlacer
+from osm_renderer_tpu.draw.oracle import OracleTile
+from osm_renderer_tpu.geodata.importer import import_osm
+from osm_renderer_tpu.geodata.reader import GeodataReader
+from osm_renderer_tpu.mapcss.parser import parse_file
+from osm_renderer_tpu.mapcss.styler import Styler
+
+from tests.conftest import REPO_ROOT, reference_path
+
+STYLESHEET_DIR = os.path.join(REPO_ROOT, "assets", "stylesheets")
+
+
+@pytest.fixture(scope="module")
+def city(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("city")
+    osm = os.path.join(REPO_ROOT, "assets", "fixtures", "minicity.osm")
+    if not os.path.exists(osm):
+        import subprocess, sys
+
+        os.makedirs(os.path.dirname(osm), exist_ok=True)
+        subprocess.run(
+            [sys.executable, os.path.join(REPO_ROOT, "tools", "make_fixture.py"), osm,
+             "--blocks", "24"],
+            check=True,
+        )
+    bin_path = str(tmp / "minicity.bin")
+    import_osm(osm, bin_path)
+    return GeodataReader.load(bin_path)
+
+
+@pytest.fixture(scope="module")
+def styler():
+    return Styler(parse_file(STYLESHEET_DIR, "default.mapcss"), "josm")
+
+
+def _center_tile(reader, zoom):
+    tx = reader.tiles["x"] >> (18 - zoom)
+    ty = reader.tiles["y"] >> (18 - zoom)
+    u = sorted(set(zip(tx.tolist(), ty.tolist())))
+    return Tile(zoom, *u[len(u) // 2])
+
+
+def test_text_renders_and_is_deterministic(city, styler):
+    tile = _center_tile(city, 17)
+    entities = city.get_entities_in_tile_with_neighbors(tile)
+    labeler = Labeler()
+    cpu = CpuDrawer(labeler=labeler)
+    img1 = cpu.draw_to_pixels(entities, tile, 1, styler)
+    img2 = cpu.draw_to_pixels(entities, tile, 1, styler)
+    assert np.array_equal(img1, img2)
+
+    # Labels must actually draw something: compare against a no-label render.
+    plain = CpuDrawer().draw_to_pixels(entities, tile, 1, styler)
+    assert (img1 != plain).any()
+
+
+def test_device_label_compositing_matches_cpu(tmp_path, styler):
+    # Use the small fixture: the exact-precision jnp path is slow on the
+    # CPU test backend, so keep the scene tiny.
+    from tests.fixtures import build_mini_reader
+    from osm_renderer_tpu.core.tile import coords_to_max_zoom_tile
+
+    reader = build_mini_reader(tmp_path)
+    t18 = coords_to_max_zoom_tile(47.1412, 9.5215)
+    tile = Tile(16, t18.x >> 2, t18.y >> 2)
+    entities = reader.get_entities_in_tile_with_neighbors(tile)
+    cpu = CpuDrawer(labeler=Labeler())
+    dev = DeviceDrawer(labeler=Labeler())
+    want = cpu.draw_to_pixels(entities, tile, 1, styler)
+    got = dev.render_tiles([(entities, tile)], 1, styler)[0]
+    diff = np.abs(want.astype(int) - got.astype(int))
+    assert diff.max() <= 2
+    assert (diff > 1).mean() < 0.001
+
+
+def test_collision_all_or_nothing(city, styler):
+    # Drawing the same label set twice: second pass must be fully rejected,
+    # output unchanged (earlier labels win).
+    tile = _center_tile(city, 17)
+    entities = city.get_entities_in_tile_with_neighbors(tile)
+    labeler = Labeler()
+    scratch = OracleTile(1)
+    scratch.reset(None)
+    labeler.draw_labels(scratch, entities, tile, 1.0, styler)
+    once = scratch.export_label_layer()
+    labeler.draw_labels(scratch, entities, tile, 1.0, styler)
+    twice = scratch.export_label_layer()
+    assert np.array_equal(once, twice)
+    assert once[..., 3].max() > 0
+
+
+def test_glyph_shapes_nonempty():
+    placer = TextPlacer()
+    for ch in "AgQ–ЖΩё":
+        gid = placer.font.find_glyph_index(ord(ch))
+        assert gid != 0, ch
+        shape = placer.font.glyph_shape(gid)
+        assert shape is not None and len(shape) > 3, ch
+    assert placer.font.find_glyph_index(0x4E2D) in (0,)  # CJK not in NotoSans basic
+
+
+def test_icon_cache():
+    symbols = reference_path("tests", "mapcss", "symbols")
+    if not os.path.isdir(symbols):
+        pytest.skip("reference symbols unavailable")
+    from osm_renderer_tpu.draw.labels.icons import IconCache
+
+    names = [n for n in sorted(os.listdir(symbols)) if n.endswith(".png") or n.endswith(".svg")]
+    cache = IconCache(symbols)
+    loaded = 0
+    for n in names[:20]:
+        icon = cache.get(n)
+        if icon is not None:
+            assert icon.rgba.shape[2] == 4
+            assert 0.0 <= icon.rgba.min() and icon.rgba.max() <= 1.0
+            loaded += 1
+    assert loaded > 0
+    assert cache.get("missing.png") is None
+
+
+def test_icon_label_blit(city, styler):
+    symbols = reference_path("tests", "mapcss", "symbols")
+    if not os.path.isdir(symbols):
+        pytest.skip("reference symbols unavailable")
+    from osm_renderer_tpu.draw.labels.icons import IconCache
+
+    cache = IconCache(symbols)
+    names = [n for n in sorted(os.listdir(symbols)) if n.endswith(".png")]
+    icon = next(c for c in (cache.get(n) for n in names) if c is not None)
+
+    scratch = OracleTile(1)
+    scratch.reset(None)
+    ok = scratch.label_icon(100, 100, icon.rgba)
+    assert ok
+    scratch.bump_label_generation(True)
+    # Overlapping second icon must be rejected.
+    assert not scratch.label_icon(100 + icon.width // 2, 100, icon.rgba)

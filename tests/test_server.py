@@ -1,0 +1,106 @@
+"""HTTP server: URL contract, tile serving, /shutdown, /perf_stats."""
+
+import asyncio
+import os
+import socket
+import struct
+import threading
+import time
+import urllib.request
+import zlib
+
+import numpy as np
+import pytest
+
+from osm_renderer_tpu.core.tile import Tile, coords_to_max_zoom_tile
+from osm_renderer_tpu.mapcss.parser import parse_file
+from osm_renderer_tpu.mapcss.styler import Styler
+from osm_renderer_tpu.server.http import TileService, extract_tile_from_path, run_server
+
+from tests.conftest import REPO_ROOT
+from tests.fixtures import build_mini_reader
+
+STYLESHEET_DIR = os.path.join(REPO_ROOT, "assets", "stylesheets")
+
+
+def test_extract_tile_from_path():
+    assert extract_tile_from_path("/15/100/200.png") == (Tile(15, 100, 200), 1)
+    assert extract_tile_from_path("/tiles/15/100/200.png?nonce=7") == (
+        Tile(15, 100, 200), 1,
+    )
+    assert extract_tile_from_path("/18/1/2@2x.png") == (Tile(18, 1, 2), 2)
+    assert extract_tile_from_path("/19/1/2.png") is None  # z > MAX_ZOOM
+    assert extract_tile_from_path("/a/b/c.png") is None
+    assert extract_tile_from_path("/shutdown") is None
+
+
+def _decode_png_size(data: bytes):
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h = struct.unpack(">II", data[16:24])
+    return w, h
+
+
+@pytest.fixture(scope="module")
+def server_port(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("srv")
+    reader_path = os.path.join(str(tmp), "mini.bin")
+    from tests.fixtures import MINI_OSM
+    from osm_renderer_tpu.geodata.importer import import_osm
+
+    osm_path = os.path.join(str(tmp), "mini.osm")
+    with open(osm_path, "w") as f:
+        f.write(MINI_OSM)
+    import_osm(osm_path, reader_path)
+
+    styler = Styler(parse_file(STYLESHEET_DIR, "default.mapcss"), "josm")
+    service = TileService(reader_path, styler, STYLESHEET_DIR, backend="cpu")
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    def runner():
+        asyncio.run(run_server(f"127.0.0.1:{port}", service))
+
+    thread = threading.Thread(target=runner, daemon=True)
+    thread.start()
+    for _ in range(100):
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout=0.2):
+                break
+        except OSError:
+            time.sleep(0.05)
+    yield port
+    try:
+        urllib.request.urlopen(f"http://127.0.0.1:{port}/shutdown", timeout=2)
+    except Exception:
+        pass
+    thread.join(timeout=5)
+
+
+def test_serve_tile(server_port):
+    t18 = coords_to_max_zoom_tile(47.1412, 9.5215)
+    z, x, y = 16, t18.x >> 2, t18.y >> 2
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{server_port}/{z}/{x}/{y}.png", timeout=30
+    ) as resp:
+        assert resp.status == 200
+        assert resp.headers["Content-Type"] == "image/png"
+        assert resp.headers["Access-Control-Allow-Origin"] == "*"
+        data = resp.read()
+    assert _decode_png_size(data) == (256, 256)
+
+    # @2x
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{server_port}/{z}/{x}/{y}@2x.png?nonce=1", timeout=60
+    ) as resp:
+        data2 = resp.read()
+    assert _decode_png_size(data2) == (512, 512)
+
+
+def test_perf_stats_endpoint(server_port):
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{server_port}/perf_stats", timeout=10
+    ) as resp:
+        html = resp.read().decode()
+    assert "perf stats" in html
