@@ -1,0 +1,26 @@
+"""Regenerate golden rendering fixtures (tests/rendered/*_expected.png)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.test_rendering import GOLDEN_DIR, ZOOM_CONFIGS, render_stitched  # noqa: E402
+from osm_renderer_tpu.draw.png_writer import rgb_to_png  # noqa: E402
+
+
+def main():
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    for zoom_key in ZOOM_CONFIGS:
+        img = render_stitched(zoom_key)
+        out = os.path.join(GOLDEN_DIR, f"{zoom_key}_expected.png")
+        with open(out, "wb") as f:
+            f.write(rgb_to_png(img))
+        print(f"wrote {out} ({img.shape[1]}x{img.shape[0]})")
+        diff = os.path.join(GOLDEN_DIR, f"{zoom_key}_diff.png")
+        if os.path.exists(diff):
+            os.remove(diff)
+
+
+if __name__ == "__main__":
+    main()
