@@ -1,0 +1,565 @@
+"""Pallas TPU rasterization kernel.
+
+One `pallas_call` renders a whole batch of tiles: grid = (tiles,
+chunks); the sequential TPU grid walks each tile's paint-ordered chunk
+stream while the premultiplied RGBA accumulator lives in the output
+block (VMEM-resident across the tile's chunks — no HBM round trips
+between primitives, unlike a scan-based XLA program).  Per-chunk work
+is restricted to the chunk's bounding-box row blocks (host-computed),
+which is where the 10-100x win over dense evaluation comes from:
+buildings touch ~2 row blocks, not 256 rows.
+
+Math is the closed-form coverage model validated against the C++
+oracle (see ops/coverage_np.py): Bresenham row spans + parity/
+b-extension for fills; perpendicular-band ownership + dash/cap/feather
+opacity for strokes.  All integer forms fit int32 under the host-
+checked |coord| < 12000 bound; floats are f32 (<= 1/255 output
+tolerance).
+
+Data layout (host-built by `build_pallas_batch`):
+  geometry   (T, C, 4, CH) int32  chunk-aligned SoA point pairs
+  traveled   (T, C, CH)    f32    arc length before each stroke segment
+  seg_prof   (T, C, CH)    int32  dash profile index per segment
+  profiles   (NP, DS, 8)   -> prefetched to SMEM as (NP*DS*8,) i32 bits
+  scalars    (T*C,) int32 each: kind, cnt, last, y0, nb (row blocks),
+             prim_y0, prim_nb (blend bbox), color r/g/b,
+             opacity/halfwidth as f32 bit patterns
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CH = 128          # geometry slots per chunk (= TPU lane width)
+RB = 32           # rows per processing block
+DS = 4            # dash-profile rows per profile
+
+KIND_PAD = 0
+KIND_FILL = 1
+KIND_STROKE = 2
+
+
+class PallasBatch(NamedTuple):
+    geom: np.ndarray        # (T, C, 4, CH) int32
+    traveled: np.ndarray    # (T, C, CH) f32
+    seg_prof: np.ndarray    # (T, C, CH) int32
+    kind: np.ndarray        # (T, C) int32
+    cnt: np.ndarray         # (T, C) int32
+    last: np.ndarray        # (T, C) int32
+    y0: np.ndarray          # (T, C) int32  first row-block row (multiple of RB)
+    nb: np.ndarray          # (T, C) int32  number of row blocks
+    prim_y0: np.ndarray     # (T, C) int32  blend bbox start (valid on last)
+    prim_nb: np.ndarray     # (T, C) int32
+    color: np.ndarray       # (T, C, 3) f32
+    opacity: np.ndarray     # (T, C) f32
+    hw: np.ndarray          # (T, C) f32
+    profiles: np.ndarray    # (NP, DS, 8) f32
+    profile_total: np.ndarray  # (NP,) f32
+
+
+def _f32_bits(x: np.ndarray) -> np.ndarray:
+    return x.astype(np.float32).view(np.int32)
+
+
+def build_pallas_batch(tile_streams, profiles, ts: int) -> PallasBatch:
+    """Convert TileStream chunk lists (chunk size <= CH) into the
+    chunk-aligned layout."""
+    T = len(tile_streams)
+    C = max(max((len(s.chunk_kind) for s in tile_streams), default=1), 1)
+    from osm_renderer_tpu.utils.jax_setup import next_pow2
+
+    C = next_pow2(C, 8)
+
+    geom = np.zeros((T, C, 4, CH), dtype=np.int32)
+    trav = np.zeros((T, C, CH), dtype=np.float32)
+    sprof = np.zeros((T, C, CH), dtype=np.int32)
+    kind = np.zeros((T, C), dtype=np.int32)
+    cnt = np.zeros((T, C), dtype=np.int32)
+    last = np.zeros((T, C), dtype=np.int32)
+    y0 = np.zeros((T, C), dtype=np.int32)
+    nb = np.zeros((T, C), dtype=np.int32)
+    prim_y0 = np.zeros((T, C), dtype=np.int32)
+    prim_nb = np.zeros((T, C), dtype=np.int32)
+    color = np.zeros((T, C, 3), dtype=np.float32)
+    opacity = np.zeros((T, C), dtype=np.float32)
+    hw = np.zeros((T, C), dtype=np.float32)
+
+    for t, s in enumerate(tile_streams):
+        prim_rows = {}
+        # First pass: per-chunk row ranges + accumulate prim bboxes.
+        chunk_meta = []
+        for ci in range(len(s.chunk_kind)):
+            g = s.geom[ci]
+            k = s.chunk_kind[ci]
+            n = g.shape[0]
+            assert n <= CH, f"chunk of {n} exceeds CH={CH}"
+            if k == 1:  # fill: only rows inside the tile matter
+                ylo = g[:, [1, 3]].min() if n else 0
+                yhi = g[:, [1, 3]].max() if n else 0
+                # poisoned top rows are excluded but harmless to include
+            else:  # stroke: rows within half-width margin
+                m = int(np.ceil(s.chunk_hw[ci])) + 2
+                ylo = (g[:, [1, 3]].min() - m) if n else 0
+                yhi = (g[:, [1, 3]].max() + m) if n else 0
+            ylo = int(max(min(ylo, ts - 1), 0))
+            yhi = int(max(min(yhi, ts - 1), 0))
+            b0 = (ylo // RB) * RB
+            nblocks = (yhi - b0) // RB + 1 if n else 0
+            chunk_meta.append((b0, nblocks))
+
+        # prim bbox = union of row ranges up to (and incl) the last chunk.
+        start = 0
+        for ci in range(len(s.chunk_kind)):
+            if s.chunk_last[ci]:
+                b0s = [chunk_meta[j][0] for j in range(start, ci + 1) if chunk_meta[j][1]]
+                b1s = [
+                    chunk_meta[j][0] + chunk_meta[j][1] * RB
+                    for j in range(start, ci + 1)
+                    if chunk_meta[j][1]
+                ]
+                if b0s:
+                    p0 = min(b0s)
+                    pn = (max(b1s) - p0) // RB
+                else:
+                    p0, pn = 0, 0
+                prim_rows[ci] = (p0, pn)
+                start = ci + 1
+
+        for ci in range(len(s.chunk_kind)):
+            g = s.geom[ci]
+            n = g.shape[0]
+            kind[t, ci] = s.chunk_kind[ci]
+            cnt[t, ci] = n
+            last[t, ci] = int(s.chunk_last[ci])
+            y0[t, ci], nb[t, ci] = chunk_meta[ci]
+            if s.chunk_last[ci]:
+                prim_y0[t, ci], prim_nb[t, ci] = prim_rows[ci]
+            color[t, ci] = s.chunk_color[ci]
+            opacity[t, ci] = s.chunk_opacity[ci]
+            hw[t, ci] = s.chunk_hw[ci]
+            if n:
+                geom[t, ci, :, :n] = g.T.astype(np.int32)
+                trav[t, ci, :n] = s.traveled[ci]
+                sprof[t, ci, :n] = s.profile[ci]
+
+    prof_rows, prof_totals = profiles.arrays(np.float32)
+    # Disabled rows use +inf sentinels; replace inf with a large finite
+    # value bit-pattern safe for SMEM int transport.
+    return PallasBatch(
+        geom, trav, sprof, kind, cnt, last, y0, nb, prim_y0, prim_nb,
+        color, opacity, hw, prof_rows, prof_totals,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+def _floor_div_f(u, v_f, v_i):
+    """Exact floor division of int32 u by positive int32 v (|u| < 2^30),
+    via f32 estimate + two integer corrections."""
+    q = jnp.floor(u.astype(jnp.float32) * (1.0 / v_f)).astype(jnp.int32)
+    r = u - q * v_i
+    q = jnp.where(r < 0, q - 1, q)
+    r = u - q * v_i
+    q = jnp.where(r < 0, q - 1, q)
+    r = u - q * v_i
+    q = jnp.where(r >= v_i, q + 1, q)
+    r = u - q * v_i
+    q = jnp.where(r >= v_i, q + 1, q)
+    return q
+
+
+def _feather(cd, hlw):
+    feather_from = jnp.fmax(hlw - 0.5, 0.0)
+    feather_to = jnp.fmax(hlw + 0.5, 1.0)
+    opacity_mul = jnp.fmin(2.0 * hlw, 1.0)
+    v = jnp.where(
+        cd < feather_from,
+        1.0,
+        jnp.where(cd < feather_to, (feather_to - cd) / (feather_to - feather_from), 0.0),
+    )
+    return opacity_mul * v
+
+
+def make_render_kernel(ts: int, C: int, NP: int):
+    """Returns the pallas kernel fn for the given static config."""
+
+    def kernel(
+        # scalar prefetch (SMEM)
+        kind_s, cnt_s, last_s, y0_s, nb_s, prim_y0_s, prim_nb_s,
+        color_r_s, color_g_s, color_b_s, opacity_s, hw_s,
+        prof_s, prof_total_s, canvas_s,
+        # tensor inputs (VMEM blocks)
+        geom_ref,      # (1, 1, 4, CH) int32
+        trav_ref,      # (1, 1, 1, CH) f32
+        sprof_ref,     # (1, 1, 1, CH) int32
+        # outputs
+        out_ref,       # (1, 4, ts, ts) f32
+        # scratch
+        pending_ref,   # (ts, ts) f32
+    ):
+        t = pl.program_id(0)
+        c = pl.program_id(1)
+        tc = t * C + c
+
+        @pl.when(c == 0)
+        def _init():
+            cr = canvas_s[0]
+            cg = canvas_s[1]
+            cb = canvas_s[2]
+            out_ref[0, 0] = jnp.full((ts, ts), cr, jnp.float32)
+            out_ref[0, 1] = jnp.full((ts, ts), cg, jnp.float32)
+            out_ref[0, 2] = jnp.full((ts, ts), cb, jnp.float32)
+            out_ref[0, 3] = jnp.ones((ts, ts), jnp.float32)
+            pending_ref[...] = jnp.zeros((ts, ts), jnp.float32)
+
+        kind = kind_s[tc]
+        cnt = cnt_s[tc]
+        nb = nb_s[tc]
+        y0 = y0_s[tc]
+        opacity = opacity_s[tc]
+        hw = hw_s[tc]
+
+        xs_lane = lax.broadcasted_iota(jnp.int32, (RB, ts), 1)
+        rows_sub = lax.broadcasted_iota(jnp.int32, (RB, ts), 0)
+
+        # ------------------------- fills -------------------------
+        @pl.when(kind == KIND_FILL)
+        def _fill():
+            # Per-edge scalars as (1, CH) lane vectors.
+            x1 = geom_ref[0, 0, 0, :].reshape(1, CH)
+            ey1 = geom_ref[0, 0, 1, :].reshape(1, CH)
+            x2 = geom_ref[0, 0, 2, :].reshape(1, CH)
+            ey2 = geom_ref[0, 0, 3, :].reshape(1, CH)
+            lane = lax.broadcasted_iota(jnp.int32, (1, CH), 1)
+            valid = lane < cnt
+
+            adx = jnp.abs(x2 - x1)
+            ady = jnp.abs(ey2 - ey1)
+            sx = jnp.where(x1 < x2, 1, -1)
+            ytop = jnp.minimum(ey1, ey2)
+            ybot = jnp.maximum(ey1, ey2)
+            ady_nz = jnp.maximum(ady, 1)
+            ady_f = ady_nz.astype(jnp.float32)
+            steep = ady > adx
+            big = jnp.int32(1 << 28)
+
+            def span_at(rows, x1v, ey1v, adxv, adyv, sxv, steepv):
+                """Bresenham row span [a, b] at `rows` (same shape)."""
+                adyv_nz = jnp.maximum(adyv, 1)
+                adyv_f = adyv_nz.astype(jnp.float32)
+                j = jnp.abs(rows - ey1v)
+                steep_x = x1v + sxv * _floor_div_f(
+                    2 * j * adxv + adyv, 2.0 * adyv_f, 2 * adyv_nz
+                )
+                i_min = -_floor_div_f(-(adxv * (2 * j - 1)), 2.0 * adyv_f, 2 * adyv_nz)
+                i_max = -_floor_div_f(-(adxv * (2 * j + 1)), 2.0 * adyv_f, 2 * adyv_nz) - 1
+                i_min = jnp.clip(i_min, 0, adxv)
+                i_max = jnp.clip(i_max, 0, adxv)
+                lo = x1v + sxv * i_min
+                hi = x1v + sxv * i_max
+                a = jnp.where(steepv, steep_x, jnp.minimum(lo, hi))
+                b = jnp.where(steepv, steep_x, jnp.maximum(lo, hi))
+                return a, b
+
+            def row_block(blk, _):
+                r0 = y0 + blk * RB
+                rows_ch = r0 + lax.broadcasted_iota(jnp.int32, (RB, CH), 0)
+                act_all = (rows_ch > ytop) & (rows_ch <= ybot) & valid
+                a_all, _b_all = span_at(rows_ch, x1, ey1, adx, ady, sx, steep)
+                a_all = jnp.where(act_all, a_all, big)
+                lane_rb = lax.broadcasted_iota(jnp.int32, (RB, CH), 1)
+
+                rows_col = r0 + lax.broadcasted_iota(jnp.int32, (RB, 1), 0)
+                n_active = act_all.astype(jnp.int32).sum(axis=1, keepdims=True)
+                odd_n = (n_active % 2) == 1
+
+                def edge_step(e, carry):
+                    N, tail = carry
+                    ex1 = geom_ref[0, 0, 0, e]
+                    eey1 = geom_ref[0, 0, 1, e]
+                    ex2 = geom_ref[0, 0, 2, e]
+                    eey2 = geom_ref[0, 0, 3, e]
+                    eadx = jnp.abs(ex2 - ex1)
+                    eady = jnp.abs(eey2 - eey1)
+                    esx = jnp.where(ex1 < ex2, 1, -1)
+                    etop = jnp.minimum(eey1, eey2)
+                    ebot = jnp.maximum(eey1, eey2)
+                    act_e = (rows_col > etop) & (rows_col <= ebot)
+                    a_e, b_e = span_at(
+                        rows_col, ex1, eey1, eadx, eady, esx, eady > eadx
+                    )
+                    a_em = jnp.where(act_e, a_e, big)
+                    # stable rank of edge e within each row
+                    less = act_all & (
+                        (a_all < a_em) | ((a_all == a_em) & (lane_rb < e))
+                    )
+                    rank_e = less.astype(jnp.int32).sum(axis=1, keepdims=True)
+                    odd_e = act_e & ((rank_e % 2) == 1)
+
+                    ge = xs_lane >= a_em
+                    N = N + (act_e & ge).astype(jnp.int32)
+                    tail = tail | (odd_e & ge & (xs_lane <= b_e))
+                    return N, tail
+
+                N0 = jnp.zeros((RB, ts), jnp.int32)
+                tail0 = jnp.zeros((RB, ts), jnp.bool_)
+                N, tail = lax.fori_loop(0, cnt, edge_step, (N0, tail0))
+
+                parity = ((N % 2) == 1) & ~((N == n_active) & odd_n)
+                filled = parity | tail
+                alpha = jnp.where(filled, opacity, 0.0).astype(jnp.float32)
+
+                cur = pending_ref[pl.ds(r0, RB), :]
+                pending_ref[pl.ds(r0, RB), :] = jnp.fmax(cur, alpha)
+                return 0
+
+            lax.fori_loop(0, nb, row_block, 0)
+
+        # ------------------------- strokes -------------------------
+        @pl.when(kind == KIND_STROKE)
+        def _stroke():
+            def seg_step(s, _):
+                p1x = geom_ref[0, 0, 0, s]
+                p1y = geom_ref[0, 0, 1, s]
+                p2x = geom_ref[0, 0, 2, s]
+                p2y = geom_ref[0, 0, 3, s]
+                trav = trav_ref[0, 0, 0, s]
+                pidx = sprof_ref[0, 0, 0, s]
+
+                dxs = jnp.abs(p2x - p1x)
+                dys = jnp.abs(p2y - p1y)
+                swap = dxs > dys
+                mn0 = jnp.where(swap, p1y, p1x)
+                mx0 = jnp.where(swap, p1x, p1y)
+                mn_d = jnp.where(swap, dys, dxs)
+                mx_d = jnp.maximum(jnp.where(swap, dxs, dys), 1)
+                x_inc = jnp.where(p1x <= p2x, 1, -1)
+                y_inc = jnp.where(p1y <= p2y, 1, -1)
+                mn_i = jnp.where(swap, y_inc, x_inc)
+                mx_i = jnp.where(swap, x_inc, y_inc)
+                two_mx = 2 * mx_d
+                two_mx_f = two_mx.astype(jnp.float32)
+                nc = p2x * p1y - p2y * p1x
+                sdx = p2x - p1x
+                sdy = p2y - p1y
+                denom = jnp.sqrt((dxs * dxs + dys * dys).astype(jnp.float32))
+                inv_denom = 1.0 / denom
+
+                # dash profile scalars for this segment (from SMEM bits)
+                base = pidx * (DS * 8)
+                prow = [
+                    [prof_s[base + i * 8 + k] for k in range(8)]
+                    for i in range(DS)
+                ]
+                prof_total = prof_total_s[pidx]
+
+                def stroke_opacity(cd, sd):
+                    dist = trav + sd
+                    dist = jnp.where(prof_total > 0.0, dist - jnp.floor(dist / prof_total) * prof_total, dist)
+                    sd_op = jnp.zeros_like(cd)
+                    cap_dist = jnp.full_like(cd, jnp.inf)
+                    any_rows = False
+                    for i in range(DS):
+                        s_from, s_to, e_from, e_to, mul, has_orig, oa, ob = prow[i]
+                        in_range = (dist >= s_from) & (dist <= e_to)
+                        basev = jnp.where(
+                            dist <= s_to,
+                            (dist - s_from) / (s_to - s_from),
+                            jnp.where(dist < e_from, 1.0, (e_to - dist) / (e_to - e_from)),
+                        )
+                        sd_op = jnp.fmax(sd_op, jnp.where(in_range, mul * basev, 0.0))
+                        cap_d = jnp.where(dist < oa, oa - dist, jnp.where(dist <= ob, 0.0, dist - ob))
+                        cap_dist = jnp.fmin(cap_dist, jnp.where(in_range & (has_orig > 0.0), cap_d, jnp.inf))
+                        any_rows = jnp.logical_or(any_rows, s_from < jnp.inf)
+                    sd_op = jnp.where(any_rows, sd_op, 1.0)
+                    cap_dist = jnp.where(jnp.isinf(cap_dist), 0.0, cap_dist)
+                    hlw = jnp.sqrt(hw * hw - cap_dist * cap_dist)
+                    cd_op = _feather(cd, hlw)
+                    return jnp.fmin(sd_op, cd_op), cd_op > 0.0
+
+                mxmx = (mx_d * mx_d).astype(jnp.float32)
+                ratio = mxmx / (mxmx + (mn_d * mn_d).astype(jnp.float32))
+
+                def c_of(k):
+                    return _floor_div_f(2 * k * mn_d + mx_d - 1, two_mx_f, two_mx)
+
+                def h_of(k):
+                    return k + _floor_div_f(2 * c_of(k) * mn_d + mx_d - 1, two_mx_f, two_mx)
+
+                K = mx_d
+                hK = h_of(K)
+
+                def alive_at(s_mn, s_mx):
+                    s_x = jnp.where(swap, s_mx, s_mn)
+                    s_y = jnp.where(swap, s_mn, s_mx)
+                    raw_s = nc + sdy * s_x - sdx * s_y
+                    cd_s = jnp.abs(raw_s.astype(jnp.float32)) * inv_denom
+                    dxq = (s_x - p1x).astype(jnp.float32)
+                    dyq = (s_y - p1y).astype(jnp.float32)
+                    lo_s = jnp.sqrt(dxq * dxq + dyq * dyq)
+                    sd_s = jnp.sqrt(jnp.fmax(lo_s * lo_s - cd_s * cd_s, 0.0))
+                    _, alive = stroke_opacity(cd_s, sd_s)
+                    return alive
+
+                # row range for this segment
+                ylo = jnp.maximum(jnp.minimum(p1y, p2y) - (jnp.ceil(hw).astype(jnp.int32) + 2), 0)
+                yhi = jnp.minimum(jnp.maximum(p1y, p2y) + (jnp.ceil(hw).astype(jnp.int32) + 2), ts - 1)
+                b0 = (ylo // RB) * RB
+                nbs = jnp.where(
+                    (p1x == p2x) & (p1y == p2y), 0, (yhi - b0) // RB + 1
+                )
+
+                def row_block(b, _):
+                    r0 = b0 + b * RB
+                    ys = r0 + rows_sub  # (RB, ts)
+                    xsv = xs_lane
+
+                    raw = nc + sdy * xsv - sdx * ys
+                    cd = jnp.abs(raw.astype(jnp.float32)) * inv_denom
+                    dxp = (xsv - p1x).astype(jnp.float32)
+                    dyp = (ys - p1y).astype(jnp.float32)
+                    lo = jnp.sqrt(dxp * dxp + dyp * dyp)
+                    sd = jnp.sqrt(jnp.fmax(lo * lo - cd * cd, 0.0))
+                    op, in_line = stroke_opacity(cd, sd)
+
+                    MN = jnp.where(swap, ys, xsv)
+                    MX = jnp.where(swap, xsv, ys)
+                    n0 = (MN - mn0) * mn_i
+                    m0 = (MX - mx0) * mx_i
+                    A = 2 * mn_d * n0 + two_mx * m0 + (mx_d - 1)
+                    T_band = _floor_div_f(A, two_mx_f, two_mx)
+                    r_band = A - T_band * two_mx
+                    edge_band = r_band == (two_mx - 1)
+
+                    bc = jnp.clip(T_band, 0, hK)
+                    k = jnp.clip((bc.astype(jnp.float32) * ratio).astype(jnp.int32), 0, K)
+                    for _i in range(3):
+                        k = jnp.where((k > 0) & (h_of(k) > bc), k - 1, k)
+                    for _i in range(3):
+                        k = jnp.where((k < K) & (h_of(k + 1) <= bc), k + 1, k)
+                    h_k = h_of(k)
+                    is_gap = h_k != bc
+                    c_k = c_of(k)
+                    c_sel = jnp.where(is_gap, c_k + 1, c_k)
+                    s_mn_T = mn0 + mn_i * c_sel
+                    s_mx_T = mx0 + mx_i * k
+
+                    in_slab = (A >= 0) & (T_band <= hK)
+                    ok_T = in_slab & alive_at(s_mn_T, s_mx_T)
+
+                    # owner of band T+1 (band-edge pixels, mul=-1 branch)
+                    bc2 = jnp.clip(T_band + 1, 0, hK)
+                    k2 = jnp.where(h_of(k + 1) <= bc2, k + 1, k)
+                    h_k2 = h_of(k2)
+                    is_gap2 = h_k2 != bc2
+                    c_k2 = c_of(k2)
+                    c_sel2 = jnp.where(is_gap2, c_k2 + 1, c_k2)
+                    s_mn_N = mn0 + mn_i * c_sel2
+                    s_mx_N = mx0 + mx_i * k2
+
+                    dn_T = (MN - s_mn_T) * mn_i
+                    dn_N = (MN - s_mn_N) * mn_i
+                    ok_T = ok_T & jnp.where(edge_band, dn_T >= 0, True)
+                    ok_N = (
+                        edge_band
+                        & (A + 1 >= 0)
+                        & (T_band + 1 <= hK)
+                        & (dn_N <= 0)
+                        & alive_at(s_mn_N, s_mx_N)
+                    )
+                    visited = in_line & (ok_T | ok_N)
+                    alpha = jnp.where(visited, opacity * op, 0.0)
+
+                    cur = pending_ref[pl.ds(r0, RB), :]
+                    pending_ref[pl.ds(r0, RB), :] = jnp.fmax(cur, alpha)
+                    return 0
+
+                lax.fori_loop(0, nbs, row_block, 0)
+                return 0
+
+            lax.fori_loop(0, cnt, seg_step, 0)
+
+        # ------------------------- blend -------------------------
+        @pl.when(last_s[tc] == 1)
+        def _blend():
+            cr = color_r_s[tc]
+            cg = color_g_s[tc]
+            cb = color_b_s[tc]
+            p0 = prim_y0_s[tc]
+            pn = prim_nb_s[tc]
+
+            def blend_block(b, _):
+                r0 = p0 + b * RB
+                a = pending_ref[pl.ds(r0, RB), :]
+                keep = 1.0 - a
+                out_ref[0, 0, pl.ds(r0, RB), :] = a * cr + keep * out_ref[0, 0, pl.ds(r0, RB), :]
+                out_ref[0, 1, pl.ds(r0, RB), :] = a * cg + keep * out_ref[0, 1, pl.ds(r0, RB), :]
+                out_ref[0, 2, pl.ds(r0, RB), :] = a * cb + keep * out_ref[0, 2, pl.ds(r0, RB), :]
+                out_ref[0, 3, pl.ds(r0, RB), :] = a + keep * out_ref[0, 3, pl.ds(r0, RB), :]
+                pending_ref[pl.ds(r0, RB), :] = jnp.zeros((RB, ts), jnp.float32)
+                return 0
+
+            lax.fori_loop(0, pn, blend_block, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("ts", "interpret"))
+def render_batch_pallas(batch_arrays, canvas_rgb, ts: int, interpret: bool = False):
+    """batch_arrays: PallasBatch as jnp arrays. -> (T, ts, ts, 3) uint8."""
+    b = batch_arrays
+    T, C = b.kind.shape
+    NP = b.profiles.shape[0]
+
+    flat = lambda a: a.reshape(-1)
+    prof_flat = b.profiles.reshape(-1).astype(jnp.float32)
+    prof_total = b.profile_total.astype(jnp.float32)
+    canvas = canvas_rgb.astype(jnp.float32)
+    f32b = lambda a: a.astype(jnp.float32)
+
+    kernel = make_render_kernel(ts, C, NP)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=15,
+        grid=(T, C),
+        in_specs=[
+            pl.BlockSpec((1, 1, 4, CH), lambda t, c, *_: (t, c, 0, 0)),
+            pl.BlockSpec((1, 1, 1, CH), lambda t, c, *_: (t, c, 0, 0)),
+            pl.BlockSpec((1, 1, 1, CH), lambda t, c, *_: (t, c, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 4, ts, ts), lambda t, c, *_: (t, 0, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((ts, ts), jnp.float32)],
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, 4, ts, ts), jnp.float32),
+        interpret=interpret,
+    )(
+        flat(b.kind), flat(b.cnt), flat(b.last), flat(b.y0), flat(b.nb),
+        flat(b.prim_y0), flat(b.prim_nb),
+        f32b(flat(b.color[..., 0])), f32b(flat(b.color[..., 1])), f32b(flat(b.color[..., 2])),
+        f32b(flat(b.opacity)), f32b(flat(b.hw)),
+        prof_flat, prof_total, canvas,
+        b.geom,
+        b.traveled.reshape(T, C, 1, CH),
+        b.seg_prof.reshape(T, C, 1, CH),
+    )
+
+    a = out[:, 3]
+    mul = jnp.where(a == 0.0, 0.0, 1.0 / a)
+    rgb = 255.0 * out[:, :3] * mul[:, None]
+    rgb = jnp.where(jnp.isnan(rgb), 0.0, jnp.clip(rgb, 0.0, 255.0))
+    return jnp.trunc(rgb).astype(jnp.uint8).transpose(0, 2, 3, 1)

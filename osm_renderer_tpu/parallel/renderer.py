@@ -38,21 +38,34 @@ class PreparedBatch(NamedTuple):
 
 
 class BatchRenderer:
+    """backend="pallas" (TPU kernel, default), "jnp" (pure-XLA reference).
+
+    precision applies to the jnp backend: "fast" (f32/int32) or "exact"
+    (f64/int64, requires x64).  The pallas backend is always f32/int32
+    under the same coordinate bound.
+    """
+
     def __init__(
         self,
         styler: Styler,
         precision: str = "fast",
         chunk_size: int = 64,
         mesh: Optional[Mesh] = None,
+        backend: str = "pallas",
+        interpret: bool = False,
     ):
         self.styler = styler
         self.precision = precision
         self.chunk_size = chunk_size
         self.mesh = mesh
+        self.backend = backend
+        self.interpret = interpret
 
     def prepare(
         self, tiles_entities: Sequence[Tuple[object, Tile]], scale: int = 1
     ) -> PreparedBatch:
+        if self.backend == "pallas":
+            return self._prepare_pallas(tiles_entities, scale)
         dtype = np.float32 if self.precision == "fast" else np.float64
         profiles = prim_mod.ProfileTable()
         all_prims = []
@@ -69,25 +82,59 @@ class BatchRenderer:
         batch = prim_mod.build_batch(streams, profiles, chunk, dtype=dtype)
 
         if self.precision == "fast":
-            max_coord = int(np.abs(batch.geom).max()) if batch.geom.size else 0
-            if max_coord >= FAST_COORD_BOUND:
-                raise ValueError(
-                    f"fast (int32) path requires |coords| < {FAST_COORD_BOUND}, "
-                    f"got {max_coord}; use precision='exact'"
-                )
-
-        canvas = self.styler.canvas_fill_color
-        canvas_rgb = np.array(
-            [canvas.r, canvas.g, canvas.b] if canvas is not None else [0, 0, 0],
-            dtype=dtype,
-        ) / 255.0
+            self._check_coords(batch.geom)
 
         batch = TileBatch(*(jnp.asarray(a) for a in batch))
         if self.mesh is not None:
             batch = self._shard(batch)
         return PreparedBatch(
-            batch, jnp.asarray(canvas_rgb), 256 * scale, chunk, self.precision
+            batch, self._canvas(dtype), 256 * scale, chunk, self.precision
         )
+
+    def _canvas(self, dtype):
+        canvas = self.styler.canvas_fill_color
+        canvas_rgb = np.array(
+            [canvas.r, canvas.g, canvas.b] if canvas is not None else [0, 0, 0],
+            dtype=dtype,
+        ) / 255.0
+        return jnp.asarray(canvas_rgb)
+
+    def _check_coords(self, geom) -> None:
+        max_coord = int(np.abs(geom).max()) if geom.size else 0
+        if max_coord >= FAST_COORD_BOUND:
+            raise ValueError(
+                f"fast (int32) path requires |coords| < {FAST_COORD_BOUND}, "
+                f"got {max_coord}; use precision='exact' with backend='jnp'"
+            )
+
+    def _prepare_pallas(self, tiles_entities, scale: int) -> PreparedBatch:
+        from osm_renderer_tpu.ops import render_pallas as RP
+
+        profiles = prim_mod.ProfileTable()
+        streams = []
+        for entities, tile in tiles_entities:
+            prims = assemble_tile_prims(entities, tile, float(scale), self.styler)
+            streams.append(prim_mod.stream_tile(prims, profiles, RP.CH))
+        pb = RP.build_pallas_batch(streams, profiles, 256 * scale)
+        self._check_coords(pb.geom)
+        pb = RP.PallasBatch(*(jnp.asarray(a) for a in pb))
+        if self.mesh is not None:
+            pb = self._shard_pallas(pb)
+        return PreparedBatch(pb, self._canvas(np.float32), 256 * scale, RP.CH, "pallas")
+
+    def _shard_pallas(self, pb):
+        from osm_renderer_tpu.ops.render_pallas import PallasBatch
+
+        mesh = self.mesh
+        dp = NamedSharding(mesh, P("dp"))
+        rep = NamedSharding(mesh, P())
+        out = []
+        for name, arr in zip(PallasBatch._fields, pb):
+            if name in ("profiles", "profile_total"):
+                out.append(jax.device_put(arr, rep))
+            else:
+                out.append(jax.device_put(arr, dp))
+        return PallasBatch(*out)
 
     def _shard(self, batch: TileBatch) -> TileBatch:
         mesh = self.mesh
@@ -102,6 +149,12 @@ class BatchRenderer:
         return TileBatch(*sharded)
 
     def render_prepared(self, prepared: PreparedBatch) -> jax.Array:
+        if prepared.precision == "pallas":
+            from osm_renderer_tpu.ops.render_pallas import render_batch_pallas
+
+            return render_batch_pallas(
+                prepared.batch, prepared.canvas_rgb, prepared.ts, self.interpret
+            )
         return render_batch(
             prepared.batch,
             prepared.canvas_rgb,

@@ -1,0 +1,74 @@
+"""Multi-chip tile sharding over a virtual 8-device mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import Mesh
+
+from osm_renderer_tpu.core.tile import Tile, coords_to_max_zoom_tile
+from osm_renderer_tpu.mapcss.parser import parse_string
+from osm_renderer_tpu.mapcss.styler import Styler
+from osm_renderer_tpu.parallel.renderer import BatchRenderer
+
+from tests.fixtures import build_mini_reader
+
+STYLE = """
+canvas { fill-color: #f1eee8; }
+way[building] { fill-color: #d9d0c9; z-index: 5; }
+way[highway] { color: #ffffff; width: 3; casing-color: #999999; casing-width: 1; }
+area[natural=water] { fill-color: #b5d0d0; }
+"""
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_sharded_batch_matches_single_device():
+    # Small synthetic batch (GSPMD compile of the full scan program is
+    # slow on the CPU test backend, so keep the program tiny).
+    import importlib.util
+    import os
+
+    import jax.numpy as jnp
+    from tests.conftest import REPO_ROOT
+    from osm_renderer_tpu.ops.render_jnp import TileBatch, render_batch
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry2", os.path.join(REPO_ROOT, "__graft_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    batch, chunk = mod._example_batch(n_tiles=8)
+    canvas = jnp.asarray(np.array([0.9, 0.9, 0.9], dtype=np.float32))
+
+    got_single = np.asarray(render_batch(batch, canvas, 256, chunk, "fast"))
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("dp",))
+    dp = NamedSharding(mesh, P("dp"))
+    rep = NamedSharding(mesh, P())
+    sharded = TileBatch(
+        *(
+            jax.device_put(a, rep if name in ("profiles", "profile_total") else dp)
+            for name, a in zip(TileBatch._fields, batch)
+        )
+    )
+    assert len(sharded.geom.sharding.device_set) == 8
+    got_sharded = np.asarray(render_batch(sharded, canvas, 256, chunk, "fast"))
+    assert np.array_equal(got_single, got_sharded)
+
+
+def test_entry_points():
+    import importlib.util
+    import os
+
+    from tests.conftest import REPO_ROOT
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", os.path.join(REPO_ROOT, "__graft_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = np.asarray(fn(*args))
+    assert out.shape == (2, 256, 256, 3)
+    mod.dryrun_multichip(8)
