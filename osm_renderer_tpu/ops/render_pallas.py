@@ -140,9 +140,10 @@ def build_pallas_batch(tile_streams, profiles, ts: int) -> PallasBatch:
             kind[t, ci] = s.chunk_kind[ci]
             cnt[t, ci] = n
             last[t, ci] = int(s.chunk_last[ci])
-            y0[t, ci], nb[t, ci] = chunk_meta[ci]
+            y0[t, ci], nb[t, ci] = chunk_meta[ci][0] // RB, chunk_meta[ci][1]
             if s.chunk_last[ci]:
-                prim_y0[t, ci], prim_nb[t, ci] = prim_rows[ci]
+                prim_y0[t, ci] = prim_rows[ci][0] // RB
+                prim_nb[t, ci] = prim_rows[ci][1]
             color[t, ci] = s.chunk_color[ci]
             opacity[t, ci] = s.chunk_opacity[ci]
             hw[t, ci] = s.chunk_hw[ci]
@@ -207,6 +208,10 @@ def make_render_kernel(ts: int, C: int, NP: int):
         out_ref,       # (1, 4, ts, ts) f32
         # scratch
         pending_ref,   # (ts, ts) f32
+        geom_smem,     # SMEM (4, CH) int32
+        trav_smem,     # SMEM (1, CH) f32
+        sprof_smem,    # SMEM (1, CH) int32
+        dma_sems,      # DMA semaphores (3,)
     ):
         t = pl.program_id(0)
         c = pl.program_id(1)
@@ -222,6 +227,14 @@ def make_render_kernel(ts: int, C: int, NP: int):
             out_ref[0, 2] = jnp.full((ts, ts), cb, jnp.float32)
             out_ref[0, 3] = jnp.ones((ts, ts), jnp.float32)
             pending_ref[...] = jnp.zeros((ts, ts), jnp.float32)
+
+        # Stage the chunk's geometry into SMEM: Mosaic cannot do dynamic
+        # per-lane scalar loads from VMEM, but SMEM scalars index freely.
+        cp0 = pltpu.make_async_copy(geom_ref.at[0, 0], geom_smem, dma_sems.at[0])
+        cp1 = pltpu.make_async_copy(trav_ref.at[0, 0], trav_smem, dma_sems.at[1])
+        cp2 = pltpu.make_async_copy(sprof_ref.at[0, 0], sprof_smem, dma_sems.at[2])
+        cp0.start(); cp1.start(); cp2.start()
+        cp0.wait(); cp1.wait(); cp2.wait()
 
         kind = kind_s[tc]
         cnt = cnt_s[tc]
@@ -273,7 +286,7 @@ def make_render_kernel(ts: int, C: int, NP: int):
                 return a, b
 
             def row_block(blk, _):
-                r0 = y0 + blk * RB
+                r0 = (y0 + blk) * RB
                 rows_ch = r0 + lax.broadcasted_iota(jnp.int32, (RB, CH), 0)
                 act_all = (rows_ch > ytop) & (rows_ch <= ybot) & valid
                 a_all, _b_all = span_at(rows_ch, x1, ey1, adx, ady, sx, steep)
@@ -286,10 +299,10 @@ def make_render_kernel(ts: int, C: int, NP: int):
 
                 def edge_step(e, carry):
                     N, tail = carry
-                    ex1 = geom_ref[0, 0, 0, e]
-                    eey1 = geom_ref[0, 0, 1, e]
-                    ex2 = geom_ref[0, 0, 2, e]
-                    eey2 = geom_ref[0, 0, 3, e]
+                    ex1 = geom_smem[0, e]
+                    eey1 = geom_smem[1, e]
+                    ex2 = geom_smem[2, e]
+                    eey2 = geom_smem[3, e]
                     eadx = jnp.abs(ex2 - ex1)
                     eady = jnp.abs(eey2 - eey1)
                     esx = jnp.where(ex1 < ex2, 1, -1)
@@ -330,12 +343,12 @@ def make_render_kernel(ts: int, C: int, NP: int):
         @pl.when(kind == KIND_STROKE)
         def _stroke():
             def seg_step(s, _):
-                p1x = geom_ref[0, 0, 0, s]
-                p1y = geom_ref[0, 0, 1, s]
-                p2x = geom_ref[0, 0, 2, s]
-                p2y = geom_ref[0, 0, 3, s]
-                trav = trav_ref[0, 0, 0, s]
-                pidx = sprof_ref[0, 0, 0, s]
+                p1x = geom_smem[0, s]
+                p1y = geom_smem[1, s]
+                p2x = geom_smem[2, s]
+                p2y = geom_smem[3, s]
+                trav = trav_smem[0, s]
+                pidx = sprof_smem[0, s]
 
                 dxs = jnp.abs(p2x - p1x)
                 dys = jnp.abs(p2y - p1y)
@@ -415,13 +428,13 @@ def make_render_kernel(ts: int, C: int, NP: int):
                 # row range for this segment
                 ylo = jnp.maximum(jnp.minimum(p1y, p2y) - (jnp.ceil(hw).astype(jnp.int32) + 2), 0)
                 yhi = jnp.minimum(jnp.maximum(p1y, p2y) + (jnp.ceil(hw).astype(jnp.int32) + 2), ts - 1)
-                b0 = (ylo // RB) * RB
+                blk0 = ylo // RB
                 nbs = jnp.where(
-                    (p1x == p2x) & (p1y == p2y), 0, (yhi - b0) // RB + 1
+                    (p1x == p2x) & (p1y == p2y), 0, (yhi - blk0 * RB) // RB + 1
                 )
 
                 def row_block(b, _):
-                    r0 = b0 + b * RB
+                    r0 = (blk0 + b) * RB
                     ys = r0 + rows_sub  # (RB, ts)
                     xsv = xs_lane
 
@@ -470,7 +483,7 @@ def make_render_kernel(ts: int, C: int, NP: int):
 
                     dn_T = (MN - s_mn_T) * mn_i
                     dn_N = (MN - s_mn_N) * mn_i
-                    ok_T = ok_T & jnp.where(edge_band, dn_T >= 0, True)
+                    ok_T = ok_T & ((~edge_band) | (dn_T >= 0))
                     ok_N = (
                         edge_band
                         & (A + 1 >= 0)
@@ -500,7 +513,7 @@ def make_render_kernel(ts: int, C: int, NP: int):
             pn = prim_nb_s[tc]
 
             def blend_block(b, _):
-                r0 = p0 + b * RB
+                r0 = (p0 + b) * RB
                 a = pending_ref[pl.ds(r0, RB), :]
                 keep = 1.0 - a
                 out_ref[0, 0, pl.ds(r0, RB), :] = a * cr + keep * out_ref[0, 0, pl.ds(r0, RB), :]
@@ -539,7 +552,13 @@ def render_batch_pallas(batch_arrays, canvas_rgb, ts: int, interpret: bool = Fal
             pl.BlockSpec((1, 1, 1, CH), lambda t, c, *_: (t, c, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 4, ts, ts), lambda t, c, *_: (t, 0, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((ts, ts), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((ts, ts), jnp.float32),
+            pltpu.SMEM((4, CH), jnp.int32),
+            pltpu.SMEM((1, CH), jnp.float32),
+            pltpu.SMEM((1, CH), jnp.int32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
     )
 
     out = pl.pallas_call(
