@@ -294,6 +294,82 @@ class TileStream:
     geom_len: int = 0
 
 
+def stream_tile_packed(
+    prims: List[Prim], profiles: ProfileTable, chunk_size: int
+) -> TileStream:
+    """Like stream_tile, but merges small same-style disjoint primitives
+    into shared chunks (see draw/packing.py) — the occupancy win that
+    makes the Pallas kernel fast on building-dense tiles."""
+    from osm_renderer_tpu.draw.packing import pack_prims
+
+    ts = TileStream()
+    groups = pack_prims(prims, chunk_size)
+    for group in groups:
+        if len(group) == 1:
+            _stream_prim(ts, group[0], profiles, chunk_size)
+            continue
+        first = group[0]
+        if isinstance(first, FillPrim):
+            edges = np.concatenate([p.edges for p in group], axis=0)
+            z = np.zeros(edges.shape[0])
+            _push_chunk(ts, 1, edges, z, z.astype(np.int64), True,
+                        first.color, first.opacity, 0.0)
+        else:
+            segs = np.concatenate([p.segs for p in group], axis=0)
+            travs = np.concatenate([p.traveled for p in group])
+            pidx_parts = []
+            for p in group:
+                cap_for_dashes = p.cap if p.use_caps_for_dashes else LINE_CAP_BUTT
+                body_idx = profiles.index_for(p.half_width, p.dashes, cap_for_dashes)
+                outer_idx = profiles.index_for(p.half_width, (0.0,), p.cap)
+                pidx_parts.append(np.where(p.outer, outer_idx, body_idx).astype(np.int64))
+            pidx = np.concatenate(pidx_parts)
+            _push_chunk(ts, 2, segs, travs, pidx, True,
+                        first.color, first.opacity, first.half_width)
+    return ts
+
+
+def _push_chunk(ts: TileStream, kind, geom, traveled, profile, last, color, opacity, hw):
+    ts.geom.append(geom)
+    ts.traveled.append(traveled)
+    ts.profile.append(profile)
+    ts.chunk_kind.append(kind)
+    ts.chunk_off.append(ts.geom_len)
+    ts.chunk_cnt.append(geom.shape[0])
+    ts.chunk_last.append(last)
+    ts.chunk_color.append(tuple(c / 255.0 for c in color))
+    ts.chunk_opacity.append(opacity)
+    ts.chunk_hw.append(hw)
+    ts.geom_len += geom.shape[0]
+
+
+def _stream_prim(ts: TileStream, prim, profiles: ProfileTable, chunk_size: int) -> None:
+    if isinstance(prim, FillPrim):
+        edges = prim.edges
+        if edges.shape[0] == 0:
+            return
+        if edges.shape[0] > chunk_size:
+            raise ValueError(
+                f"fill primitive with {edges.shape[0]} edges exceeds chunk size {chunk_size}"
+            )
+        z = np.zeros(edges.shape[0])
+        _push_chunk(ts, 1, edges, z, z.astype(np.int64), True,
+                    prim.color, prim.opacity, 0.0)
+    else:
+        segs = prim.segs
+        if segs.shape[0] == 0:
+            return
+        cap_for_dashes = prim.cap if prim.use_caps_for_dashes else LINE_CAP_BUTT
+        body_idx = profiles.index_for(prim.half_width, prim.dashes, cap_for_dashes)
+        outer_idx = profiles.index_for(prim.half_width, (0.0,), prim.cap)
+        pidx = np.where(prim.outer, outer_idx, body_idx).astype(np.int64)
+        n = segs.shape[0]
+        for off in range(0, n, chunk_size):
+            end = min(off + chunk_size, n)
+            _push_chunk(ts, 2, segs[off:end], prim.traveled[off:end], pidx[off:end],
+                        end == n, prim.color, prim.opacity, prim.half_width)
+
+
 def stream_tile(prims: List[Prim], profiles: ProfileTable, chunk_size: int) -> TileStream:
     ts = TileStream()
 

@@ -49,19 +49,25 @@ KIND_STROKE = 2
 
 
 class PallasBatch(NamedTuple):
-    geom: np.ndarray        # (T, C, 4, CH) int32
-    traveled: np.ndarray    # (T, C, CH) f32
-    seg_prof: np.ndarray    # (T, C, CH) int32
-    kind: np.ndarray        # (T, C) int32
-    cnt: np.ndarray         # (T, C) int32
-    last: np.ndarray        # (T, C) int32
-    y0: np.ndarray          # (T, C) int32  first row-block row (multiple of RB)
-    nb: np.ndarray          # (T, C) int32  number of row blocks
-    prim_y0: np.ndarray     # (T, C) int32  blend bbox start (valid on last)
-    prim_nb: np.ndarray     # (T, C) int32
-    color: np.ndarray       # (T, C, 3) f32
-    opacity: np.ndarray     # (T, C) f32
-    hw: np.ndarray          # (T, C) f32
+    """Flat chunk stream over all tiles; grid = (total chunks,).
+
+    tile_id routes each chunk to its tile's output block; `first` marks
+    a tile's first chunk (accumulator init)."""
+    geom: np.ndarray        # (Ctot, 4, CH) int32
+    traveled: np.ndarray    # (Ctot, 1, CH) f32
+    seg_prof: np.ndarray    # (Ctot, 1, CH) int32
+    tile_id: np.ndarray     # (Ctot,) int32
+    first: np.ndarray       # (Ctot,) int32
+    kind: np.ndarray        # (Ctot,) int32
+    cnt: np.ndarray         # (Ctot,) int32
+    last: np.ndarray        # (Ctot,) int32
+    y0: np.ndarray          # (Ctot,) int32  first row block (in RB units)
+    nb: np.ndarray          # (Ctot,) int32  number of row blocks
+    prim_y0: np.ndarray     # (Ctot,) int32  blend bbox (in RB units, on last)
+    prim_nb: np.ndarray     # (Ctot,) int32
+    color: np.ndarray       # (Ctot, 3) f32
+    opacity: np.ndarray     # (Ctot,) f32
+    hw: np.ndarray          # (Ctot,) f32
     profiles: np.ndarray    # (NP, DS, 8) f32
     profile_total: np.ndarray  # (NP,) f32
 
@@ -71,93 +77,99 @@ def _f32_bits(x: np.ndarray) -> np.ndarray:
 
 
 def build_pallas_batch(tile_streams, profiles, ts: int) -> PallasBatch:
-    """Convert TileStream chunk lists (chunk size <= CH) into the
-    chunk-aligned layout."""
-    T = len(tile_streams)
-    C = max(max((len(s.chunk_kind) for s in tile_streams), default=1), 1)
+    """Convert TileStream chunk lists (chunk size <= CH) into the flat
+    chunk-aligned layout (no per-tile padding)."""
     from osm_renderer_tpu.utils.jax_setup import next_pow2
 
-    C = next_pow2(C, 8)
+    T = len(tile_streams)
+    total = sum(len(s.chunk_kind) for s in tile_streams)
+    # Every tile contributes at least one chunk so its canvas gets
+    # initialized even when empty.
+    total += sum(1 for s in tile_streams if not s.chunk_kind)
+    Ctot = next_pow2(max(total, 8), 8)
 
-    geom = np.zeros((T, C, 4, CH), dtype=np.int32)
-    trav = np.zeros((T, C, CH), dtype=np.float32)
-    sprof = np.zeros((T, C, CH), dtype=np.int32)
-    kind = np.zeros((T, C), dtype=np.int32)
-    cnt = np.zeros((T, C), dtype=np.int32)
-    last = np.zeros((T, C), dtype=np.int32)
-    y0 = np.zeros((T, C), dtype=np.int32)
-    nb = np.zeros((T, C), dtype=np.int32)
-    prim_y0 = np.zeros((T, C), dtype=np.int32)
-    prim_nb = np.zeros((T, C), dtype=np.int32)
-    color = np.zeros((T, C, 3), dtype=np.float32)
-    opacity = np.zeros((T, C), dtype=np.float32)
-    hw = np.zeros((T, C), dtype=np.float32)
+    geom = np.zeros((Ctot, 4, CH), dtype=np.int32)
+    trav = np.zeros((Ctot, 1, CH), dtype=np.float32)
+    sprof = np.zeros((Ctot, 1, CH), dtype=np.int32)
+    tile_id = np.full((Ctot,), max(T - 1, 0), dtype=np.int32)
+    first = np.zeros((Ctot,), dtype=np.int32)
+    kind = np.zeros((Ctot,), dtype=np.int32)
+    cnt = np.zeros((Ctot,), dtype=np.int32)
+    last = np.zeros((Ctot,), dtype=np.int32)
+    y0 = np.zeros((Ctot,), dtype=np.int32)
+    nb = np.zeros((Ctot,), dtype=np.int32)
+    prim_y0 = np.zeros((Ctot,), dtype=np.int32)
+    prim_nb = np.zeros((Ctot,), dtype=np.int32)
+    color = np.zeros((Ctot, 3), dtype=np.float32)
+    opacity = np.zeros((Ctot,), dtype=np.float32)
+    hw = np.zeros((Ctot,), dtype=np.float32)
 
+    ci_out = 0
     for t, s in enumerate(tile_streams):
-        prim_rows = {}
-        # First pass: per-chunk row ranges + accumulate prim bboxes.
+        n_chunks = len(s.chunk_kind)
+        if n_chunks == 0:
+            tile_id[ci_out] = t
+            first[ci_out] = 1
+            ci_out += 1
+            continue
+
         chunk_meta = []
-        for ci in range(len(s.chunk_kind)):
+        for ci in range(n_chunks):
             g = s.geom[ci]
             k = s.chunk_kind[ci]
             n = g.shape[0]
             assert n <= CH, f"chunk of {n} exceeds CH={CH}"
-            if k == 1:  # fill: only rows inside the tile matter
+            if k == 1:
                 ylo = g[:, [1, 3]].min() if n else 0
                 yhi = g[:, [1, 3]].max() if n else 0
-                # poisoned top rows are excluded but harmless to include
-            else:  # stroke: rows within half-width margin
+            else:
                 m = int(np.ceil(s.chunk_hw[ci])) + 2
                 ylo = (g[:, [1, 3]].min() - m) if n else 0
                 yhi = (g[:, [1, 3]].max() + m) if n else 0
             ylo = int(max(min(ylo, ts - 1), 0))
             yhi = int(max(min(yhi, ts - 1), 0))
-            b0 = (ylo // RB) * RB
-            nblocks = (yhi - b0) // RB + 1 if n else 0
+            b0 = ylo // RB
+            nblocks = yhi // RB - b0 + 1 if n else 0
             chunk_meta.append((b0, nblocks))
 
-        # prim bbox = union of row ranges up to (and incl) the last chunk.
+        prim_rows = {}
         start = 0
-        for ci in range(len(s.chunk_kind)):
+        for ci in range(n_chunks):
             if s.chunk_last[ci]:
-                b0s = [chunk_meta[j][0] for j in range(start, ci + 1) if chunk_meta[j][1]]
-                b1s = [
-                    chunk_meta[j][0] + chunk_meta[j][1] * RB
-                    for j in range(start, ci + 1)
-                    if chunk_meta[j][1]
-                ]
-                if b0s:
-                    p0 = min(b0s)
-                    pn = (max(b1s) - p0) // RB
+                blocks = [chunk_meta[j] for j in range(start, ci + 1) if chunk_meta[j][1]]
+                if blocks:
+                    p0 = min(b for b, _ in blocks)
+                    pn = max(b + n_ for b, n_ in blocks) - p0
                 else:
                     p0, pn = 0, 0
                 prim_rows[ci] = (p0, pn)
                 start = ci + 1
 
-        for ci in range(len(s.chunk_kind)):
+        for ci in range(n_chunks):
             g = s.geom[ci]
             n = g.shape[0]
-            kind[t, ci] = s.chunk_kind[ci]
-            cnt[t, ci] = n
-            last[t, ci] = int(s.chunk_last[ci])
-            y0[t, ci], nb[t, ci] = chunk_meta[ci][0] // RB, chunk_meta[ci][1]
+            o = ci_out
+            tile_id[o] = t
+            first[o] = 1 if ci == 0 else 0
+            kind[o] = s.chunk_kind[ci]
+            cnt[o] = n
+            last[o] = int(s.chunk_last[ci])
+            y0[o], nb[o] = chunk_meta[ci]
             if s.chunk_last[ci]:
-                prim_y0[t, ci] = prim_rows[ci][0] // RB
-                prim_nb[t, ci] = prim_rows[ci][1]
-            color[t, ci] = s.chunk_color[ci]
-            opacity[t, ci] = s.chunk_opacity[ci]
-            hw[t, ci] = s.chunk_hw[ci]
+                prim_y0[o], prim_nb[o] = prim_rows[ci]
+            color[o] = s.chunk_color[ci]
+            opacity[o] = s.chunk_opacity[ci]
+            hw[o] = s.chunk_hw[ci]
             if n:
-                geom[t, ci, :, :n] = g.T.astype(np.int32)
-                trav[t, ci, :n] = s.traveled[ci]
-                sprof[t, ci, :n] = s.profile[ci]
+                geom[o, :, :n] = g.T.astype(np.int32)
+                trav[o, 0, :n] = s.traveled[ci]
+                sprof[o, 0, :n] = s.profile[ci]
+            ci_out += 1
 
     prof_rows, prof_totals = profiles.arrays(np.float32)
-    # Disabled rows use +inf sentinels; replace inf with a large finite
-    # value bit-pattern safe for SMEM int transport.
     return PallasBatch(
-        geom, trav, sprof, kind, cnt, last, y0, nb, prim_y0, prim_nb,
-        color, opacity, hw, prof_rows, prof_totals,
+        geom, trav, sprof, tile_id, first, kind, cnt, last, y0, nb,
+        prim_y0, prim_nb, color, opacity, hw, prof_rows, prof_totals,
     )
 
 
@@ -192,12 +204,13 @@ def _feather(cd, hlw):
     return opacity_mul * v
 
 
-def make_render_kernel(ts: int, C: int, NP: int):
+def make_render_kernel(ts: int):
     """Returns the pallas kernel fn for the given static config."""
 
     def kernel(
         # scalar prefetch (SMEM)
-        kind_s, cnt_s, last_s, y0_s, nb_s, prim_y0_s, prim_nb_s,
+        tile_s, first_s, kind_s, cnt_s, last_s, y0_s, nb_s,
+        prim_y0_s, prim_nb_s,
         color_r_s, color_g_s, color_b_s, opacity_s, hw_s,
         prof_s, prof_total_s, canvas_s,
         # tensor inputs (VMEM blocks)
@@ -208,16 +221,16 @@ def make_render_kernel(ts: int, C: int, NP: int):
         out_ref,       # (1, 4, ts, ts) f32
         # scratch
         pending_ref,   # (ts, ts) f32
+        n_ref,         # (RB, ts) int32 fill crossing counts
+        tail_ref,      # (RB, ts) int32 fill b-extension mask
         geom_smem,     # SMEM (4, CH) int32
         trav_smem,     # SMEM (1, CH) f32
         sprof_smem,    # SMEM (1, CH) int32
         dma_sems,      # DMA semaphores (3,)
     ):
-        t = pl.program_id(0)
-        c = pl.program_id(1)
-        tc = t * C + c
+        tc = pl.program_id(0)
 
-        @pl.when(c == 0)
+        @pl.when(first_s[tc] == 1)
         def _init():
             cr = canvas_s[0]
             cg = canvas_s[1]
@@ -230,9 +243,9 @@ def make_render_kernel(ts: int, C: int, NP: int):
 
         # Stage the chunk's geometry into SMEM: Mosaic cannot do dynamic
         # per-lane scalar loads from VMEM, but SMEM scalars index freely.
-        cp0 = pltpu.make_async_copy(geom_ref.at[0, 0], geom_smem, dma_sems.at[0])
-        cp1 = pltpu.make_async_copy(trav_ref.at[0, 0], trav_smem, dma_sems.at[1])
-        cp2 = pltpu.make_async_copy(sprof_ref.at[0, 0], sprof_smem, dma_sems.at[2])
+        cp0 = pltpu.make_async_copy(geom_ref.at[0], geom_smem, dma_sems.at[0])
+        cp1 = pltpu.make_async_copy(trav_ref.at[0], trav_smem, dma_sems.at[1])
+        cp2 = pltpu.make_async_copy(sprof_ref.at[0], sprof_smem, dma_sems.at[2])
         cp0.start(); cp1.start(); cp2.start()
         cp0.wait(); cp1.wait(); cp2.wait()
 
@@ -250,10 +263,10 @@ def make_render_kernel(ts: int, C: int, NP: int):
         @pl.when(kind == KIND_FILL)
         def _fill():
             # Per-edge scalars as (1, CH) lane vectors.
-            x1 = geom_ref[0, 0, 0, :].reshape(1, CH)
-            ey1 = geom_ref[0, 0, 1, :].reshape(1, CH)
-            x2 = geom_ref[0, 0, 2, :].reshape(1, CH)
-            ey2 = geom_ref[0, 0, 3, :].reshape(1, CH)
+            x1 = geom_ref[0, 0, :].reshape(1, CH)
+            ey1 = geom_ref[0, 1, :].reshape(1, CH)
+            x2 = geom_ref[0, 2, :].reshape(1, CH)
+            ey2 = geom_ref[0, 3, :].reshape(1, CH)
             lane = lax.broadcasted_iota(jnp.int32, (1, CH), 1)
             valid = lane < cnt
 
@@ -297,8 +310,7 @@ def make_render_kernel(ts: int, C: int, NP: int):
                 n_active = act_all.astype(jnp.int32).sum(axis=1, keepdims=True)
                 odd_n = (n_active % 2) == 1
 
-                def edge_step(e, carry):
-                    N, tail = carry
+                def edge_step(e, _):
                     ex1 = geom_smem[0, e]
                     eey1 = geom_smem[1, e]
                     ex2 = geom_smem[2, e]
@@ -321,13 +333,17 @@ def make_render_kernel(ts: int, C: int, NP: int):
                     odd_e = act_e & ((rank_e % 2) == 1)
 
                     ge = xs_lane >= a_em
-                    N = N + (act_e & ge).astype(jnp.int32)
-                    tail = tail | (odd_e & ge & (xs_lane <= b_e))
-                    return N, tail
+                    n_ref[...] = n_ref[...] + (act_e & ge).astype(jnp.int32)
+                    tail_ref[...] = tail_ref[...] | (
+                        odd_e & ge & (xs_lane <= b_e)
+                    ).astype(jnp.int32)
+                    return 0
 
-                N0 = jnp.zeros((RB, ts), jnp.int32)
-                tail0 = jnp.zeros((RB, ts), jnp.bool_)
-                N, tail = lax.fori_loop(0, cnt, edge_step, (N0, tail0))
+                n_ref[...] = jnp.zeros((RB, ts), jnp.int32)
+                tail_ref[...] = jnp.zeros((RB, ts), jnp.int32)
+                lax.fori_loop(0, cnt, edge_step, 0)
+                N = n_ref[...]
+                tail = tail_ref[...] != 0
 
                 parity = ((N % 2) == 1) & ~((N == n_active) & odd_n)
                 filled = parity | tail
@@ -528,32 +544,35 @@ def make_render_kernel(ts: int, C: int, NP: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("ts", "interpret"))
-def render_batch_pallas(batch_arrays, canvas_rgb, ts: int, interpret: bool = False):
-    """batch_arrays: PallasBatch as jnp arrays. -> (T, ts, ts, 3) uint8."""
+@functools.partial(jax.jit, static_argnames=("ts", "n_tiles", "interpret"))
+def render_batch_pallas(batch_arrays, canvas_rgb, ts: int, n_tiles: int, interpret: bool = False):
+    """batch_arrays: PallasBatch (jnp leaves). -> (T, ts, ts, 3) uint8."""
     b = batch_arrays
-    T, C = b.kind.shape
-    NP = b.profiles.shape[0]
+    Ctot = b.kind.shape[0]
+    T = n_tiles
 
-    flat = lambda a: a.reshape(-1)
     prof_flat = b.profiles.reshape(-1).astype(jnp.float32)
     prof_total = b.profile_total.astype(jnp.float32)
     canvas = canvas_rgb.astype(jnp.float32)
-    f32b = lambda a: a.astype(jnp.float32)
+    f32 = lambda a: a.astype(jnp.float32)
 
-    kernel = make_render_kernel(ts, C, NP)
+    kernel = make_render_kernel(ts)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=15,
-        grid=(T, C),
+        num_scalar_prefetch=17,
+        grid=(Ctot,),
         in_specs=[
-            pl.BlockSpec((1, 1, 4, CH), lambda t, c, *_: (t, c, 0, 0)),
-            pl.BlockSpec((1, 1, 1, CH), lambda t, c, *_: (t, c, 0, 0)),
-            pl.BlockSpec((1, 1, 1, CH), lambda t, c, *_: (t, c, 0, 0)),
+            pl.BlockSpec((1, 4, CH), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 1, CH), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 1, CH), lambda i, *_: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 4, ts, ts), lambda t, c, *_: (t, 0, 0, 0)),
+        out_specs=pl.BlockSpec(
+            (1, 4, ts, ts), lambda i, tile_s, *_: (tile_s[i], 0, 0, 0)
+        ),
         scratch_shapes=[
             pltpu.VMEM((ts, ts), jnp.float32),
+            pltpu.VMEM((RB, ts), jnp.int32),
+            pltpu.VMEM((RB, ts), jnp.int32),
             pltpu.SMEM((4, CH), jnp.int32),
             pltpu.SMEM((1, CH), jnp.float32),
             pltpu.SMEM((1, CH), jnp.int32),
@@ -567,14 +586,12 @@ def render_batch_pallas(batch_arrays, canvas_rgb, ts: int, interpret: bool = Fal
         out_shape=jax.ShapeDtypeStruct((T, 4, ts, ts), jnp.float32),
         interpret=interpret,
     )(
-        flat(b.kind), flat(b.cnt), flat(b.last), flat(b.y0), flat(b.nb),
-        flat(b.prim_y0), flat(b.prim_nb),
-        f32b(flat(b.color[..., 0])), f32b(flat(b.color[..., 1])), f32b(flat(b.color[..., 2])),
-        f32b(flat(b.opacity)), f32b(flat(b.hw)),
+        b.tile_id, b.first, b.kind, b.cnt, b.last, b.y0, b.nb,
+        b.prim_y0, b.prim_nb,
+        f32(b.color[:, 0]), f32(b.color[:, 1]), f32(b.color[:, 2]),
+        f32(b.opacity), f32(b.hw),
         prof_flat, prof_total, canvas,
-        b.geom,
-        b.traveled.reshape(T, C, 1, CH),
-        b.seg_prof.reshape(T, C, 1, CH),
+        b.geom, b.traveled, b.seg_prof,
     )
 
     a = out[:, 3]

@@ -114,27 +114,21 @@ class BatchRenderer:
         streams = []
         for entities, tile in tiles_entities:
             prims = assemble_tile_prims(entities, tile, float(scale), self.styler)
-            streams.append(prim_mod.stream_tile(prims, profiles, RP.CH))
+            streams.append(prim_mod.stream_tile_packed(prims, profiles, RP.CH))
         pb = RP.build_pallas_batch(streams, profiles, 256 * scale)
         self._check_coords(pb.geom)
+        n_tiles = len(tiles_entities)
         pb = RP.PallasBatch(*(jnp.asarray(a) for a in pb))
-        if self.mesh is not None:
-            pb = self._shard_pallas(pb)
-        return PreparedBatch(pb, self._canvas(np.float32), 256 * scale, RP.CH, "pallas")
+        return PreparedBatch(
+            pb, self._canvas(np.float32), 256 * scale, n_tiles, "pallas"
+        )
 
     def _shard_pallas(self, pb):
-        from osm_renderer_tpu.ops.render_pallas import PallasBatch
-
-        mesh = self.mesh
-        dp = NamedSharding(mesh, P("dp"))
-        rep = NamedSharding(mesh, P())
-        out = []
-        for name, arr in zip(PallasBatch._fields, pb):
-            if name in ("profiles", "profile_total"):
-                out.append(jax.device_put(arr, rep))
-            else:
-                out.append(jax.device_put(arr, dp))
-        return PallasBatch(*out)
+        # Chunk streams interleave tiles, so dp-sharding the pallas batch
+        # would need per-device chunk partitioning; multi-chip serving
+        # instead dispatches separate per-device batches (see
+        # MeshTileRenderer). Left unsharded here.
+        return pb
 
     def _shard(self, batch: TileBatch) -> TileBatch:
         mesh = self.mesh
@@ -153,7 +147,8 @@ class BatchRenderer:
             from osm_renderer_tpu.ops.render_pallas import render_batch_pallas
 
             return render_batch_pallas(
-                prepared.batch, prepared.canvas_rgb, prepared.ts, self.interpret
+                prepared.batch, prepared.canvas_rgb, prepared.ts,
+                prepared.chunk, self.interpret,
             )
         return render_batch(
             prepared.batch,

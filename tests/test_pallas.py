@@ -28,7 +28,7 @@ def pallas_render(prims_dev, ts=256):
     pb = RP.build_pallas_batch([stream], profiles, ts)
     pb = RP.PallasBatch(*(jnp.asarray(x) for x in pb))
     canvas = jnp.array([c / 255.0 for c in CANVAS], dtype=jnp.float32)
-    return np.asarray(RP.render_batch_pallas(pb, canvas, ts, True))[0]
+    return np.asarray(RP.render_batch_pallas(pb, canvas, ts, 1, True))[0]
 
 
 def test_pallas_interpret_mixed_scene():
@@ -78,5 +78,38 @@ def test_pallas_interpret_row_block_boundaries():
 
     want = oracle_render(prims_oracle)
     got = pallas_render(prims_dev)
+    diff = np.abs(want.astype(int) - got.astype(int))
+    assert diff.max() <= 1
+
+
+def test_packed_stream_matches_oracle():
+    """Primitive packing (shared chunks) must not change the output."""
+    rng = np.random.default_rng(21)
+    prims_oracle, prims_dev = [], []
+    # Many small same-style "buildings" + same-style road strokes.
+    for _ in range(30):
+        edges = make_polygon(rng)
+        prims_oracle.append({"kind": "fill", "edges": edges, "color": (217, 208, 201), "opacity": 1.0})
+        prims_dev.append(P.FillPrim(kind="fill", color=(217, 208, 201), opacity=1.0, edges=edges))
+    for _ in range(12):
+        pairs = make_polyline(rng)
+        prims_oracle.append(
+            {"kind": "stroke", "pairs": pairs, "color": (255, 255, 255), "opacity": 1.0,
+             "width": 3.0, "dashes": None, "cap": LINE_CAP_BUTT, "use_caps_for_dashes": True}
+        )
+        prims_dev.append(
+            P.make_stroke_prim(pairs, 3.0, (255, 255, 255), 1.0, None, LINE_CAP_BUTT, True)
+        )
+
+    want = oracle_render(prims_oracle)
+
+    profiles = P.ProfileTable()
+    stream = P.stream_tile_packed(prims_dev, profiles, RP.CH)
+    n_packed = len(stream.chunk_kind)
+    assert n_packed < len(prims_dev) / 2, f"packing ineffective: {n_packed} chunks"
+    pb = RP.build_pallas_batch([stream], profiles, 256)
+    pb = RP.PallasBatch(*(jnp.asarray(x) for x in pb))
+    canvas = jnp.array([c / 255.0 for c in CANVAS], dtype=jnp.float32)
+    got = np.asarray(RP.render_batch_pallas(pb, canvas, 256, 1, True))[0]
     diff = np.abs(want.astype(int) - got.astype(int))
     assert diff.max() <= 1
