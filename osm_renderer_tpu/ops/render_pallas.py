@@ -46,6 +46,7 @@ DS = 4            # dash-profile rows per profile
 KIND_PAD = 0
 KIND_FILL = 1
 KIND_STROKE = 2
+KIND_STROKE_SOLID = 3
 
 
 class PallasBatch(NamedTuple):
@@ -164,6 +165,8 @@ def build_pallas_batch(tile_streams, profiles, ts: int) -> PallasBatch:
                 geom[o, :, :n] = g.T.astype(np.int32)
                 trav[o, 0, :n] = s.traveled[ci]
                 sprof[o, 0, :n] = s.profile[ci]
+                if kind[o] == KIND_STROKE and not np.any(np.asarray(s.profile[ci])[:n]):
+                    kind[o] = KIND_STROKE_SOLID
             ci_out += 1
 
     prof_rows, prof_totals = profiles.arrays(np.float32)
@@ -241,16 +244,23 @@ def make_render_kernel(ts: int):
             out_ref[0, 3] = jnp.ones((ts, ts), jnp.float32)
             pending_ref[...] = jnp.zeros((ts, ts), jnp.float32)
 
-        # Stage the chunk's geometry into SMEM: Mosaic cannot do dynamic
-        # per-lane scalar loads from VMEM, but SMEM scalars index freely.
-        cp0 = pltpu.make_async_copy(geom_ref.at[0], geom_smem, dma_sems.at[0])
-        cp1 = pltpu.make_async_copy(trav_ref.at[0], trav_smem, dma_sems.at[1])
-        cp2 = pltpu.make_async_copy(sprof_ref.at[0], sprof_smem, dma_sems.at[2])
-        cp0.start(); cp1.start(); cp2.start()
-        cp0.wait(); cp1.wait(); cp2.wait()
-
         kind = kind_s[tc]
         cnt = cnt_s[tc]
+
+        # Stage the chunk's geometry into SMEM: Mosaic cannot do dynamic
+        # per-lane scalar loads from VMEM, but SMEM scalars index freely.
+        @pl.when(kind != KIND_PAD)
+        def _stage_geom():
+            cp0 = pltpu.make_async_copy(geom_ref.at[0], geom_smem, dma_sems.at[0])
+            cp0.start()
+            cp0.wait()
+
+        @pl.when(kind == KIND_STROKE)
+        def _stage_stroke_aux():
+            cp1 = pltpu.make_async_copy(trav_ref.at[0], trav_smem, dma_sems.at[1])
+            cp2 = pltpu.make_async_copy(sprof_ref.at[0], sprof_smem, dma_sems.at[2])
+            cp1.start(); cp2.start()
+            cp1.wait(); cp2.wait()
         nb = nb_s[tc]
         y0 = y0_s[tc]
         opacity = opacity_s[tc]
@@ -315,28 +325,34 @@ def make_render_kernel(ts: int):
                     eey1 = geom_smem[1, e]
                     ex2 = geom_smem[2, e]
                     eey2 = geom_smem[3, e]
-                    eadx = jnp.abs(ex2 - ex1)
-                    eady = jnp.abs(eey2 - eey1)
-                    esx = jnp.where(ex1 < ex2, 1, -1)
                     etop = jnp.minimum(eey1, eey2)
                     ebot = jnp.maximum(eey1, eey2)
-                    act_e = (rows_col > etop) & (rows_col <= ebot)
-                    a_e, b_e = span_at(
-                        rows_col, ex1, eey1, eadx, eady, esx, eady > eadx
-                    )
-                    a_em = jnp.where(act_e, a_e, big)
-                    # stable rank of edge e within each row
-                    less = act_all & (
-                        (a_all < a_em) | ((a_all == a_em) & (lane_rb < e))
-                    )
-                    rank_e = less.astype(jnp.int32).sum(axis=1, keepdims=True)
-                    odd_e = act_e & ((rank_e % 2) == 1)
 
-                    ge = xs_lane >= a_em
-                    n_ref[...] = n_ref[...] + (act_e & ge).astype(jnp.int32)
-                    tail_ref[...] = tail_ref[...] | (
-                        odd_e & ge & (xs_lane <= b_e)
-                    ).astype(jnp.int32)
+                    # Skip edges that don't touch this row block entirely
+                    # (packs hold spatially scattered primitives).
+                    @pl.when((ebot >= r0) & (etop < r0 + RB - 1))
+                    def _do_edge():
+                        eadx = jnp.abs(ex2 - ex1)
+                        eady = jnp.abs(eey2 - eey1)
+                        esx = jnp.where(ex1 < ex2, 1, -1)
+                        act_e = (rows_col > etop) & (rows_col <= ebot)
+                        a_e, b_e = span_at(
+                            rows_col, ex1, eey1, eadx, eady, esx, eady > eadx
+                        )
+                        a_em = jnp.where(act_e, a_e, big)
+                        # stable rank of edge e within each row
+                        less = act_all & (
+                            (a_all < a_em) | ((a_all == a_em) & (lane_rb < e))
+                        )
+                        rank_e = less.astype(jnp.int32).sum(axis=1, keepdims=True)
+                        odd_e = act_e & ((rank_e % 2) == 1)
+
+                        ge = xs_lane >= a_em
+                        n_ref[...] = n_ref[...] + (act_e & ge).astype(jnp.int32)
+                        tail_ref[...] = tail_ref[...] | (
+                            odd_e & ge & (xs_lane <= b_e)
+                        ).astype(jnp.int32)
+
                     return 0
 
                 n_ref[...] = jnp.zeros((RB, ts), jnp.int32)
@@ -356,15 +372,12 @@ def make_render_kernel(ts: int):
             lax.fori_loop(0, nb, row_block, 0)
 
         # ------------------------- strokes -------------------------
-        @pl.when(kind == KIND_STROKE)
-        def _stroke():
-            def seg_step(s, _):
-                p1x = geom_smem[0, s]
-                p1y = geom_smem[1, s]
-                p2x = geom_smem[2, s]
-                p2y = geom_smem[3, s]
-                trav = trav_smem[0, s]
-                pidx = sprof_smem[0, s]
+        def stroke_impl(solid: bool):
+            def seg_step(sg, _):
+                p1x = geom_smem[0, sg]
+                p1y = geom_smem[1, sg]
+                p2x = geom_smem[2, sg]
+                p2y = geom_smem[3, sg]
 
                 dxs = jnp.abs(p2x - p1x)
                 dys = jnp.abs(p2y - p1y)
@@ -385,37 +398,74 @@ def make_render_kernel(ts: int):
                 denom = jnp.sqrt((dxs * dxs + dys * dys).astype(jnp.float32))
                 inv_denom = 1.0 / denom
 
-                # dash profile scalars for this segment (from SMEM bits)
-                base = pidx * (DS * 8)
-                prow = [
-                    [prof_s[base + i * 8 + k] for k in range(8)]
-                    for i in range(DS)
-                ]
-                prof_total = prof_total_s[pidx]
+                if solid:
+                    feather_to = jnp.fmax(hw + 0.5, 1.0)
+                    om_pos = jnp.fmin(2.0 * hw, 1.0) > 0.0
 
-                def stroke_opacity(cd, sd):
-                    dist = trav + sd
-                    dist = jnp.where(prof_total > 0.0, dist - jnp.floor(dist / prof_total) * prof_total, dist)
-                    sd_op = jnp.zeros_like(cd)
-                    cap_dist = jnp.full_like(cd, jnp.inf)
-                    any_rows = False
-                    for i in range(DS):
-                        s_from, s_to, e_from, e_to, mul, has_orig, oa, ob = prow[i]
-                        in_range = (dist >= s_from) & (dist <= e_to)
-                        basev = jnp.where(
-                            dist <= s_to,
-                            (dist - s_from) / (s_to - s_from),
-                            jnp.where(dist < e_from, 1.0, (e_to - dist) / (e_to - e_from)),
+                    def stroke_opacity(cd, sd):
+                        cd_op = _feather(cd, hw)
+                        return cd_op, cd_op > 0.0
+
+                    def alive_at(s_mn, s_mx):
+                        s_x = jnp.where(swap, s_mx, s_mn)
+                        s_y = jnp.where(swap, s_mn, s_mx)
+                        raw_s = nc + sdy * s_x - sdx * s_y
+                        cd_s = jnp.abs(raw_s.astype(jnp.float32)) * inv_denom
+                        return (cd_s < feather_to) & om_pos
+                else:
+                    trav = trav_smem[0, sg]
+                    pidx = sprof_smem[0, sg]
+                    base = pidx * (DS * 8)
+                    prow = [
+                        [prof_s[base + i * 8 + k] for k in range(8)]
+                        for i in range(DS)
+                    ]
+                    prof_total = prof_total_s[pidx]
+
+                    def stroke_opacity(cd, sd):
+                        dist = trav + sd
+                        dist = jnp.where(
+                            prof_total > 0.0,
+                            dist - jnp.floor(dist / prof_total) * prof_total,
+                            dist,
                         )
-                        sd_op = jnp.fmax(sd_op, jnp.where(in_range, mul * basev, 0.0))
-                        cap_d = jnp.where(dist < oa, oa - dist, jnp.where(dist <= ob, 0.0, dist - ob))
-                        cap_dist = jnp.fmin(cap_dist, jnp.where(in_range & (has_orig > 0.0), cap_d, jnp.inf))
-                        any_rows = jnp.logical_or(any_rows, s_from < jnp.inf)
-                    sd_op = jnp.where(any_rows, sd_op, 1.0)
-                    cap_dist = jnp.where(jnp.isinf(cap_dist), 0.0, cap_dist)
-                    hlw = jnp.sqrt(hw * hw - cap_dist * cap_dist)
-                    cd_op = _feather(cd, hlw)
-                    return jnp.fmin(sd_op, cd_op), cd_op > 0.0
+                        sd_op = jnp.zeros_like(cd)
+                        cap_dist = jnp.full_like(cd, jnp.inf)
+                        any_rows = False
+                        for i in range(DS):
+                            s_from, s_to, e_from, e_to, mul, has_orig, oa, ob = prow[i]
+                            in_range = (dist >= s_from) & (dist <= e_to)
+                            basev = jnp.where(
+                                dist <= s_to,
+                                (dist - s_from) / (s_to - s_from),
+                                jnp.where(dist < e_from, 1.0, (e_to - dist) / (e_to - e_from)),
+                            )
+                            sd_op = jnp.fmax(sd_op, jnp.where(in_range, mul * basev, 0.0))
+                            cap_d = jnp.where(
+                                dist < oa, oa - dist, jnp.where(dist <= ob, 0.0, dist - ob)
+                            )
+                            cap_dist = jnp.fmin(
+                                cap_dist,
+                                jnp.where(in_range & (has_orig > 0.0), cap_d, jnp.inf),
+                            )
+                            any_rows = jnp.logical_or(any_rows, s_from < jnp.inf)
+                        sd_op = jnp.where(any_rows, sd_op, 1.0)
+                        cap_dist = jnp.where(jnp.isinf(cap_dist), 0.0, cap_dist)
+                        hlw = jnp.sqrt(hw * hw - cap_dist * cap_dist)
+                        cd_op = _feather(cd, hlw)
+                        return jnp.fmin(sd_op, cd_op), cd_op > 0.0
+
+                    def alive_at(s_mn, s_mx):
+                        s_x = jnp.where(swap, s_mx, s_mn)
+                        s_y = jnp.where(swap, s_mn, s_mx)
+                        raw_s = nc + sdy * s_x - sdx * s_y
+                        cd_s = jnp.abs(raw_s.astype(jnp.float32)) * inv_denom
+                        dxq = (s_x - p1x).astype(jnp.float32)
+                        dyq = (s_y - p1y).astype(jnp.float32)
+                        lo_s = jnp.sqrt(dxq * dxq + dyq * dyq)
+                        sd_s = jnp.sqrt(jnp.fmax(lo_s * lo_s - cd_s * cd_s, 0.0))
+                        _, alive = stroke_opacity(cd_s, sd_s)
+                        return alive
 
                 mxmx = (mx_d * mx_d).astype(jnp.float32)
                 ratio = mxmx / (mxmx + (mn_d * mn_d).astype(jnp.float32))
@@ -429,21 +479,12 @@ def make_render_kernel(ts: int):
                 K = mx_d
                 hK = h_of(K)
 
-                def alive_at(s_mn, s_mx):
-                    s_x = jnp.where(swap, s_mx, s_mn)
-                    s_y = jnp.where(swap, s_mn, s_mx)
-                    raw_s = nc + sdy * s_x - sdx * s_y
-                    cd_s = jnp.abs(raw_s.astype(jnp.float32)) * inv_denom
-                    dxq = (s_x - p1x).astype(jnp.float32)
-                    dyq = (s_y - p1y).astype(jnp.float32)
-                    lo_s = jnp.sqrt(dxq * dxq + dyq * dyq)
-                    sd_s = jnp.sqrt(jnp.fmax(lo_s * lo_s - cd_s * cd_s, 0.0))
-                    _, alive = stroke_opacity(cd_s, sd_s)
-                    return alive
-
-                # row range for this segment
-                ylo = jnp.maximum(jnp.minimum(p1y, p2y) - (jnp.ceil(hw).astype(jnp.int32) + 2), 0)
-                yhi = jnp.minimum(jnp.maximum(p1y, p2y) + (jnp.ceil(hw).astype(jnp.int32) + 2), ts - 1)
+                ylo = jnp.maximum(
+                    jnp.minimum(p1y, p2y) - (jnp.ceil(hw).astype(jnp.int32) + 2), 0
+                )
+                yhi = jnp.minimum(
+                    jnp.maximum(p1y, p2y) + (jnp.ceil(hw).astype(jnp.int32) + 2), ts - 1
+                )
                 blk0 = ylo // RB
                 nbs = jnp.where(
                     (p1x == p2x) & (p1y == p2y), 0, (yhi - blk0 * RB) // RB + 1
@@ -451,15 +492,18 @@ def make_render_kernel(ts: int):
 
                 def row_block(b, _):
                     r0 = (blk0 + b) * RB
-                    ys = r0 + rows_sub  # (RB, ts)
+                    ys = r0 + rows_sub
                     xsv = xs_lane
 
                     raw = nc + sdy * xsv - sdx * ys
                     cd = jnp.abs(raw.astype(jnp.float32)) * inv_denom
-                    dxp = (xsv - p1x).astype(jnp.float32)
-                    dyp = (ys - p1y).astype(jnp.float32)
-                    lo = jnp.sqrt(dxp * dxp + dyp * dyp)
-                    sd = jnp.sqrt(jnp.fmax(lo * lo - cd * cd, 0.0))
+                    if solid:
+                        sd = None
+                    else:
+                        dxp = (xsv - p1x).astype(jnp.float32)
+                        dyp = (ys - p1y).astype(jnp.float32)
+                        lo = jnp.sqrt(dxp * dxp + dyp * dyp)
+                        sd = jnp.sqrt(jnp.fmax(lo * lo - cd * cd, 0.0))
                     op, in_line = stroke_opacity(cd, sd)
 
                     MN = jnp.where(swap, ys, xsv)
@@ -487,7 +531,6 @@ def make_render_kernel(ts: int):
                     in_slab = (A >= 0) & (T_band <= hK)
                     ok_T = in_slab & alive_at(s_mn_T, s_mx_T)
 
-                    # owner of band T+1 (band-edge pixels, mul=-1 branch)
                     bc2 = jnp.clip(T_band + 1, 0, hK)
                     k2 = jnp.where(h_of(k + 1) <= bc2, k + 1, k)
                     h_k2 = h_of(k2)
@@ -499,7 +542,7 @@ def make_render_kernel(ts: int):
 
                     dn_T = (MN - s_mn_T) * mn_i
                     dn_N = (MN - s_mn_N) * mn_i
-                    ok_T = ok_T & ((~edge_band) | (dn_T >= 0))
+                    ok_Tf = ok_T & ((~edge_band) | (dn_T >= 0))
                     ok_N = (
                         edge_band
                         & (A + 1 >= 0)
@@ -507,7 +550,7 @@ def make_render_kernel(ts: int):
                         & (dn_N <= 0)
                         & alive_at(s_mn_N, s_mx_N)
                     )
-                    visited = in_line & (ok_T | ok_N)
+                    visited = in_line & (ok_Tf | ok_N)
                     alpha = jnp.where(visited, opacity * op, 0.0)
 
                     cur = pending_ref[pl.ds(r0, RB), :]
@@ -518,6 +561,14 @@ def make_render_kernel(ts: int):
                 return 0
 
             lax.fori_loop(0, cnt, seg_step, 0)
+
+        @pl.when(kind == KIND_STROKE)
+        def _stroke():
+            stroke_impl(False)
+
+        @pl.when(kind == KIND_STROKE_SOLID)
+        def _stroke_solid():
+            stroke_impl(True)
 
         # ------------------------- blend -------------------------
         @pl.when(last_s[tc] == 1)
