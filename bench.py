@@ -86,20 +86,20 @@ def main():
     backend = jax.default_backend()
     from osm_renderer_tpu.parallel.renderer import BatchRenderer
 
-    dev = BatchRenderer(styler, precision="fast")
+    dev = BatchRenderer(styler, backend="pallas")
     # Build the batch once (assembly measured separately below).
     t0 = time.perf_counter()
     prepared = dev.prepare(tiles_entities, scale=1)
     assembly_dt = time.perf_counter() - t0
 
     out = dev.render_prepared(prepared)  # compile + first run
-    out[0].block_until_ready() if hasattr(out, "block_until_ready") else None
+    out.block_until_ready()
 
-    reps = 8
+    reps = 20
     t0 = time.perf_counter()
     for _ in range(reps):
         out = dev.render_prepared(prepared)
-    np.asarray(out)  # sync
+    out.block_until_ready()
     dev_dt = (time.perf_counter() - t0) / reps
     dev_tps = len(tiles_entities) / dev_dt
 

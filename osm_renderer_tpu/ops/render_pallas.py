@@ -182,17 +182,19 @@ def build_pallas_batch(tile_streams, profiles, ts: int) -> PallasBatch:
 
 def _floor_div_f(u, v_f, v_i):
     """Exact floor division of int32 u by positive int32 v (|u| < 2^30),
-    via f32 estimate + two integer corrections."""
+    via f32 estimate + one integer correction each way (the f32 estimate
+    is within 1 for all magnitudes arising under the coordinate bound)."""
     q = jnp.floor(u.astype(jnp.float32) * (1.0 / v_f)).astype(jnp.int32)
     r = u - q * v_i
     q = jnp.where(r < 0, q - 1, q)
     r = u - q * v_i
-    q = jnp.where(r < 0, q - 1, q)
-    r = u - q * v_i
-    q = jnp.where(r >= v_i, q + 1, q)
-    r = u - q * v_i
     q = jnp.where(r >= v_i, q + 1, q)
     return q
+
+
+def _divmod_f(u, v_f, v_i):
+    q = _floor_div_f(u, v_f, v_i)
+    return q, u - q * v_i
 
 
 def _feather(cd, hlw):
@@ -266,8 +268,9 @@ def make_render_kernel(ts: int):
         opacity = opacity_s[tc]
         hw = hw_s[tc]
 
-        xs_lane = lax.broadcasted_iota(jnp.int32, (RB, ts), 1)
-        rows_sub = lax.broadcasted_iota(jnp.int32, (RB, ts), 0)
+        xs_half = lax.broadcasted_iota(jnp.int32, (RB, 128), 1)
+        rows_half = lax.broadcasted_iota(jnp.int32, (RB, 128), 0)
+        n_halves = ts // 128
 
         # ------------------------- fills -------------------------
         @pl.when(kind == KIND_FILL)
@@ -308,6 +311,10 @@ def make_render_kernel(ts: int):
                 b = jnp.where(steepv, steep_x, jnp.maximum(lo, hi))
                 return a, b
 
+            # Chunk x-range for column culling (beyond it nothing fills).
+            xlo_all = jnp.min(jnp.where(valid, jnp.minimum(x1, x2), jnp.int32(1 << 28)))
+            xhi_all = jnp.max(jnp.where(valid, jnp.maximum(x1, x2), jnp.int32(-(1 << 28))))
+
             def row_block(blk, _):
                 r0 = (y0 + blk) * RB
                 rows_ch = r0 + lax.broadcasted_iota(jnp.int32, (RB, CH), 0)
@@ -320,53 +327,58 @@ def make_render_kernel(ts: int):
                 n_active = act_all.astype(jnp.int32).sum(axis=1, keepdims=True)
                 odd_n = (n_active % 2) == 1
 
-                def edge_step(e, _):
-                    ex1 = geom_smem[0, e]
-                    eey1 = geom_smem[1, e]
-                    ex2 = geom_smem[2, e]
-                    eey2 = geom_smem[3, e]
-                    etop = jnp.minimum(eey1, eey2)
-                    ebot = jnp.maximum(eey1, eey2)
+                for half in range(n_halves):
+                    col0 = half * 128
 
-                    # Skip edges that don't touch this row block entirely
-                    # (packs hold spatially scattered primitives).
-                    @pl.when((ebot >= r0) & (etop < r0 + RB - 1))
-                    def _do_edge():
-                        eadx = jnp.abs(ex2 - ex1)
-                        eady = jnp.abs(eey2 - eey1)
-                        esx = jnp.where(ex1 < ex2, 1, -1)
-                        act_e = (rows_col > etop) & (rows_col <= ebot)
-                        a_e, b_e = span_at(
-                            rows_col, ex1, eey1, eadx, eady, esx, eady > eadx
-                        )
-                        a_em = jnp.where(act_e, a_e, big)
-                        # stable rank of edge e within each row
-                        less = act_all & (
-                            (a_all < a_em) | ((a_all == a_em) & (lane_rb < e))
-                        )
-                        rank_e = less.astype(jnp.int32).sum(axis=1, keepdims=True)
-                        odd_e = act_e & ((rank_e % 2) == 1)
+                    @pl.when((xlo_all < col0 + 128) & (xhi_all >= col0))
+                    def _do_half(col0=col0):
+                        xs_l = col0 + xs_half
 
-                        ge = xs_lane >= a_em
-                        n_ref[...] = n_ref[...] + (act_e & ge).astype(jnp.int32)
-                        tail_ref[...] = tail_ref[...] | (
-                            odd_e & ge & (xs_lane <= b_e)
-                        ).astype(jnp.int32)
+                        def edge_step(e, _):
+                            ex1 = geom_smem[0, e]
+                            eey1 = geom_smem[1, e]
+                            ex2 = geom_smem[2, e]
+                            eey2 = geom_smem[3, e]
+                            etop = jnp.minimum(eey1, eey2)
+                            ebot = jnp.maximum(eey1, eey2)
 
-                    return 0
+                            @pl.when((ebot >= r0) & (etop < r0 + RB - 1))
+                            def _do_edge():
+                                eadx = jnp.abs(ex2 - ex1)
+                                eady = jnp.abs(eey2 - eey1)
+                                esx = jnp.where(ex1 < ex2, 1, -1)
+                                act_e = (rows_col > etop) & (rows_col <= ebot)
+                                a_e, b_e = span_at(
+                                    rows_col, ex1, eey1, eadx, eady, esx, eady > eadx
+                                )
+                                a_em = jnp.where(act_e, a_e, big)
+                                less = act_all & (
+                                    (a_all < a_em) | ((a_all == a_em) & (lane_rb < e))
+                                )
+                                rank_e = less.astype(jnp.int32).sum(axis=1, keepdims=True)
+                                odd_e = act_e & ((rank_e % 2) == 1)
 
-                n_ref[...] = jnp.zeros((RB, ts), jnp.int32)
-                tail_ref[...] = jnp.zeros((RB, ts), jnp.int32)
-                lax.fori_loop(0, cnt, edge_step, 0)
-                N = n_ref[...]
-                tail = tail_ref[...] != 0
+                                ge = xs_l >= a_em
+                                n_ref[:, :128] = n_ref[:, :128] + (act_e & ge).astype(jnp.int32)
+                                tail_ref[:, :128] = tail_ref[:, :128] | (
+                                    odd_e & ge & (xs_l <= b_e)
+                                ).astype(jnp.int32)
 
-                parity = ((N % 2) == 1) & ~((N == n_active) & odd_n)
-                filled = parity | tail
-                alpha = jnp.where(filled, opacity, 0.0).astype(jnp.float32)
+                            return 0
 
-                cur = pending_ref[pl.ds(r0, RB), :]
-                pending_ref[pl.ds(r0, RB), :] = jnp.fmax(cur, alpha)
+                        n_ref[:, :128] = jnp.zeros((RB, 128), jnp.int32)
+                        tail_ref[:, :128] = jnp.zeros((RB, 128), jnp.int32)
+                        lax.fori_loop(0, cnt, edge_step, 0)
+                        N = n_ref[:, :128]
+                        tail = tail_ref[:, :128] != 0
+
+                        parity = ((N % 2) == 1) & ~((N == n_active) & odd_n)
+                        filled = parity | tail
+                        alpha = jnp.where(filled, opacity, 0.0).astype(jnp.float32)
+
+                        cur = pending_ref[pl.ds(r0, RB), col0 : col0 + 128]
+                        pending_ref[pl.ds(r0, RB), col0 : col0 + 128] = jnp.fmax(cur, alpha)
+
                 return 0
 
             lax.fori_loop(0, nb, row_block, 0)
@@ -490,71 +502,123 @@ def make_render_kernel(ts: int):
                     (p1x == p2x) & (p1y == p2y), 0, (yhi - blk0 * RB) // RB + 1
                 )
 
+                margin_x = jnp.ceil(hw).astype(jnp.int32) + 2
+                sxlo = jnp.minimum(p1x, p2x) - margin_x
+                sxhi = jnp.maximum(p1x, p2x) + margin_x
+
                 def row_block(b, _):
                     r0 = (blk0 + b) * RB
-                    ys = r0 + rows_sub
-                    xsv = xs_lane
 
-                    raw = nc + sdy * xsv - sdx * ys
-                    cd = jnp.abs(raw.astype(jnp.float32)) * inv_denom
-                    if solid:
-                        sd = None
-                    else:
-                        dxp = (xsv - p1x).astype(jnp.float32)
-                        dyp = (ys - p1y).astype(jnp.float32)
-                        lo = jnp.sqrt(dxp * dxp + dyp * dyp)
-                        sd = jnp.sqrt(jnp.fmax(lo * lo - cd * cd, 0.0))
-                    op, in_line = stroke_opacity(cd, sd)
+                    for half in range(n_halves):
+                        col0 = half * 128
 
-                    MN = jnp.where(swap, ys, xsv)
-                    MX = jnp.where(swap, xsv, ys)
-                    n0 = (MN - mn0) * mn_i
-                    m0 = (MX - mx0) * mx_i
-                    A = 2 * mn_d * n0 + two_mx * m0 + (mx_d - 1)
-                    T_band = _floor_div_f(A, two_mx_f, two_mx)
-                    r_band = A - T_band * two_mx
-                    edge_band = r_band == (two_mx - 1)
+                        @pl.when((sxlo < col0 + 128) & (sxhi >= col0))
+                        def _do_half(col0=col0):
+                            ys = r0 + rows_half
+                            xsv = col0 + xs_half
 
-                    bc = jnp.clip(T_band, 0, hK)
-                    k = jnp.clip((bc.astype(jnp.float32) * ratio).astype(jnp.int32), 0, K)
-                    for _i in range(3):
-                        k = jnp.where((k > 0) & (h_of(k) > bc), k - 1, k)
-                    for _i in range(3):
-                        k = jnp.where((k < K) & (h_of(k + 1) <= bc), k + 1, k)
-                    h_k = h_of(k)
-                    is_gap = h_k != bc
-                    c_k = c_of(k)
-                    c_sel = jnp.where(is_gap, c_k + 1, c_k)
-                    s_mn_T = mn0 + mn_i * c_sel
-                    s_mx_T = mx0 + mx_i * k
+                            raw = nc + sdy * xsv - sdx * ys
+                            cd = jnp.abs(raw.astype(jnp.float32)) * inv_denom
+                            if solid:
+                                sd = None
+                            else:
+                                dxp = (xsv - p1x).astype(jnp.float32)
+                                dyp = (ys - p1y).astype(jnp.float32)
+                                lo = jnp.sqrt(dxp * dxp + dyp * dyp)
+                                sd = jnp.sqrt(jnp.fmax(lo * lo - cd * cd, 0.0))
+                            op, in_line = stroke_opacity(cd, sd)
 
-                    in_slab = (A >= 0) & (T_band <= hK)
-                    ok_T = in_slab & alive_at(s_mn_T, s_mx_T)
+                            MN = jnp.where(swap, ys, xsv)
+                            MX = jnp.where(swap, xsv, ys)
+                            n0 = (MN - mn0) * mn_i
+                            m0 = (MX - mx0) * mx_i
+                            A = 2 * mn_d * n0 + two_mx * m0 + (mx_d - 1)
+                            T_band = _floor_div_f(A, two_mx_f, two_mx)
+                            r_band = A - T_band * two_mx
+                            edge_band = r_band == (two_mx - 1)
 
-                    bc2 = jnp.clip(T_band + 1, 0, hK)
-                    k2 = jnp.where(h_of(k + 1) <= bc2, k + 1, k)
-                    h_k2 = h_of(k2)
-                    is_gap2 = h_k2 != bc2
-                    c_k2 = c_of(k2)
-                    c_sel2 = jnp.where(is_gap2, c_k2 + 1, c_k2)
-                    s_mn_N = mn0 + mn_i * c_sel2
-                    s_mx_N = mx0 + mx_i * k2
+                            bc = jnp.clip(T_band, 0, hK)
+                            k = jnp.clip((bc.astype(jnp.float32) * ratio).astype(jnp.int32), 0, K)
+                            two_mn = 2 * mn_d
+                            c, rc = _divmod_f(two_mn * k + mx_d - 1, two_mx_f, two_mx)
+                            g, rg = _divmod_f(two_mn * c + mx_d - 1, two_mx_f, two_mx)
 
-                    dn_T = (MN - s_mn_T) * mn_i
-                    dn_N = (MN - s_mn_N) * mn_i
-                    ok_Tf = ok_T & ((~edge_band) | (dn_T >= 0))
-                    ok_N = (
-                        edge_band
-                        & (A + 1 >= 0)
-                        & (T_band + 1 <= hK)
-                        & (dn_N <= 0)
-                        & alive_at(s_mn_N, s_mx_N)
-                    )
-                    visited = in_line & (ok_Tf | ok_N)
-                    alpha = jnp.where(visited, opacity * op, 0.0)
+                            def step_up(k, c, rc, g, rg):
+                                rc = rc + two_mn
+                                carry = rc >= two_mx
+                                rc = jnp.where(carry, rc - two_mx, rc)
+                                rg2 = jnp.where(carry, rg + two_mn, rg)
+                                gcarry = rg2 >= two_mx
+                                rg2 = jnp.where(gcarry, rg2 - two_mx, rg2)
+                                return (
+                                    k + 1,
+                                    jnp.where(carry, c + 1, c),
+                                    rc,
+                                    jnp.where(carry & gcarry, g + 1, g),
+                                    jnp.where(carry, rg2, rg),
+                                )
 
-                    cur = pending_ref[pl.ds(r0, RB), :]
-                    pending_ref[pl.ds(r0, RB), :] = jnp.fmax(cur, alpha)
+                            def step_down(k, c, rc, g, rg):
+                                rc = rc - two_mn
+                                borrow = rc < 0
+                                rc = jnp.where(borrow, rc + two_mx, rc)
+                                rg2 = jnp.where(borrow, rg - two_mn, rg)
+                                gborrow = rg2 < 0
+                                rg2 = jnp.where(gborrow, rg2 + two_mx, rg2)
+                                return (
+                                    k - 1,
+                                    jnp.where(borrow, c - 1, c),
+                                    rc,
+                                    jnp.where(borrow & gborrow, g - 1, g),
+                                    jnp.where(borrow, rg2, rg),
+                                )
+
+                            state = (k, c, rc, g, rg)
+                            for _i in range(3):
+                                down = (state[0] > 0) & (state[0] + state[3] > bc)
+                                nxt = step_down(*state)
+                                state = tuple(jnp.where(down, n, o) for n, o in zip(nxt, state))
+                            for _i in range(3):
+                                nxt = step_up(*state)
+                                up = (state[0] < K) & (nxt[0] + nxt[3] <= bc)
+                                state = tuple(jnp.where(up, n, o) for n, o in zip(nxt, state))
+                            k, c, rc, g, rg = state
+                            h_k = k + g
+                            is_gap = h_k != bc
+                            c_sel = jnp.where(is_gap, c + 1, c)
+                            s_mn_T = mn0 + mn_i * c_sel
+                            s_mx_T = mx0 + mx_i * k
+
+                            in_slab = (A >= 0) & (T_band <= hK)
+                            ok_T = in_slab & alive_at(s_mn_T, s_mx_T)
+
+                            bc2 = jnp.clip(T_band + 1, 0, hK)
+                            nxt = step_up(k, c, rc, g, rg)
+                            take2 = (k < K) & (nxt[0] + nxt[3] <= bc2)
+                            k2 = jnp.where(take2, nxt[0], k)
+                            c2 = jnp.where(take2, nxt[1], c)
+                            g2 = jnp.where(take2, nxt[3], g)
+                            is_gap2 = (k2 + g2) != bc2
+                            c_sel2 = jnp.where(is_gap2, c2 + 1, c2)
+                            s_mn_N = mn0 + mn_i * c_sel2
+                            s_mx_N = mx0 + mx_i * k2
+
+                            dn_T = (MN - s_mn_T) * mn_i
+                            dn_N = (MN - s_mn_N) * mn_i
+                            ok_Tf = ok_T & ((~edge_band) | (dn_T >= 0))
+                            ok_N = (
+                                edge_band
+                                & (A + 1 >= 0)
+                                & (T_band + 1 <= hK)
+                                & (dn_N <= 0)
+                                & alive_at(s_mn_N, s_mx_N)
+                            )
+                            visited = in_line & (ok_Tf | ok_N)
+                            alpha = jnp.where(visited, opacity * op, 0.0)
+
+                            cur = pending_ref[pl.ds(r0, RB), col0 : col0 + 128]
+                            pending_ref[pl.ds(r0, RB), col0 : col0 + 128] = jnp.fmax(cur, alpha)
+
                     return 0
 
                 lax.fori_loop(0, nbs, row_block, 0)
