@@ -95,11 +95,24 @@ def main():
     out = dev.render_prepared(prepared)  # compile + first run
     out.block_until_ready()
 
-    reps = 20
+    # The device runtime may memoize executions with identical input
+    # buffers, so each timed rep gets a (visually equivalent) perturbed
+    # copy of the style table, prepared outside the timed region.
+    import jax
+    import jax.numpy as jnp
+
+    reps = 16
+    preps = []
+    for i in range(reps):
+        color = np.asarray(prepared.batch.color) * (1.0 - 1e-4 * (i + 1))
+        preps.append(
+            prepared._replace(batch=prepared.batch._replace(color=jnp.asarray(color)))
+        )
+    jax.block_until_ready([p.batch.color for p in preps])
+
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = dev.render_prepared(prepared)
-    out.block_until_ready()
+    outs = [dev.render_prepared(p) for p in preps]
+    jax.block_until_ready(outs)
     dev_dt = (time.perf_counter() - t0) / reps
     dev_tps = len(tiles_entities) / dev_dt
 
@@ -114,7 +127,8 @@ def main():
         "detail": {
             "backend": backend,
             "n_tiles": len(tiles_entities),
-            "cpu_oracle_tiles_per_sec": round(cpu_tps, 2),
+            "cpu_oracle_tiles_per_sec_1core": round(cpu_tps, 2),
+            "cpu_cores": os.cpu_count(),
             "device_ms_per_batch": round(dev_dt * 1e3, 2),
             "assembly_ms_per_batch": round(assembly_dt * 1e3, 2),
         },
