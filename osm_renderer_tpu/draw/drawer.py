@@ -29,8 +29,12 @@ from osm_renderer_tpu.mapcss.styler import Styler
 class CpuDrawer:
     """Oracle-backed CPU rendering path (the reference-parity baseline)."""
 
-    def __init__(self, labeler=None, icon_cache=None):
+    def __init__(self, labeler=None, icon_cache=None, stylesheet_dir=None):
         self.labeler = labeler
+        if icon_cache is None and stylesheet_dir is not None:
+            from osm_renderer_tpu.draw.labels.icons import IconCache
+
+            icon_cache = IconCache(stylesheet_dir)
         self.icon_cache = icon_cache
         self._tile_cache: dict = {}
 
@@ -42,28 +46,44 @@ class CpuDrawer:
         return tile
 
     def draw_to_pixels(self, entities, tile: Tile, scale: int, styler: Styler) -> np.ndarray:
+        from osm_renderer_tpu import perfstats
+
         pixels = self._tile_for_scale(scale)
-        pixels.reset(styler.canvas_fill_color)
+        with perfstats.measure("Resetting TilePixels"):
+            pixels.reset(styler.canvas_fill_color)
 
-        prims = assemble_tile_prims(entities, tile, float(scale), styler)
-        for p in prims:
-            if isinstance(p, FillPrim):
-                if p.edges.shape[0]:
-                    pixels.fill_contour(
-                        np.clip(p.edges, -(2**31), 2**31 - 1).astype(np.int32),
-                        p.color, p.opacity,
-                    )
-            else:
-                if p.segs.shape[0]:
-                    self._draw_stroke(pixels, p)
-            pixels.bump_generation()
+        with perfstats.measure("Style areas"):
+            prims = assemble_tile_prims(entities, tile, float(scale), styler)
 
-        pixels.blend_unfinished(False)
+        with perfstats.measure("Fill and draw areas"):
+            for p in prims:
+                if isinstance(p, FillPrim):
+                    if p.edges.shape[0]:
+                        edges32 = np.clip(p.edges, -(2**31), 2**31 - 1).astype(np.int32)
+                        if p.fill_image is not None:
+                            icon = (
+                                self.icon_cache.get(p.fill_image)
+                                if self.icon_cache is not None
+                                else None
+                            )
+                            if icon is not None:
+                                pixels.fill_contour_icon(edges32, icon.rgba)
+                        else:
+                            pixels.fill_contour(edges32, p.color, p.opacity)
+                else:
+                    if p.segs.shape[0]:
+                        self._draw_stroke(pixels, p)
+                pixels.bump_generation()
+
+        with perfstats.measure("Blend after areas"):
+            pixels.blend_unfinished(False)
 
         if self.labeler is not None:
-            self.labeler.draw_labels(pixels, entities, tile, float(scale), styler)
+            with perfstats.measure("Draw labels"):
+                self.labeler.draw_labels(pixels, entities, tile, float(scale), styler)
 
-        pixels.blend_unfinished(True)
+        with perfstats.measure("Blend after labels"):
+            pixels.blend_unfinished(True)
         return pixels.to_rgb()
 
     @staticmethod

@@ -28,7 +28,7 @@ from osm_renderer_tpu.draw.primitives import FillPrim, StrokePrim
 
 def _style_key(p):
     if isinstance(p, FillPrim):
-        return ("fill", p.color, p.opacity)
+        return ("fill", p.color, p.opacity, p.fill_image)
     return (
         "stroke", p.color, p.opacity, p.half_width, p.dashes, p.cap,
         p.use_caps_for_dashes,
@@ -114,7 +114,12 @@ def pack_prims(prims: List[object], capacity: int) -> List[List[object]]:
             run.append(prims[j])
             j += 1
 
-        packable = [p for p in run if _geom_count(p) <= capacity and _is_closed_loops(p)]
+        packable = [
+            p for p in run
+            if _geom_count(p) <= capacity
+            and _is_closed_loops(p)
+            and getattr(p, "fill_image", None) is None
+        ]
         packable_ids = {id(p) for p in packable}
         big = [p for p in run if id(p) not in packable_ids]
         small = packable

@@ -72,9 +72,10 @@ class StrokePrim:
 @dataclass
 class FillPrim:
     kind: str  # "fill"
-    color: Tuple[int, int, int]
+    color: Optional[Tuple[int, int, int]]
     opacity: float
     edges: np.ndarray  # (E, 4)
+    fill_image: Optional[str] = None  # tiled icon fill (drawn by CPU path)
 
 
 Prim = object  # FillPrim | StrokePrim
@@ -200,7 +201,16 @@ def assemble_tile_prims(
                     edges=pairs_for(entity),
                 )
             )
-        # fill_image handled by the CPU path only for now (icon atlas TODO).
+        elif style.fill_image is not None:
+            prims.append(
+                FillPrim(
+                    kind="fill",
+                    color=None,
+                    opacity=style.fill_opacity if style.fill_opacity is not None else 1.0,
+                    edges=pairs_for(entity),
+                    fill_image=style.fill_image,
+                )
+            )
 
     # Pass 2: casings (ways only).
     for entity, style in styled:
@@ -292,6 +302,7 @@ class TileStream:
     chunk_opacity: List[float] = field(default_factory=list)
     chunk_hw: List[float] = field(default_factory=list)
     geom_len: int = 0
+    has_icon_fills: bool = False  # device path can't draw these yet
 
 
 def stream_tile_packed(
@@ -306,6 +317,9 @@ def stream_tile_packed(
     groups = pack_prims(prims, chunk_size)
     for group in groups:
         if len(group) == 1:
+            if getattr(group[0], "fill_image", None) is not None:
+                ts.has_icon_fills = True
+                continue
             _stream_prim(ts, group[0], profiles, chunk_size)
             continue
         first = group[0]
@@ -345,6 +359,9 @@ def _push_chunk(ts: TileStream, kind, geom, traveled, profile, last, color, opac
 
 def _stream_prim(ts: TileStream, prim, profiles: ProfileTable, chunk_size: int) -> None:
     if isinstance(prim, FillPrim):
+        if prim.fill_image is not None:
+            ts.has_icon_fills = True
+            return
         edges = prim.edges
         if edges.shape[0] == 0:
             return

@@ -183,3 +183,52 @@ def pad_batch_to(tiles: int, prepared: PreparedBatch) -> PreparedBatch:
         )
     )
     return prepared._replace(batch=new)
+
+
+class MeshTileRenderer:
+    """Multi-chip tile data parallelism for the Pallas backend.
+
+    Chunk streams interleave tiles, so instead of sharding one array set
+    the batch is split into per-device sub-batches (round-robin over the
+    mesh's devices) and dispatched concurrently; results are gathered on
+    the host. This is the scaling model of SURVEY §2 row 24: independent
+    tile work, no cross-chip communication.
+    """
+
+    def __init__(self, styler: Styler, devices=None, **kwargs):
+        import jax
+
+        self.devices = list(devices) if devices is not None else jax.devices()
+        self.renderer = BatchRenderer(styler, backend="pallas", **kwargs)
+
+    def render(self, tiles_entities, scale: int = 1) -> np.ndarray:
+        import jax
+
+        n_dev = len(self.devices)
+        shards = [tiles_entities[d::n_dev] for d in range(n_dev)]
+        shards = [(d, s) for d, s in zip(self.devices, shards) if s]
+
+        outs = []
+        for device, shard in shards:
+            prepared = self.renderer.prepare(shard, scale)
+            batch = jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, device), prepared.batch
+            )
+            canvas = jax.device_put(prepared.canvas_rgb, device)
+            prepared = prepared._replace(batch=batch, canvas_rgb=canvas)
+            outs.append(self.renderer.render_prepared(prepared))
+        jax.block_until_ready(outs)
+
+        T = len(tiles_entities)
+        ts = 256 * scale
+        result = np.empty((T, ts, ts, 3), dtype=np.uint8)
+        n_dev = len(self.devices)
+        out_iter = iter(outs)
+        for d in range(n_dev):
+            indices = list(range(d, T, n_dev))
+            if not indices:
+                continue
+            arr = np.asarray(next(out_iter))
+            for j, ti in enumerate(indices):
+                result[ti] = arr[j]
+        return result

@@ -145,3 +145,41 @@ def test_icon_label_blit(city, styler):
     scratch.bump_label_generation(True)
     # Overlapping second icon must be rejected.
     assert not scratch.label_icon(100 + icon.width // 2, 100, icon.rgba)
+
+
+def test_fill_image(city):
+    """Tiled icon fills (fill.rs:36-40): icon sampled at (x % w, y % h)."""
+    symbols = reference_path("tests", "mapcss", "symbols")
+    if not os.path.isdir(symbols):
+        pytest.skip("reference symbols unavailable")
+    import numpy as np
+
+    from osm_renderer_tpu.draw.labels.icons import IconCache
+
+    cache = IconCache(symbols)
+    names = [n for n in sorted(os.listdir(symbols)) if n.endswith(".png")]
+    name = next(n for n in names if cache.get(n) is not None)
+    icon = cache.get(name)
+
+    tile = OracleTile(1)
+    tile.reset((255, 255, 255))
+    edges = np.array(
+        [[20, 20, 200, 20], [200, 20, 200, 180], [200, 180, 20, 180], [20, 180, 20, 20]],
+        dtype=np.int32,
+    )
+    tile.fill_contour_icon(edges, icon.rgba)
+    tile.bump_generation()
+    tile.blend_unfinished(False)
+    tile.blend_unfinished(True)
+    img = tile.to_rgb()
+
+    # Interior pixel (x, y) must equal icon pixel (x % w, y % h) blended
+    # over white.
+    for (x, y) in [(64, 64), (100, 137), (190, 90)]:
+        px = icon.rgba[y % icon.height, x % icon.width]
+        a = px[3]
+        want = np.trunc(
+            np.clip((px[:3] * 255.0 + (1 - a) * 255.0), 0, 255)
+        ).astype(np.uint8)
+        got = img[y, x]
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 1, (x, y, got, want)

@@ -72,3 +72,24 @@ def test_entry_points():
     out = np.asarray(fn(*args))
     assert out.shape == (2, 256, 256, 3)
     mod.dryrun_multichip(8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs multiple devices")
+def test_mesh_tile_renderer_pallas_interpret(tmp_path):
+    from osm_renderer_tpu.parallel.renderer import MeshTileRenderer
+
+    reader = build_mini_reader(tmp_path)
+    styler = Styler(parse_string(STYLE), "josm")
+    t18 = coords_to_max_zoom_tile(47.1412, 9.5215)
+    tiles = [
+        Tile(16, (t18.x >> 2) + dx, (t18.y >> 2) + dy)
+        for dx in range(2)
+        for dy in range(2)
+    ]
+    te = [(reader.get_entities_in_tile_with_neighbors(t), t) for t in tiles]
+
+    single = MeshTileRenderer(styler, devices=jax.devices()[:1], interpret=True)
+    multi = MeshTileRenderer(styler, devices=jax.devices()[:4], interpret=True)
+    a = single.render(te, 1)
+    b = multi.render(te, 1)
+    assert np.array_equal(a, b)
