@@ -65,17 +65,21 @@ def _geom_count(p) -> int:
 def _is_closed_loops(p) -> bool:
     """True if a fill's edges form a union of closed loops (every vertex
     balanced as start and end) — required for cross-contour span pairing
-    to stay correct when merging; open contours are never packed."""
+    to stay correct when merging; open contours are never packed.
+
+    Edges come chained (consecutive point pairs per ring), so it
+    suffices to check that every chained run closes back on its start.
+    """
     if not isinstance(p, FillPrim):
         return True
     g = p.edges
-    if g.shape[0] == 0:
+    n = g.shape[0]
+    if n == 0:
         return False
-    starts = np.ascontiguousarray(g[:, :2])
-    ends = np.ascontiguousarray(g[:, 2:])
-    a = np.sort(starts.view([("x", starts.dtype), ("y", starts.dtype)]), axis=0)
-    b = np.sort(ends.view([("x", ends.dtype), ("y", ends.dtype)]), axis=0)
-    return bool(np.array_equal(a, b))
+    cont = np.all(g[:-1, 2:] == g[1:, :2], axis=1) if n > 1 else np.zeros(0, bool)
+    ring_starts = np.concatenate(([0], np.flatnonzero(~cont) + 1))
+    ring_ends = np.concatenate((ring_starts[1:] - 1, [n - 1]))
+    return bool(np.all(g[ring_starts, :2] == g[ring_ends, 2:]))
 
 
 class _Pack:
@@ -124,20 +128,13 @@ def pack_prims(prims: List[object], capacity: int) -> List[List[object]]:
         big = [p for p in run if id(p) not in packable_ids]
         small = packable
 
-        # Spatial sort improves row-block locality of each pack.
-        def sort_key(p):
-            bb = _bbox(p)
-            if bb is None:
-                return (0, 0)
-            return (bb[2] // 64, bb[0])
-
-        small.sort(key=sort_key)
+        # Compute bboxes once; spatial sort improves row-block locality.
+        with_bb = [(p, _bbox(p)) for p in small]
+        with_bb = [(p, bb) for p, bb in with_bb if bb is not None]
+        with_bb.sort(key=lambda pb: (pb[1][2] // 64, pb[1][0]))
 
         packs: List[_Pack] = []
-        for p in small:
-            bb = _bbox(p)
-            if bb is None:
-                continue
+        for p, bb in with_bb:
             placed = False
             for pack in packs:
                 if pack.fits(p, bb, capacity):

@@ -123,33 +123,36 @@ def make_stroke_prim(
     phases (line.rs:9-61)."""
     hw = width / 2.0
     has_caps = cap in (LINE_CAP_ROUND, LINE_CAP_SQUARE)
-    segs: List[Tuple[int, int, int, int]] = []
-    travs: List[float] = []
-    outers: List[bool] = []
-    traveled = 0.0
     n = pairs.shape[0]
-    for i in range(n):
-        p1 = (int(pairs[i, 0]), int(pairs[i, 1]))
-        p2 = (int(pairs[i, 2]), int(pairs[i, 3]))
-        if p1 != p2:
-            segs.append((*p1, *p2))
-            travs.append(traveled)
-            outers.append(False)
-        seg_len = float(np.sqrt(float((p2[0] - p1[0]) ** 2 + (p2[1] - p1[1]) ** 2)))
-        if p1 != p2 and has_caps:
-            if i == 0:
-                ce = _push_away_from(p1, p2, hw)
-                if ce != p1:
-                    segs.append((*p1, *ce))
-                    travs.append(0.0)
-                    outers.append(True)
-            if i + 1 == n:
-                ce = _push_away_from(p2, p1, hw)
-                if ce != p2:
-                    segs.append((*p2, *ce))
-                    travs.append(0.0)
-                    outers.append(True)
-        traveled += seg_len
+    pairs = np.asarray(pairs, dtype=np.int64)
+    d = (pairs[:, 2:] - pairs[:, :2]).astype(np.float64)
+    seg_lens = np.sqrt(d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1])
+    nondeg = (pairs[:, 0] != pairs[:, 2]) | (pairs[:, 1] != pairs[:, 3])
+    trav_before = np.concatenate(([0.0], np.cumsum(seg_lens)[:-1]))
+
+    segs_arr = pairs[nondeg]
+    travs_arr = trav_before[nondeg]
+    segs = list(map(tuple, segs_arr.tolist()))
+    travs = travs_arr.tolist()
+    outers = [False] * len(segs)
+
+    if has_caps and n:
+        if nondeg[0]:
+            p1 = (int(pairs[0, 0]), int(pairs[0, 1]))
+            p2 = (int(pairs[0, 2]), int(pairs[0, 3]))
+            ce = _push_away_from(p1, p2, hw)
+            if ce != p1:
+                segs.append((*p1, *ce))
+                travs.append(0.0)
+                outers.append(True)
+        if nondeg[-1]:
+            p1 = (int(pairs[-1, 0]), int(pairs[-1, 1]))
+            p2 = (int(pairs[-1, 2]), int(pairs[-1, 3]))
+            ce = _push_away_from(p2, p1, hw)
+            if ce != p2:
+                segs.append((*p2, *ce))
+                travs.append(0.0)
+                outers.append(True)
     return StrokePrim(
         kind="stroke",
         color=color,
@@ -178,12 +181,50 @@ def assemble_tile_prims(
     prims: List[Prim] = []
     pair_cache: Dict[int, np.ndarray] = {}
 
+    # Project every referenced node once (batched trig beats per-entity
+    # calls by an order of magnitude on dense tiles).
+    id_arrays = [w.node_ids for w in entities.ways]
+    for mp in entities.multipolygons:
+        for pi in range(mp.polygon_count()):
+            id_arrays.append(mp.get_polygon(pi).node_ids)
+    if id_arrays:
+        all_ids = np.unique(np.concatenate(id_arrays))
+        lats, lons = entities.ways[0].reader.node_coords(all_ids) if entities.ways else (
+            entities.multipolygons[0].reader.node_coords(all_ids)
+        )
+        all_pts = project_points(lats, lons, tile, scale)
+    else:
+        all_ids = np.zeros(0, dtype=np.int64)
+        all_pts = np.zeros((0, 2), dtype=np.int64)
+
+    def pts_for_ids(node_ids) -> np.ndarray:
+        idx = np.searchsorted(all_ids, node_ids)
+        return all_pts[idx]
+
     def pairs_for(entity) -> np.ndarray:
         key = id(entity)
         got = pair_cache.get(key)
-        if got is None:
-            got = _entity_point_pairs(entity, tile, scale)
-            pair_cache[key] = got
+        if got is not None:
+            return got
+        if isinstance(entity, Multipolygon):
+            chunks = []
+            for pi in range(entity.polygon_count()):
+                pts = pts_for_ids(entity.get_polygon(pi).node_ids)
+                if len(pts) >= 2:
+                    chunks.append(np.concatenate([pts[:-1], pts[1:]], axis=1))
+            got = (
+                np.concatenate(chunks, axis=0)
+                if chunks
+                else np.zeros((0, 4), dtype=np.int64)
+            )
+        else:
+            pts = pts_for_ids(entity.node_ids)
+            got = (
+                np.concatenate([pts[:-1], pts[1:]], axis=1)
+                if len(pts) >= 2
+                else np.zeros((0, 4), dtype=np.int64)
+            )
+        pair_cache[key] = got
         return got
 
     scale_dashes = lambda dashes: (
