@@ -30,11 +30,12 @@ FAST_COORD_BOUND = 12000  # |tile-relative coords| bound: keeps all int32 forms 
 
 
 class PreparedBatch(NamedTuple):
-    batch: TileBatch
+    batch: object
     canvas_rgb: jax.Array
     ts: int
-    chunk: int
+    chunk: int  # chunk size (jnp) / n_tiles (pallas)
     precision: str
+    cpu_fallback_tiles: tuple = ()  # tile indices the device path can't draw
 
 
 class BatchRenderer:
@@ -112,15 +113,20 @@ class BatchRenderer:
 
         profiles = prim_mod.ProfileTable()
         streams = []
-        for entities, tile in tiles_entities:
+        fallback = []
+        for idx, (entities, tile) in enumerate(tiles_entities):
             prims = assemble_tile_prims(entities, tile, float(scale), self.styler)
-            streams.append(prim_mod.stream_tile_packed(prims, profiles, RP.CH))
+            stream = prim_mod.stream_tile_packed(prims, profiles, RP.CH)
+            if stream.has_icon_fills:
+                fallback.append(idx)
+            streams.append(stream)
         pb = RP.build_pallas_batch(streams, profiles, 256 * scale)
         self._check_coords(pb.geom)
         n_tiles = len(tiles_entities)
         pb = RP.PallasBatch(*(jnp.asarray(a) for a in pb))
         return PreparedBatch(
-            pb, self._canvas(np.float32), 256 * scale, n_tiles, "pallas"
+            pb, self._canvas(np.float32), 256 * scale, n_tiles, "pallas",
+            tuple(fallback),
         )
 
     def _shard_pallas(self, pb):

@@ -79,17 +79,35 @@ class TileService:
         self.perf_stats = perfstats.PerfStats()
         self._perf_lock = threading.Lock()
         self._local = threading.local()
+        self._stylesheet_dir = stylesheet_dir
         if backend == "device":
-            from osm_renderer_tpu.parallel.renderer import BatchRenderer
+            import jax
 
-            self.batch_renderer = BatchRenderer(styler, precision=precision)
+            from osm_renderer_tpu.parallel.renderer import BatchRenderer
+            from osm_renderer_tpu.utils.jax_setup import setup_jax
+
+            setup_jax()
+            if precision == "exact":
+                self.batch_renderer = BatchRenderer(
+                    styler, backend="jnp", precision="exact"
+                )
+            else:
+                # The Pallas kernel needs a real TPU; elsewhere (tests,
+                # CPU-only hosts) it runs in interpret mode.
+                self.batch_renderer = BatchRenderer(
+                    styler,
+                    backend="pallas",
+                    interpret=jax.default_backend() != "tpu",
+                )
         else:
             self.batch_renderer = None
 
     def _cpu_drawer(self) -> CpuDrawer:
         drawer = getattr(self._local, "drawer", None)
         if drawer is None:
-            drawer = CpuDrawer(labeler=self.labeler)
+            drawer = CpuDrawer(
+                labeler=self.labeler, stylesheet_dir=self._stylesheet_dir
+            )
             self._local.drawer = drawer
         return drawer
 
@@ -108,7 +126,12 @@ class TileService:
         return png
 
     def render_tiles_device(self, requests: List[Tuple[Tile, int]]) -> List[bytes]:
-        """Batched device render; one dispatch per scale group."""
+        """Batched device render; one dispatch per scale group.
+
+        Tiles whose primitives the device path cannot draw yet (tiled
+        fill-image fills, or geometry beyond the int32 coordinate bound)
+        fall back to the CPU oracle path individually.
+        """
         out: Dict[int, bytes] = {}
         by_scale: Dict[int, List[Tuple[int, Tile]]] = {}
         for i, (tile, scale) in enumerate(requests):
@@ -118,15 +141,27 @@ class TileService:
                 (self.reader.get_entities_in_tile_with_neighbors(t, self.osm_ids), t)
                 for _, t in group
             ]
-            prepared = self.batch_renderer.prepare(tiles_entities, scale)
-            rgb = np.asarray(self.batch_renderer.render_prepared(prepared))
-            for (i, t), img in zip(group, rgb):
-                if self.labeler is not None:
-                    img = self.labeler.composite_labels(
-                        img, tiles_entities[group.index((i, t))][0], t, float(scale),
-                        self.styler,
-                    )
-                out[i] = rgb_to_png(img)
+            try:
+                prepared = self.batch_renderer.prepare(tiles_entities, scale)
+                needs_cpu = set(getattr(prepared, "cpu_fallback_tiles", ()))
+                rgb = np.array(self.batch_renderer.render_prepared(prepared))
+            except ValueError:
+                needs_cpu = set(range(len(group)))
+                rgb = None
+            with perfstats.measure("Compose and encode"):
+                for gi, ((i, t), (entities, _)) in enumerate(zip(group, tiles_entities)):
+                    if gi in needs_cpu or rgb is None:
+                        img = self._cpu_drawer().draw_to_pixels(
+                            entities, t, scale, self.styler
+                        )
+                        out[i] = rgb_to_png(img)
+                        continue
+                    img = rgb[gi]
+                    if self.labeler is not None:
+                        img = self.labeler.composite_labels(
+                            img, entities, t, float(scale), self.styler
+                        )
+                    out[i] = rgb_to_png(img)
         return [out[i] for i in range(len(requests))]
 
 

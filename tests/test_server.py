@@ -104,3 +104,33 @@ def test_perf_stats_endpoint(server_port):
     ) as resp:
         html = resp.read().decode()
     assert "perf stats" in html
+
+
+def test_device_backend_service(tmp_path):
+    """Device-backend TileService end to end (pallas interpret on CPU)."""
+    from tests.fixtures import MINI_OSM
+    from osm_renderer_tpu.geodata.importer import import_osm
+
+    osm_path = os.path.join(str(tmp_path), "mini.osm")
+    with open(osm_path, "w") as f:
+        f.write(MINI_OSM)
+    bin_path = os.path.join(str(tmp_path), "mini.bin")
+    import_osm(osm_path, bin_path)
+
+    styler = Styler(parse_file(STYLESHEET_DIR, "default.mapcss"), "josm")
+    dev = TileService(bin_path, styler, STYLESHEET_DIR, backend="device")
+    cpu = TileService(bin_path, styler, STYLESHEET_DIR, backend="cpu")
+
+    t18 = coords_to_max_zoom_tile(47.1412, 9.5215)
+    tile = Tile(16, t18.x >> 2, t18.y >> 2)
+    pngs = dev.render_tiles_device([(tile, 1)])
+    assert len(pngs) == 1 and pngs[0][:8] == b"\x89PNG\r\n\x1a\n"
+
+    # Same tile through both backends decodes to nearly identical pixels.
+    from PIL import Image
+    import io as _io
+
+    a = np.asarray(Image.open(_io.BytesIO(pngs[0])))
+    b = np.asarray(Image.open(_io.BytesIO(cpu.render_tile_cpu(tile, 1))))
+    diff = np.abs(a.astype(int) - b.astype(int))
+    assert diff.max() <= 2
