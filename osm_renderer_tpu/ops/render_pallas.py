@@ -573,12 +573,14 @@ def make_render_kernel(ts: int):
                                     jnp.where(borrow, rg2, rg),
                                 )
 
+                            # Empirically |k_est - k_owner| <= 2 over the
+                            # full (mn, mx) operating range.
                             state = (k, c, rc, g, rg)
-                            for _i in range(3):
+                            for _i in range(2):
                                 down = (state[0] > 0) & (state[0] + state[3] > bc)
                                 nxt = step_down(*state)
                                 state = tuple(jnp.where(down, n, o) for n, o in zip(nxt, state))
-                            for _i in range(3):
+                            for _i in range(2):
                                 nxt = step_up(*state)
                                 up = (state[0] < K) & (nxt[0] + nxt[3] <= bc)
                                 state = tuple(jnp.where(up, n, o) for n, o in zip(nxt, state))
@@ -592,32 +594,40 @@ def make_render_kernel(ts: int):
                             in_slab = (A >= 0) & (T_band <= hK)
                             ok_T = in_slab & alive_at(s_mn_T, s_mx_T)
 
-                            bc2 = jnp.clip(T_band + 1, 0, hK)
-                            nxt = step_up(k, c, rc, g, rg)
-                            take2 = (k < K) & (nxt[0] + nxt[3] <= bc2)
-                            k2 = jnp.where(take2, nxt[0], k)
-                            c2 = jnp.where(take2, nxt[1], c)
-                            g2 = jnp.where(take2, nxt[3], g)
-                            is_gap2 = (k2 + g2) != bc2
-                            c_sel2 = jnp.where(is_gap2, c2 + 1, c2)
-                            s_mn_N = mn0 + mn_i * c_sel2
-                            s_mx_N = mx0 + mx_i * k2
-
                             dn_T = (MN - s_mn_T) * mn_i
-                            dn_N = (MN - s_mn_N) * mn_i
                             ok_Tf = ok_T & ((~edge_band) | (dn_T >= 0))
-                            ok_N = (
-                                edge_band
-                                & (A + 1 >= 0)
-                                & (T_band + 1 <= hK)
-                                & (dn_N <= 0)
-                                & alive_at(s_mn_N, s_mx_N)
-                            )
-                            visited = in_line & (ok_Tf | ok_N)
+                            visited = in_line & ok_Tf
                             alpha = jnp.where(visited, opacity * op, 0.0)
 
                             cur = pending_ref[pl.ds(r0, RB), col0 : col0 + 128]
                             pending_ref[pl.ds(r0, RB), col0 : col0 + 128] = jnp.fmax(cur, alpha)
+
+                            # Band-edge pixels (1 column in 2*mx) may belong
+                            # to band T+1 via its mul=-1 branch; evaluate
+                            # that owner only when such pixels exist here.
+                            @pl.when(jnp.any(edge_band & in_line & ~visited))
+                            def _edge_band_owner():
+                                bc2 = jnp.clip(T_band + 1, 0, hK)
+                                nxt = step_up(k, c, rc, g, rg)
+                                take2 = (k < K) & (nxt[0] + nxt[3] <= bc2)
+                                k2 = jnp.where(take2, nxt[0], k)
+                                c2 = jnp.where(take2, nxt[1], c)
+                                g2 = jnp.where(take2, nxt[3], g)
+                                is_gap2 = (k2 + g2) != bc2
+                                c_sel2 = jnp.where(is_gap2, c2 + 1, c2)
+                                s_mn_N = mn0 + mn_i * c_sel2
+                                s_mx_N = mx0 + mx_i * k2
+                                dn_N = (MN - s_mn_N) * mn_i
+                                ok_N = (
+                                    edge_band
+                                    & (A + 1 >= 0)
+                                    & (T_band + 1 <= hK)
+                                    & (dn_N <= 0)
+                                    & alive_at(s_mn_N, s_mx_N)
+                                )
+                                alpha2 = jnp.where(in_line & ok_N, opacity * op, 0.0)
+                                cur2 = pending_ref[pl.ds(r0, RB), col0 : col0 + 128]
+                                pending_ref[pl.ds(r0, RB), col0 : col0 + 128] = jnp.fmax(cur2, alpha2)
 
                     return 0
 
