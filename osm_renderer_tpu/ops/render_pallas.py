@@ -47,6 +47,7 @@ KIND_PAD = 0
 KIND_FILL = 1
 KIND_STROKE = 2
 KIND_STROKE_SOLID = 3
+KIND_STROKE_SOLID_WIDE = 4
 
 
 class PallasBatch(NamedTuple):
@@ -166,7 +167,14 @@ def build_pallas_batch(tile_streams, profiles, ts: int) -> PallasBatch:
                 trav[o, 0, :n] = s.traveled[ci]
                 sprof[o, 0, :n] = s.profile[ci]
                 if kind[o] == KIND_STROKE and not np.any(np.asarray(s.profile[ci])[:n]):
-                    kind[o] = KIND_STROKE_SOLID
+                    # Wide solid strokes (hw >= 1.25) can skip the
+                    # perpendicular-owner aliveness machinery entirely:
+                    # every owner start is provably in-line.
+                    kind[o] = (
+                        KIND_STROKE_SOLID_WIDE
+                        if s.chunk_hw[ci] >= 1.25
+                        else KIND_STROKE_SOLID
+                    )
             ci_out += 1
 
     prof_rows, prof_totals = profiles.arrays(np.float32)
@@ -384,7 +392,7 @@ def make_render_kernel(ts: int):
             lax.fori_loop(0, nb, row_block, 0)
 
         # ------------------------- strokes -------------------------
-        def stroke_impl(solid: bool):
+        def stroke_impl(solid: bool, wide: bool = False):
             def seg_step(sg, _):
                 p1x = geom_smem[0, sg]
                 p1y = geom_smem[1, sg]
@@ -537,6 +545,107 @@ def make_render_kernel(ts: int):
                             r_band = A - T_band * two_mx
                             edge_band = r_band == (two_mx - 1)
 
+                            if wide:
+                                ownerT_ok = (A >= 0) & (T_band <= hK)
+                                ownerN_ok = (A >= -1) & (T_band + 1 <= hK)
+                                visited = in_line & (
+                                    (edge_band & ownerT_ok & ownerN_ok)
+                                    | (~edge_band & ownerT_ok)
+                                )
+                                alpha = jnp.where(visited, opacity * op, 0.0)
+                                cur = pending_ref[pl.ds(r0, RB), col0 : col0 + 128]
+                                pending_ref[pl.ds(r0, RB), col0 : col0 + 128] = jnp.fmax(cur, alpha)
+
+                                # Boundary-band edge pixels (exactly one
+                                # owner in range) need the real owner test;
+                                # they only occur at segment ends on a
+                                # 1-in-2mx column.
+                                needs_exact = (
+                                    in_line & edge_band & (ownerT_ok ^ ownerN_ok)
+                                )
+
+                                @pl.when(jnp.any(needs_exact))
+                                def _exact_boundary():
+                                    bc = jnp.clip(T_band, 0, hK)
+                                    k = jnp.clip(
+                                        (bc.astype(jnp.float32) * ratio).astype(jnp.int32), 0, K
+                                    )
+                                    two_mn = 2 * mn_d
+                                    c, rc = _divmod_f(two_mn * k + mx_d - 1, two_mx_f, two_mx)
+                                    g, rg = _divmod_f(two_mn * c + mx_d - 1, two_mx_f, two_mx)
+
+                                    def step_up(k, c, rc, g, rg):
+                                        rc2 = rc + two_mn
+                                        carry = rc2 >= two_mx
+                                        rc2 = jnp.where(carry, rc2 - two_mx, rc2)
+                                        rg2 = jnp.where(carry, rg + two_mn, rg)
+                                        gcarry = rg2 >= two_mx
+                                        rg2 = jnp.where(gcarry, rg2 - two_mx, rg2)
+                                        return (
+                                            k + 1,
+                                            jnp.where(carry, c + 1, c),
+                                            rc2,
+                                            jnp.where(carry & gcarry, g + 1, g),
+                                            jnp.where(carry, rg2, rg),
+                                        )
+
+                                    def step_down(k, c, rc, g, rg):
+                                        rc2 = rc - two_mn
+                                        borrow = rc2 < 0
+                                        rc2 = jnp.where(borrow, rc2 + two_mx, rc2)
+                                        rg2 = jnp.where(borrow, rg - two_mn, rg)
+                                        gborrow = rg2 < 0
+                                        rg2 = jnp.where(gborrow, rg2 + two_mx, rg2)
+                                        return (
+                                            k - 1,
+                                            jnp.where(borrow, c - 1, c),
+                                            rc2,
+                                            jnp.where(borrow & gborrow, g - 1, g),
+                                            jnp.where(borrow, rg2, rg),
+                                        )
+
+                                    state = (k, c, rc, g, rg)
+                                    for _i in range(2):
+                                        down = (state[0] > 0) & (state[0] + state[3] > bc)
+                                        nxt = step_down(*state)
+                                        state = tuple(
+                                            jnp.where(down, n, o) for n, o in zip(nxt, state)
+                                        )
+                                    for _i in range(2):
+                                        nxt = step_up(*state)
+                                        up = (state[0] < K) & (nxt[0] + nxt[3] <= bc)
+                                        state = tuple(
+                                            jnp.where(up, n, o) for n, o in zip(nxt, state)
+                                        )
+                                    k1, c1, rc1, g1, rg1 = state
+                                    is_gap = (k1 + g1) != bc
+                                    c_sel = jnp.where(is_gap, c1 + 1, c1)
+                                    s_mn_T = mn0 + mn_i * c_sel
+                                    dn_T = (MN - s_mn_T) * mn_i
+
+                                    bc2 = jnp.clip(T_band + 1, 0, hK)
+                                    nxt = step_up(k1, c1, rc1, g1, rg1)
+                                    take2 = (k1 < K) & (nxt[0] + nxt[3] <= bc2)
+                                    k2 = jnp.where(take2, nxt[0], k1)
+                                    c2 = jnp.where(take2, nxt[1], c1)
+                                    g2 = jnp.where(take2, nxt[3], g1)
+                                    is_gap2 = (k2 + g2) != bc2
+                                    c_sel2 = jnp.where(is_gap2, c2 + 1, c2)
+                                    s_mn_N = mn0 + mn_i * c_sel2
+                                    dn_N = (MN - s_mn_N) * mn_i
+
+                                    add = needs_exact & (
+                                        (ownerT_ok & (dn_T >= 0))
+                                        | (~ownerT_ok & (dn_N <= 0))
+                                    )
+                                    alpha2 = jnp.where(add, opacity * op, 0.0)
+                                    cur2 = pending_ref[pl.ds(r0, RB), col0 : col0 + 128]
+                                    pending_ref[pl.ds(r0, RB), col0 : col0 + 128] = jnp.fmax(
+                                        cur2, alpha2
+                                    )
+
+                                return
+
                             bc = jnp.clip(T_band, 0, hK)
                             k = jnp.clip((bc.astype(jnp.float32) * ratio).astype(jnp.int32), 0, K)
                             two_mn = 2 * mn_d
@@ -643,6 +752,10 @@ def make_render_kernel(ts: int):
         @pl.when(kind == KIND_STROKE_SOLID)
         def _stroke_solid():
             stroke_impl(True)
+
+        @pl.when(kind == KIND_STROKE_SOLID_WIDE)
+        def _stroke_solid_wide():
+            stroke_impl(True, wide=True)
 
         # ------------------------- blend -------------------------
         @pl.when(last_s[tc] == 1)

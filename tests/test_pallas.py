@@ -113,3 +113,39 @@ def test_packed_stream_matches_oracle():
     got = np.asarray(RP.render_batch_pallas(pb, canvas, 256, 1, True))[0]
     diff = np.abs(want.astype(int) - got.astype(int))
     assert diff.max() <= 1
+
+
+@pytest.mark.parametrize("seed", [3, 11, 29])
+def test_pallas_fuzz_scenes(seed):
+    """Randomized scenes through the packed pallas pipeline vs oracle."""
+    rng = np.random.default_rng(seed)
+    dash_choices = [None, [6.0, 3.0], [2.0, 2.0], [10.0, 4.0, 2.0, 4.0]]
+    prims_oracle, prims_dev = [], []
+    for _ in range(int(rng.integers(3, 8))):
+        edges = make_polygon(rng)
+        c = rand_color(rng)
+        op = float(rng.choice([1.0, 0.7]))
+        prims_oracle.append({"kind": "fill", "edges": edges, "color": c, "opacity": op})
+        prims_dev.append(P.FillPrim(kind="fill", color=c, opacity=op, edges=edges))
+    for _ in range(int(rng.integers(3, 8))):
+        pairs = make_polyline(rng)
+        c = rand_color(rng)
+        cap = int(rng.choice([LINE_CAP_BUTT, LINE_CAP_ROUND, LINE_CAP_SQUARE]))
+        dashes = dash_choices[int(rng.integers(0, len(dash_choices)))]
+        w = float(rng.choice([0.5, 1.0, 2.4, 3.0, 6.5, 11.0]))
+        prims_oracle.append(
+            {"kind": "stroke", "pairs": pairs, "color": c, "opacity": 1.0,
+             "width": w, "dashes": dashes, "cap": cap, "use_caps_for_dashes": True}
+        )
+        prims_dev.append(P.make_stroke_prim(pairs, w, c, 1.0, dashes, cap, True))
+
+    want = oracle_render(prims_oracle)
+    profiles = P.ProfileTable()
+    stream = P.stream_tile_packed(prims_dev, profiles, RP.CH)
+    pb = RP.build_pallas_batch([stream], profiles, 256)
+    pb = RP.PallasBatch(*(jnp.asarray(x) for x in pb))
+    canvas = jnp.array([c / 255.0 for c in CANVAS], dtype=jnp.float32)
+    got = np.asarray(RP.render_batch_pallas(pb, canvas, 256, 1, True))[0]
+    diff = np.abs(want.astype(int) - got.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 2e-3
