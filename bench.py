@@ -116,6 +116,37 @@ def main():
     dev_dt = (time.perf_counter() - t0) / reps
     dev_tps = len(tiles_entities) / dev_dt
 
+    # Secondary config: z12-z17 pyramid sweep over the whole extract
+    # (BASELINE.json configs 2/5), one batch per zoom.
+    pyramid = {}
+    for zoom in range(12, 18):
+        sh = 18 - zoom
+        zt = sorted(set(zip((reader.tiles["x"] >> sh).tolist(),
+                            (reader.tiles["y"] >> sh).tolist())))
+        zte = [
+            (reader.get_entities_in_tile_with_neighbors(Tile(zoom, x, y)), Tile(zoom, x, y))
+            for x, y in zt
+        ]
+        try:
+            zprep = dev.prepare(zte, 1)
+        except ValueError:
+            continue
+        zout = dev.render_prepared(zprep)
+        zout.block_until_ready()
+        zreps = 4
+        zpreps = []
+        for i in range(zreps):
+            color = np.asarray(zprep.batch.color) * (1.0 - 1e-4 * (i + 1))
+            zpreps.append(
+                zprep._replace(batch=zprep.batch._replace(color=jnp.asarray(color)))
+            )
+        jax.block_until_ready([p.batch.color for p in zpreps])
+        t0 = time.perf_counter()
+        zouts = [dev.render_prepared(p) for p in zpreps]
+        jax.block_until_ready(zouts)
+        zdt = (time.perf_counter() - t0) / zreps
+        pyramid[f"z{zoom}"] = round(len(zte) / zdt, 1)
+
     # End-to-end (assembly amortized across repeated renders of a live
     # server is near-zero since styled tiles are cached; report raw
     # device throughput as the headline, assembly separately).
@@ -131,6 +162,7 @@ def main():
             "cpu_cores": os.cpu_count(),
             "device_ms_per_batch": round(dev_dt * 1e3, 2),
             "assembly_ms_per_batch": round(assembly_dt * 1e3, 2),
+            "pyramid_tiles_per_sec": pyramid,
         },
     }
     print(json.dumps(result))
