@@ -40,7 +40,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 CH = 128          # geometry slots per chunk (= TPU lane width)
-RB = 32           # rows per processing block
+RB = 32           # rows per stroke processing block
+RB_F = 32         # rows per fill/blend processing block (= RB; finer was scalar-bound)
 DS = 4            # dash-profile rows per profile
 
 KIND_PAD = 0
@@ -130,8 +131,8 @@ def build_pallas_batch(tile_streams, profiles, ts: int) -> PallasBatch:
                 yhi = (g[:, [1, 3]].max() + m) if n else 0
             ylo = int(max(min(ylo, ts - 1), 0))
             yhi = int(max(min(yhi, ts - 1), 0))
-            b0 = ylo // RB
-            nblocks = yhi // RB - b0 + 1 if n else 0
+            b0 = ylo // RB_F
+            nblocks = yhi // RB_F - b0 + 1 if n else 0
             chunk_meta.append((b0, nblocks))
 
         prim_rows = {}
@@ -278,6 +279,7 @@ def make_render_kernel(ts: int):
 
         xs_half = lax.broadcasted_iota(jnp.int32, (RB, 128), 1)
         rows_half = lax.broadcasted_iota(jnp.int32, (RB, 128), 0)
+        xs_half_f = lax.broadcasted_iota(jnp.int32, (RB_F, 128), 1)
         n_halves = ts // 128
 
         # ------------------------- fills -------------------------
@@ -324,14 +326,14 @@ def make_render_kernel(ts: int):
             xhi_all = jnp.max(jnp.where(valid, jnp.maximum(x1, x2), jnp.int32(-(1 << 28))))
 
             def row_block(blk, _):
-                r0 = (y0 + blk) * RB
-                rows_ch = r0 + lax.broadcasted_iota(jnp.int32, (RB, CH), 0)
+                r0 = (y0 + blk) * RB_F
+                rows_ch = r0 + lax.broadcasted_iota(jnp.int32, (RB_F, CH), 0)
                 act_all = (rows_ch > ytop) & (rows_ch <= ybot) & valid
                 a_all, _b_all = span_at(rows_ch, x1, ey1, adx, ady, sx, steep)
                 a_all = jnp.where(act_all, a_all, big)
-                lane_rb = lax.broadcasted_iota(jnp.int32, (RB, CH), 1)
+                lane_rb = lax.broadcasted_iota(jnp.int32, (RB_F, CH), 1)
 
-                rows_col = r0 + lax.broadcasted_iota(jnp.int32, (RB, 1), 0)
+                rows_col = r0 + lax.broadcasted_iota(jnp.int32, (RB_F, 1), 0)
                 n_active = act_all.astype(jnp.int32).sum(axis=1, keepdims=True)
                 odd_n = (n_active % 2) == 1
 
@@ -340,7 +342,7 @@ def make_render_kernel(ts: int):
 
                     @pl.when((xlo_all < col0 + 128) & (xhi_all >= col0))
                     def _do_half(col0=col0):
-                        xs_l = col0 + xs_half
+                        xs_l = col0 + xs_half_f
 
                         def edge_step(e, _):
                             ex1 = geom_smem[0, e]
@@ -350,7 +352,7 @@ def make_render_kernel(ts: int):
                             etop = jnp.minimum(eey1, eey2)
                             ebot = jnp.maximum(eey1, eey2)
 
-                            @pl.when((ebot >= r0) & (etop < r0 + RB - 1))
+                            @pl.when((ebot >= r0) & (etop < r0 + RB_F - 1))
                             def _do_edge():
                                 eadx = jnp.abs(ex2 - ex1)
                                 eady = jnp.abs(eey2 - eey1)
@@ -367,25 +369,25 @@ def make_render_kernel(ts: int):
                                 odd_e = act_e & ((rank_e % 2) == 1)
 
                                 ge = xs_l >= a_em
-                                n_ref[:, :128] = n_ref[:, :128] + (act_e & ge).astype(jnp.int32)
-                                tail_ref[:, :128] = tail_ref[:, :128] | (
+                                n_ref[:RB_F, :128] = n_ref[:RB_F, :128] + (act_e & ge).astype(jnp.int32)
+                                tail_ref[:RB_F, :128] = tail_ref[:RB_F, :128] | (
                                     odd_e & ge & (xs_l <= b_e)
                                 ).astype(jnp.int32)
 
                             return 0
 
-                        n_ref[:, :128] = jnp.zeros((RB, 128), jnp.int32)
-                        tail_ref[:, :128] = jnp.zeros((RB, 128), jnp.int32)
+                        n_ref[:RB_F, :128] = jnp.zeros((RB_F, 128), jnp.int32)
+                        tail_ref[:RB_F, :128] = jnp.zeros((RB_F, 128), jnp.int32)
                         lax.fori_loop(0, cnt, edge_step, 0)
-                        N = n_ref[:, :128]
-                        tail = tail_ref[:, :128] != 0
+                        N = n_ref[:RB_F, :128]
+                        tail = tail_ref[:RB_F, :128] != 0
 
                         parity = ((N % 2) == 1) & ~((N == n_active) & odd_n)
                         filled = parity | tail
                         alpha = jnp.where(filled, opacity, 0.0).astype(jnp.float32)
 
-                        cur = pending_ref[pl.ds(r0, RB), col0 : col0 + 128]
-                        pending_ref[pl.ds(r0, RB), col0 : col0 + 128] = jnp.fmax(cur, alpha)
+                        cur = pending_ref[pl.ds(r0, RB_F), col0 : col0 + 128]
+                        pending_ref[pl.ds(r0, RB_F), col0 : col0 + 128] = jnp.fmax(cur, alpha)
 
                 return 0
 
@@ -767,14 +769,14 @@ def make_render_kernel(ts: int):
             pn = prim_nb_s[tc]
 
             def blend_block(b, _):
-                r0 = (p0 + b) * RB
-                a = pending_ref[pl.ds(r0, RB), :]
+                r0 = (p0 + b) * RB_F
+                a = pending_ref[pl.ds(r0, RB_F), :]
                 keep = 1.0 - a
-                out_ref[0, 0, pl.ds(r0, RB), :] = a * cr + keep * out_ref[0, 0, pl.ds(r0, RB), :]
-                out_ref[0, 1, pl.ds(r0, RB), :] = a * cg + keep * out_ref[0, 1, pl.ds(r0, RB), :]
-                out_ref[0, 2, pl.ds(r0, RB), :] = a * cb + keep * out_ref[0, 2, pl.ds(r0, RB), :]
-                out_ref[0, 3, pl.ds(r0, RB), :] = a + keep * out_ref[0, 3, pl.ds(r0, RB), :]
-                pending_ref[pl.ds(r0, RB), :] = jnp.zeros((RB, ts), jnp.float32)
+                out_ref[0, 0, pl.ds(r0, RB_F), :] = a * cr + keep * out_ref[0, 0, pl.ds(r0, RB_F), :]
+                out_ref[0, 1, pl.ds(r0, RB_F), :] = a * cg + keep * out_ref[0, 1, pl.ds(r0, RB_F), :]
+                out_ref[0, 2, pl.ds(r0, RB_F), :] = a * cb + keep * out_ref[0, 2, pl.ds(r0, RB_F), :]
+                out_ref[0, 3, pl.ds(r0, RB_F), :] = a + keep * out_ref[0, 3, pl.ds(r0, RB_F), :]
+                pending_ref[pl.ds(r0, RB_F), :] = jnp.zeros((RB_F, ts), jnp.float32)
                 return 0
 
             lax.fori_loop(0, pn, blend_block, 0)
