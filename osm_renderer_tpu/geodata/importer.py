@@ -211,18 +211,44 @@ def parse_osm_xml(path: str) -> EntityStorages:
 
 
 def parse_pbf(path: str) -> EntityStorages:
-    """PBF import (reference: `importer.rs:89-184`, feature-gated there too).
+    """PBF import with the reference's semantics (`importer.rs:89-184`),
+    via the dependency-free decoder in `geodata/pbf.py`."""
+    from osm_renderer_tpu.geodata.pbf import (
+        MEMBER_WAY,
+        PbfNode,
+        PbfRelation,
+        PbfWay,
+        iter_entities,
+    )
 
-    Requires the optional `osmium` package; raises a clear error if absent.
-    """
-    try:
-        import osmium  # noqa: F401
-    except ImportError as e:  # pragma: no cover
-        raise RuntimeError(
-            "PBF import requires the 'osmium' package, which is not installed. "
-            "Convert the input to OSM XML instead (e.g. `osmium cat in.pbf -o out.osm`)."
-        ) from e
-    raise NotImplementedError("PBF import not yet wired up")  # pragma: no cover
+    storages = EntityStorages()
+    elem_count = 0
+    print("Parsing PBF")
+    for el in iter_entities(path):
+        if isinstance(el, PbfNode):
+            node = RawNode(global_id=el.id, lat=el.lat, lon=el.lon, tags=dict(el.tags))
+            storages.node_storage.add(node.global_id, node)
+        elif isinstance(el, PbfWay):
+            way = RawWay(global_id=el.id, tags=dict(el.tags))
+            for r in el.refs:
+                local = storages.node_storage.translate_id(r)
+                if local is not None:
+                    way.node_ids.append(local)
+            way.node_ids = postprocess_node_refs(way.node_ids)
+            storages.way_storage.add(way.global_id, way)
+        elif isinstance(el, PbfRelation):
+            way_refs = []
+            for mtype, mid, role in el.members:
+                if mtype == MEMBER_WAY:
+                    local = storages.way_storage.translate_id(mid)
+                    if local is not None:
+                        way_refs.append((local, role == "inner"))
+            _finish_relation(el.id, dict(el.tags), way_refs, storages)
+        elem_count += 1
+        if elem_count % 100_000 == 0:
+            _print_storage_stats(storages)
+    _print_storage_stats(storages)
+    return storages
 
 
 def import_osm(input_path: str, output_path: str) -> None:
