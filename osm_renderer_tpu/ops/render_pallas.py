@@ -59,6 +59,7 @@ class PallasBatch(NamedTuple):
     geom: np.ndarray        # (Ctot, 4, CH) int32
     traveled: np.ndarray    # (Ctot, 1, CH) f32
     seg_prof: np.ndarray    # (Ctot, 1, CH) int32
+    seg_aux: np.ndarray     # (Ctot, 4, CH) f32: inv_denom, ratio, hK, spare
     tile_id: np.ndarray     # (Ctot,) int32
     first: np.ndarray       # (Ctot,) int32
     kind: np.ndarray        # (Ctot,) int32
@@ -94,6 +95,7 @@ def build_pallas_batch(tile_streams, profiles, ts: int) -> PallasBatch:
     geom = np.zeros((Ctot, 4, CH), dtype=np.int32)
     trav = np.zeros((Ctot, 1, CH), dtype=np.float32)
     sprof = np.zeros((Ctot, 1, CH), dtype=np.int32)
+    aux = np.zeros((Ctot, 4, CH), dtype=np.float32)
     tile_id = np.full((Ctot,), max(T - 1, 0), dtype=np.int32)
     first = np.zeros((Ctot,), dtype=np.int32)
     kind = np.zeros((Ctot,), dtype=np.int32)
@@ -167,6 +169,23 @@ def build_pallas_batch(tile_streams, profiles, ts: int) -> PallasBatch:
                 geom[o, :, :n] = g.T.astype(np.int32)
                 trav[o, 0, :n] = s.traveled[ci]
                 sprof[o, 0, :n] = s.profile[ci]
+                if s.chunk_kind[ci] == KIND_STROKE:
+                    # Host-precomputed per-segment scalars (exact in f32
+                    # under the coordinate bound): 1/|d|, the staircase
+                    # inversion ratio, and h(K) = K + g(K).
+                    gi = g.astype(np.int64)
+                    dx = np.abs(gi[:, 2] - gi[:, 0])
+                    dy = np.abs(gi[:, 3] - gi[:, 1])
+                    mn = np.minimum(dx, dy)
+                    mx = np.maximum(np.maximum(dx, dy), 1)
+                    den = np.sqrt((dx * dx + dy * dy).astype(np.float32))
+                    aux[o, 0, :n] = np.where(den > 0, 1.0 / np.maximum(den, 1e-9), 0.0)
+                    aux[o, 1, :n] = (mx * mx).astype(np.float32) / (
+                        (mx * mx + mn * mn).astype(np.float32)
+                    )
+                    cK = (2 * mx * mn + mx - 1) // (2 * mx)
+                    gK = (2 * cK * mn + mx - 1) // (2 * mx)
+                    aux[o, 2, :n] = (mx + gK).astype(np.float32)
                 if kind[o] == KIND_STROKE and not np.any(np.asarray(s.profile[ci])[:n]):
                     # Wide solid strokes (hw >= 1.25) can skip the
                     # perpendicular-owner aliveness machinery entirely:
@@ -180,7 +199,7 @@ def build_pallas_batch(tile_streams, profiles, ts: int) -> PallasBatch:
 
     prof_rows, prof_totals = profiles.arrays(np.float32)
     return PallasBatch(
-        geom, trav, sprof, tile_id, first, kind, cnt, last, y0, nb,
+        geom, trav, sprof, aux, tile_id, first, kind, cnt, last, y0, nb,
         prim_y0, prim_nb, color, opacity, hw, prof_rows, prof_totals,
     )
 
@@ -228,9 +247,10 @@ def make_render_kernel(ts: int):
         color_r_s, color_g_s, color_b_s, opacity_s, hw_s,
         prof_s, prof_total_s, canvas_s,
         # tensor inputs (VMEM blocks)
-        geom_ref,      # (1, 1, 4, CH) int32
-        trav_ref,      # (1, 1, 1, CH) f32
-        sprof_ref,     # (1, 1, 1, CH) int32
+        geom_ref,      # (1, 4, CH) int32
+        trav_ref,      # (1, 1, CH) f32
+        sprof_ref,     # (1, 1, CH) int32
+        aux_ref,       # (1, 4, CH) f32
         # outputs
         out_ref,       # (1, 4, ts, ts) f32
         # scratch
@@ -240,7 +260,8 @@ def make_render_kernel(ts: int):
         geom_smem,     # SMEM (4, CH) int32
         trav_smem,     # SMEM (1, CH) f32
         sprof_smem,    # SMEM (1, CH) int32
-        dma_sems,      # DMA semaphores (3,)
+        aux_smem,      # SMEM (4, CH) f32
+        dma_sems,      # DMA semaphores (4,)
     ):
         tc = pl.program_id(0)
 
@@ -265,6 +286,12 @@ def make_render_kernel(ts: int):
             cp0 = pltpu.make_async_copy(geom_ref.at[0], geom_smem, dma_sems.at[0])
             cp0.start()
             cp0.wait()
+
+        @pl.when(kind >= KIND_STROKE)
+        def _stage_aux():
+            cp3 = pltpu.make_async_copy(aux_ref.at[0], aux_smem, dma_sems.at[3])
+            cp3.start()
+            cp3.wait()
 
         @pl.when(kind == KIND_STROKE)
         def _stage_stroke_aux():
@@ -417,8 +444,7 @@ def make_render_kernel(ts: int):
                 nc = p2x * p1y - p2y * p1x
                 sdx = p2x - p1x
                 sdy = p2y - p1y
-                denom = jnp.sqrt((dxs * dxs + dys * dys).astype(jnp.float32))
-                inv_denom = 1.0 / denom
+                inv_denom = aux_smem[0, sg]
 
                 if solid:
                     feather_to = jnp.fmax(hw + 0.5, 1.0)
@@ -489,17 +515,9 @@ def make_render_kernel(ts: int):
                         _, alive = stroke_opacity(cd_s, sd_s)
                         return alive
 
-                mxmx = (mx_d * mx_d).astype(jnp.float32)
-                ratio = mxmx / (mxmx + (mn_d * mn_d).astype(jnp.float32))
-
-                def c_of(k):
-                    return _floor_div_f(2 * k * mn_d + mx_d - 1, two_mx_f, two_mx)
-
-                def h_of(k):
-                    return k + _floor_div_f(2 * c_of(k) * mn_d + mx_d - 1, two_mx_f, two_mx)
-
+                ratio = aux_smem[1, sg]
                 K = mx_d
-                hK = h_of(K)
+                hK = aux_smem[2, sg].astype(jnp.int32)
 
                 ylo = jnp.maximum(
                     jnp.minimum(p1y, p2y) - (jnp.ceil(hw).astype(jnp.int32) + 2), 0
@@ -805,6 +823,7 @@ def render_batch_pallas(batch_arrays, canvas_rgb, ts: int, n_tiles: int, interpr
             pl.BlockSpec((1, 4, CH), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, 1, CH), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, 1, CH), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 4, CH), lambda i, *_: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
             (1, 4, ts, ts), lambda i, tile_s, *_: (tile_s[i], 0, 0, 0)
@@ -816,7 +835,8 @@ def render_batch_pallas(batch_arrays, canvas_rgb, ts: int, n_tiles: int, interpr
             pltpu.SMEM((4, CH), jnp.int32),
             pltpu.SMEM((1, CH), jnp.float32),
             pltpu.SMEM((1, CH), jnp.int32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SMEM((4, CH), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
 
@@ -831,7 +851,7 @@ def render_batch_pallas(batch_arrays, canvas_rgb, ts: int, n_tiles: int, interpr
         f32(b.color[:, 0]), f32(b.color[:, 1]), f32(b.color[:, 2]),
         f32(b.opacity), f32(b.hw),
         prof_flat, prof_total, canvas,
-        b.geom, b.traveled, b.seg_prof,
+        b.geom, b.traveled, b.seg_prof, b.seg_aux,
     )
 
     a = out[:, 3]
