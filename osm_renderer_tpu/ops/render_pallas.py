@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 CH = 128          # geometry slots per chunk (= TPU lane width)
 RB = 32           # rows per stroke processing block
-RB_F = 32         # rows per fill/blend processing block (= RB; finer was scalar-bound)
+RB_F = 32         # rows per fill/blend processing block
 DS = 4            # dash-profile rows per profile
 
 KIND_PAD = 0
@@ -830,8 +830,8 @@ def render_batch_pallas(batch_arrays, canvas_rgb, ts: int, n_tiles: int, interpr
         ),
         scratch_shapes=[
             pltpu.VMEM((ts, ts), jnp.float32),
-            pltpu.VMEM((RB, ts), jnp.int32),
-            pltpu.VMEM((RB, ts), jnp.int32),
+            pltpu.VMEM((RB_F, ts), jnp.int32),
+            pltpu.VMEM((RB_F, ts), jnp.int32),
             pltpu.SMEM((4, CH), jnp.int32),
             pltpu.SMEM((1, CH), jnp.float32),
             pltpu.SMEM((1, CH), jnp.int32),
