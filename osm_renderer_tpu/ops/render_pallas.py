@@ -348,17 +348,20 @@ def make_render_kernel(ts: int):
                 b = jnp.where(steepv, steep_x, jnp.maximum(lo, hi))
                 return a, b
 
-            # Chunk x-range for column culling (beyond it nothing fills).
-            xlo_all = jnp.min(jnp.where(valid, jnp.minimum(x1, x2), jnp.int32(1 << 28)))
-            xhi_all = jnp.max(jnp.where(valid, jnp.maximum(x1, x2), jnp.int32(-(1 << 28))))
-
             def row_block(blk, _):
                 r0 = (y0 + blk) * RB_F
                 rows_ch = r0 + lax.broadcasted_iota(jnp.int32, (RB_F, CH), 0)
                 act_all = (rows_ch > ytop) & (rows_ch <= ybot) & valid
-                a_all, _b_all = span_at(rows_ch, x1, ey1, adx, ady, sx, steep)
+                a_all, b_all = span_at(rows_ch, x1, ey1, adx, ady, sx, steep)
                 a_all = jnp.where(act_all, a_all, big)
                 lane_rb = lax.broadcasted_iota(jnp.int32, (RB_F, CH), 1)
+
+                # Row-block x-range: left of every span start N == 0 and
+                # right of every span end N == n_active, so `filled` is
+                # false outside [xlo_blk, xhi_blk] — cull halves tighter
+                # than the chunk-wide bbox.
+                xlo_blk = jnp.min(a_all)
+                xhi_blk = jnp.max(jnp.where(act_all, b_all, -big))
 
                 rows_col = r0 + lax.broadcasted_iota(jnp.int32, (RB_F, 1), 0)
                 n_active = act_all.astype(jnp.int32).sum(axis=1, keepdims=True)
@@ -367,7 +370,7 @@ def make_render_kernel(ts: int):
                 for half in range(n_halves):
                     col0 = half * 128
 
-                    @pl.when((xlo_all < col0 + 128) & (xhi_all >= col0))
+                    @pl.when((xlo_blk < col0 + 128) & (xhi_blk >= col0))
                     def _do_half(col0=col0):
                         xs_l = col0 + xs_half_f
 
