@@ -82,6 +82,74 @@ def _is_closed_loops(p) -> bool:
     return bool(np.all(g[ring_starts, :2] == g[ring_ends, 2:]))
 
 
+def _precompute_pack_attrs(prims: List[object]):
+    """Vectorized `_bbox` + `_is_closed_loops` over the whole prim list.
+
+    One concatenate + `reduceat` sweep replaces per-prim numpy reductions
+    (which dominate host assembly time on dense tiles).  Results match
+    the scalar helpers exactly; those remain as the executable spec."""
+    n = len(prims)
+    is_fill = np.fromiter((isinstance(p, FillPrim) for p in prims), bool, n)
+    geoms = [(p.edges if isinstance(p, FillPrim) else p.segs) for p in prims]
+    lens = np.fromiter((g.shape[0] for g in geoms), np.int64, n)
+    total = int(lens.sum())
+    bboxes: List[Optional[Tuple[int, int, int, int]]] = [None] * n
+    closed = np.where(is_fill, False, True)
+    if total == 0:
+        return lens, bboxes, closed
+
+    margins = np.fromiter(
+        (
+            0 if isinstance(p, FillPrim) else int(np.ceil(p.half_width)) + 2
+            for p in prims
+        ),
+        np.int64,
+        n,
+    )
+    allg = np.concatenate([g for g in geoms if g.shape[0]], axis=0)
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    nz = lens > 0
+    starts_nz = offs[:-1][nz]
+
+    xlo = np.minimum(allg[:, 0], allg[:, 2])
+    xhi = np.maximum(allg[:, 0], allg[:, 2])
+    ylo = np.minimum(allg[:, 1], allg[:, 3])
+    yhi = np.maximum(allg[:, 1], allg[:, 3])
+    m_nz = margins[nz]
+    box_arr = np.stack(
+        [
+            np.minimum.reduceat(xlo, starts_nz) - m_nz,
+            np.maximum.reduceat(xhi, starts_nz) + m_nz,
+            np.minimum.reduceat(ylo, starts_nz) - m_nz,
+            np.maximum.reduceat(yhi, starts_nz) + m_nz,
+        ],
+        axis=1,
+    ).tolist()
+    for k, i in enumerate(np.flatnonzero(nz)):
+        bboxes[i] = tuple(box_arr[k])
+
+    # Closed-loop check: chain continuity broken at prim boundaries, then
+    # every chained run must close back on its start.
+    N = allg.shape[0]
+    cont = (
+        np.all(allg[:-1, 2:] == allg[1:, :2], axis=1)
+        if N > 1
+        else np.zeros(0, bool)
+    )
+    b = offs[1:-1]
+    b = b[(b >= 1) & (b <= N - 1)]
+    cont[b - 1] = False
+    ring_starts = np.concatenate(([0], np.flatnonzero(~cont) + 1))
+    ring_ends = np.concatenate((ring_starts[1:] - 1, [N - 1]))
+    ring_closed = np.all(allg[ring_starts, :2] == allg[ring_ends, 2:], axis=1)
+    prim_of_ring = np.searchsorted(offs[1:], ring_starts, side="right")
+    all_rings_closed = np.ones(n, bool)
+    np.logical_and.at(all_rings_closed, prim_of_ring, ring_closed)
+    closed = np.where(is_fill, all_rings_closed & nz, True)
+    return lens, bboxes, closed
+
+
 class _Pack:
     __slots__ = ("prims", "bboxes", "count")
 
@@ -90,15 +158,15 @@ class _Pack:
         self.bboxes = []
         self.count = 0
 
-    def fits(self, p, bb, capacity: int) -> bool:
-        if self.count + _geom_count(p) > capacity:
+    def fits(self, cnt: int, bb, capacity: int) -> bool:
+        if self.count + cnt > capacity:
             return False
         return all(_disjoint(bb, other) for other in self.bboxes)
 
-    def add(self, p, bb) -> None:
+    def add(self, p, cnt: int, bb) -> None:
         self.prims.append(p)
         self.bboxes.append(bb)
-        self.count += _geom_count(p)
+        self.count += cnt
 
 
 def pack_prims(prims: List[object], capacity: int) -> List[List[object]]:
@@ -107,48 +175,50 @@ def pack_prims(prims: List[object], capacity: int) -> List[List[object]]:
     Oversize primitives (> capacity geometry) are returned as singleton
     groups and handled by the caller's chunk splitting.
     """
+    lens, bboxes, closed = _precompute_pack_attrs(prims)
     groups: List[List[object]] = []
     i = 0
     n = len(prims)
     while i < n:
         key = _style_key(prims[i])
         j = i
-        run = []
         while j < n and _style_key(prims[j]) == key:
-            run.append(prims[j])
             j += 1
 
-        packable = [
-            p for p in run
-            if _geom_count(p) <= capacity
-            and _is_closed_loops(p)
-            and getattr(p, "fill_image", None) is None
-        ]
-        packable_ids = {id(p) for p in packable}
-        big = [p for p in run if id(p) not in packable_ids]
-        small = packable
+        small = []
+        big = []
+        for k in range(i, j):
+            if (
+                lens[k] <= capacity
+                and closed[k]
+                and getattr(prims[k], "fill_image", None) is None
+            ):
+                small.append(k)
+            else:
+                big.append(k)
 
-        # Compute bboxes once; spatial sort improves row-block locality.
-        with_bb = [(p, _bbox(p)) for p in small]
-        with_bb = [(p, bb) for p, bb in with_bb if bb is not None]
-        with_bb.sort(key=lambda pb: (pb[1][2] // 64, pb[1][0]))
+        # Spatial sort improves row-block locality.
+        with_bb = [k for k in small if bboxes[k] is not None]
+        with_bb.sort(key=lambda k: (bboxes[k][2] // 64, bboxes[k][0]))
 
         packs: List[_Pack] = []
-        for p, bb in with_bb:
+        for k in with_bb:
+            bb = bboxes[k]
+            cnt = int(lens[k])
             placed = False
             for pack in packs:
-                if pack.fits(p, bb, capacity):
-                    pack.add(p, bb)
+                if pack.fits(cnt, bb, capacity):
+                    pack.add(prims[k], cnt, bb)
                     placed = True
                     break
             if not placed:
                 pack = _Pack()
-                pack.add(p, bb)
+                pack.add(prims[k], cnt, bb)
                 packs.append(pack)
 
         for pack in packs:
             groups.append(pack.prims)
-        for p in big:
-            groups.append([p])
+        for k in big:
+            groups.append([prims[k]])
         i = j
     return groups

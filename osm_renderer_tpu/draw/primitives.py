@@ -132,35 +132,42 @@ def make_stroke_prim(
 
     segs_arr = pairs[nondeg]
     travs_arr = trav_before[nondeg]
-    segs = list(map(tuple, segs_arr.tolist()))
-    travs = travs_arr.tolist()
-    outers = [False] * len(segs)
 
+    cap_rows = []
     if has_caps and n:
         if nondeg[0]:
             p1 = (int(pairs[0, 0]), int(pairs[0, 1]))
             p2 = (int(pairs[0, 2]), int(pairs[0, 3]))
             ce = _push_away_from(p1, p2, hw)
             if ce != p1:
-                segs.append((*p1, *ce))
-                travs.append(0.0)
-                outers.append(True)
+                cap_rows.append((*p1, *ce))
         if nondeg[-1]:
             p1 = (int(pairs[-1, 0]), int(pairs[-1, 1]))
             p2 = (int(pairs[-1, 2]), int(pairs[-1, 3]))
             ce = _push_away_from(p2, p1, hw)
             if ce != p2:
-                segs.append((*p2, *ce))
-                travs.append(0.0)
-                outers.append(True)
+                cap_rows.append((*p2, *ce))
+    nb = segs_arr.shape[0]
+    if cap_rows:
+        segs_out = np.concatenate(
+            [segs_arr, np.asarray(cap_rows, dtype=np.int64)], axis=0
+        )
+        travs_out = np.concatenate([travs_arr, np.zeros(len(cap_rows))])
+        outer_out = np.concatenate(
+            [np.zeros(nb, dtype=bool), np.ones(len(cap_rows), dtype=bool)]
+        )
+    else:
+        segs_out = segs_arr
+        travs_out = travs_arr
+        outer_out = np.zeros(nb, dtype=bool)
     return StrokePrim(
         kind="stroke",
         color=color,
         opacity=opacity,
         half_width=hw,
-        segs=np.asarray(segs, dtype=np.int64).reshape(-1, 4),
-        traveled=np.asarray(travs, dtype=np.float64),
-        outer=np.asarray(outers, dtype=bool),
+        segs=segs_out.reshape(-1, 4),
+        traveled=travs_out,
+        outer=outer_out,
         dashes=tuple(dashes) if dashes is not None else None,
         cap=cap,
         use_caps_for_dashes=use_caps_for_dashes,
