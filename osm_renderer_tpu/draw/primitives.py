@@ -75,7 +75,7 @@ class FillPrim:
     color: Optional[Tuple[int, int, int]]
     opacity: float
     edges: np.ndarray  # (E, 4)
-    fill_image: Optional[str] = None  # tiled icon fill (drawn by CPU path)
+    fill_image: Optional[str] = None  # tiled icon fill (PatternTable / oracle)
 
 
 Prim = object  # FillPrim | StrokePrim
@@ -336,6 +336,44 @@ class ProfileTable:
         )
 
 
+class PatternTable:
+    """Deduplicated tiled fill-image table for one batch.
+
+    Icons are decoded (premultiplied f64, labels/icons.py), tiled by
+    coordinate modulo to the full canvas (the reference samples
+    `icon[(y % h, x % w)]`, fill.rs:36-40), and stored as (4, ts, ts)
+    f32 channel-major planes the Pallas kernel can block-load."""
+
+    def __init__(self, icon_cache, ts: int):
+        self.icon_cache = icon_cache
+        self.ts = ts
+        self._idx: Dict[str, Optional[int]] = {}
+        self.tiles: List[np.ndarray] = []
+
+    def index_for(self, icon_name: str) -> Optional[int]:
+        """Pattern index, or None if the icon can't be loaded (the
+        reference silently draws nothing then)."""
+        if icon_name in self._idx:
+            return self._idx[icon_name]
+        icon = self.icon_cache.get(icon_name) if self.icon_cache is not None else None
+        idx: Optional[int] = None
+        if icon is not None and icon.width > 0 and icon.height > 0:
+            reps_y = -(-self.ts // icon.height)
+            reps_x = -(-self.ts // icon.width)
+            tiled = np.tile(icon.rgba, (reps_y, reps_x, 1))[: self.ts, : self.ts]
+            self.tiles.append(
+                np.ascontiguousarray(tiled.transpose(2, 0, 1).astype(np.float32))
+            )
+            idx = len(self.tiles) - 1
+        self._idx[icon_name] = idx
+        return idx
+
+    def array(self) -> np.ndarray:
+        if not self.tiles:
+            return np.zeros((1, 4, self.ts, self.ts), dtype=np.float32)
+        return np.stack(self.tiles)
+
+
 @dataclass
 class TileStream:
     """Flat per-tile chunk stream (numpy; padded/stacked by build_batch)."""
@@ -349,12 +387,16 @@ class TileStream:
     chunk_color: List[Tuple[float, float, float]] = field(default_factory=list)
     chunk_opacity: List[float] = field(default_factory=list)
     chunk_hw: List[float] = field(default_factory=list)
+    chunk_pat: List[int] = field(default_factory=list)  # fill-image index, -1 = none
     geom_len: int = 0
-    has_icon_fills: bool = False  # device path can't draw these yet
+    has_icon_fills: bool = False  # icon fills present but no PatternTable
 
 
 def stream_tile_packed(
-    prims: List[Prim], profiles: ProfileTable, chunk_size: int
+    prims: List[Prim],
+    profiles: ProfileTable,
+    chunk_size: int,
+    patterns: Optional[PatternTable] = None,
 ) -> TileStream:
     """Like stream_tile, but merges small same-style disjoint primitives
     into shared chunks (see draw/packing.py) — the occupancy win that
@@ -366,7 +408,7 @@ def stream_tile_packed(
     for group in groups:
         if len(group) == 1:
             if getattr(group[0], "fill_image", None) is not None:
-                ts.has_icon_fills = True
+                _stream_icon_fill(ts, group[0], patterns, chunk_size)
                 continue
             _stream_prim(ts, group[0], profiles, chunk_size)
             continue
@@ -391,7 +433,9 @@ def stream_tile_packed(
     return ts
 
 
-def _push_chunk(ts: TileStream, kind, geom, traveled, profile, last, color, opacity, hw):
+def _push_chunk(
+    ts: TileStream, kind, geom, traveled, profile, last, color, opacity, hw, pat=-1
+):
     ts.geom.append(geom)
     ts.traveled.append(traveled)
     ts.profile.append(profile)
@@ -402,7 +446,29 @@ def _push_chunk(ts: TileStream, kind, geom, traveled, profile, last, color, opac
     ts.chunk_color.append(tuple(c / 255.0 for c in color))
     ts.chunk_opacity.append(opacity)
     ts.chunk_hw.append(hw)
+    ts.chunk_pat.append(pat)
     ts.geom_len += geom.shape[0]
+
+
+def _stream_icon_fill(
+    ts: TileStream, prim, patterns: Optional[PatternTable], chunk_size: int
+) -> None:
+    """Tiled fill-image primitive -> KIND_FILL_IMAGE chunk (or CPU
+    fallback flag when no pattern table / oversize geometry)."""
+    edges = prim.edges
+    if edges.shape[0] == 0:
+        return
+    if patterns is None or edges.shape[0] > chunk_size:
+        ts.has_icon_fills = True
+        return
+    pidx = patterns.index_for(prim.fill_image)
+    if pidx is None:
+        # Unloadable icon: the reference draws nothing for this area.
+        return
+    z = np.zeros(edges.shape[0])
+    _push_chunk(
+        ts, 5, edges, z, z.astype(np.int64), True, (0, 0, 0), 1.0, 0.0, pat=pidx
+    )
 
 
 def _stream_prim(ts: TileStream, prim, profiles: ProfileTable, chunk_size: int) -> None:
@@ -439,20 +505,15 @@ def stream_tile(prims: List[Prim], profiles: ProfileTable, chunk_size: int) -> T
     ts = TileStream()
 
     def push_chunk(kind, geom, traveled, profile, last, color, opacity, hw):
-        ts.geom.append(geom)
-        ts.traveled.append(traveled)
-        ts.profile.append(profile)
-        ts.chunk_kind.append(kind)
-        ts.chunk_off.append(ts.geom_len)
-        ts.chunk_cnt.append(geom.shape[0])
-        ts.chunk_last.append(last)
-        ts.chunk_color.append(tuple(c / 255.0 for c in color))
-        ts.chunk_opacity.append(opacity)
-        ts.chunk_hw.append(hw)
-        ts.geom_len += geom.shape[0]
+        _push_chunk(ts, kind, geom, traveled, profile, last, color, opacity, hw)
 
     for prim in prims:
         if isinstance(prim, FillPrim):
+            if prim.fill_image is not None:
+                # The jnp backend has no pattern support; callers fall
+                # back to the CPU path for such tiles.
+                ts.has_icon_fills = True
+                continue
             edges = prim.edges
             if edges.shape[0] == 0:
                 continue

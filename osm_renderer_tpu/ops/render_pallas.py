@@ -49,6 +49,7 @@ KIND_FILL = 1
 KIND_STROKE = 2
 KIND_STROKE_SOLID = 3
 KIND_STROKE_SOLID_WIDE = 4
+KIND_FILL_IMAGE = 5
 
 
 class PallasBatch(NamedTuple):
@@ -74,15 +75,21 @@ class PallasBatch(NamedTuple):
     hw: np.ndarray          # (Ctot,) f32
     profiles: np.ndarray    # (NP, DS, 8) f32
     profile_total: np.ndarray  # (NP,) f32
+    pat: np.ndarray         # (Ctot,) int32  pattern index (-1 = plain color)
+    patterns: np.ndarray    # (NPat, 4, ts, ts) f32 premultiplied tiled icons
 
 
 def _f32_bits(x: np.ndarray) -> np.ndarray:
     return x.astype(np.float32).view(np.int32)
 
 
-def build_pallas_batch(tile_streams, profiles, ts: int) -> PallasBatch:
+def build_pallas_batch(tile_streams, profiles, ts: int, patterns=None) -> PallasBatch:
     """Convert TileStream chunk lists (chunk size <= CH) into the flat
-    chunk-aligned layout (no per-tile padding)."""
+    chunk-aligned layout (no per-tile padding).
+
+    `patterns` is an optional PatternTable (draw/primitives.py) holding
+    the batch's tiled fill-image icons; chunk kind KIND_FILL_IMAGE
+    references it by index."""
     from osm_renderer_tpu.utils.jax_setup import next_pow2
 
     T = len(tile_streams)
@@ -108,6 +115,7 @@ def build_pallas_batch(tile_streams, profiles, ts: int) -> PallasBatch:
     color = np.zeros((Ctot, 3), dtype=np.float32)
     opacity = np.zeros((Ctot,), dtype=np.float32)
     hw = np.zeros((Ctot,), dtype=np.float32)
+    pat = np.full((Ctot,), -1, dtype=np.int32)
 
     ci_out = 0
     for t, s in enumerate(tile_streams):
@@ -124,7 +132,7 @@ def build_pallas_batch(tile_streams, profiles, ts: int) -> PallasBatch:
             k = s.chunk_kind[ci]
             n = g.shape[0]
             assert n <= CH, f"chunk of {n} exceeds CH={CH}"
-            if k == 1:
+            if k in (KIND_FILL, KIND_FILL_IMAGE):
                 ylo = g[:, [1, 3]].min() if n else 0
                 yhi = g[:, [1, 3]].max() if n else 0
             else:
@@ -165,6 +173,7 @@ def build_pallas_batch(tile_streams, profiles, ts: int) -> PallasBatch:
             color[o] = s.chunk_color[ci]
             opacity[o] = s.chunk_opacity[ci]
             hw[o] = s.chunk_hw[ci]
+            pat[o] = s.chunk_pat[ci]
             if n:
                 geom[o, :, :n] = g.T.astype(np.int32)
                 trav[o, 0, :n] = s.traveled[ci]
@@ -198,9 +207,14 @@ def build_pallas_batch(tile_streams, profiles, ts: int) -> PallasBatch:
             ci_out += 1
 
     prof_rows, prof_totals = profiles.arrays(np.float32)
+    if patterns is not None and patterns.tiles:
+        pat_arr = patterns.array()
+    else:
+        pat_arr = np.zeros((1, 4, ts, ts), dtype=np.float32)
     return PallasBatch(
         geom, trav, sprof, aux, tile_id, first, kind, cnt, last, y0, nb,
         prim_y0, prim_nb, color, opacity, hw, prof_rows, prof_totals,
+        pat, pat_arr,
     )
 
 
@@ -245,12 +259,13 @@ def make_render_kernel(ts: int):
         tile_s, first_s, kind_s, cnt_s, last_s, y0_s, nb_s,
         prim_y0_s, prim_nb_s,
         color_r_s, color_g_s, color_b_s, opacity_s, hw_s,
-        prof_s, prof_total_s, canvas_s,
+        prof_s, prof_total_s, canvas_s, pat_s,
         # tensor inputs (VMEM blocks)
         geom_ref,      # (1, 4, CH) int32
         trav_ref,      # (1, 1, CH) f32
         sprof_ref,     # (1, 1, CH) int32
         aux_ref,       # (1, 4, CH) f32
+        pat_ref,       # (1, 4, ts, ts) f32 tiled premultiplied fill icon
         # outputs
         out_ref,       # (1, 4, ts, ts) f32
         # scratch
@@ -310,7 +325,7 @@ def make_render_kernel(ts: int):
         n_halves = ts // 128
 
         # ------------------------- fills -------------------------
-        @pl.when(kind == KIND_FILL)
+        @pl.when((kind == KIND_FILL) | (kind == KIND_FILL_IMAGE))
         def _fill():
             # Per-edge scalars as (1, CH) lane vectors.
             x1 = geom_ref[0, 0, :].reshape(1, CH)
@@ -789,18 +804,50 @@ def make_render_kernel(ts: int):
             p0 = prim_y0_s[tc]
             pn = prim_nb_s[tc]
 
-            def blend_block(b, _):
-                r0 = (p0 + b) * RB_F
-                a = pending_ref[pl.ds(r0, RB_F), :]
-                keep = 1.0 - a
-                out_ref[0, 0, pl.ds(r0, RB_F), :] = a * cr + keep * out_ref[0, 0, pl.ds(r0, RB_F), :]
-                out_ref[0, 1, pl.ds(r0, RB_F), :] = a * cg + keep * out_ref[0, 1, pl.ds(r0, RB_F), :]
-                out_ref[0, 2, pl.ds(r0, RB_F), :] = a * cb + keep * out_ref[0, 2, pl.ds(r0, RB_F), :]
-                out_ref[0, 3, pl.ds(r0, RB_F), :] = a + keep * out_ref[0, 3, pl.ds(r0, RB_F), :]
-                pending_ref[pl.ds(r0, RB_F), :] = jnp.zeros((RB_F, ts), jnp.float32)
-                return 0
+            @pl.when(pat_s[tc] < 0)
+            def _blend_color():
+                def blend_block(b, _):
+                    r0 = (p0 + b) * RB_F
+                    a = pending_ref[pl.ds(r0, RB_F), :]
+                    keep = 1.0 - a
+                    out_ref[0, 0, pl.ds(r0, RB_F), :] = a * cr + keep * out_ref[0, 0, pl.ds(r0, RB_F), :]
+                    out_ref[0, 1, pl.ds(r0, RB_F), :] = a * cg + keep * out_ref[0, 1, pl.ds(r0, RB_F), :]
+                    out_ref[0, 2, pl.ds(r0, RB_F), :] = a * cb + keep * out_ref[0, 2, pl.ds(r0, RB_F), :]
+                    out_ref[0, 3, pl.ds(r0, RB_F), :] = a + keep * out_ref[0, 3, pl.ds(r0, RB_F), :]
+                    pending_ref[pl.ds(r0, RB_F), :] = jnp.zeros((RB_F, ts), jnp.float32)
+                    return 0
 
-            lax.fori_loop(0, pn, blend_block, 0)
+                lax.fori_loop(0, pn, blend_block, 0)
+
+            @pl.when(pat_s[tc] >= 0)
+            def _blend_pattern():
+                # Tiled fill-image generation (fill.rs:36-40 semantics):
+                # the per-pixel source is the premultiplied icon sample;
+                # fill opacity is ignored, exactly like the reference.
+                def blend_block(b, _):
+                    r0 = (p0 + b) * RB_F
+                    mask = pending_ref[pl.ds(r0, RB_F), :]
+                    pa = pat_ref[0, 3, pl.ds(r0, RB_F), :]
+                    keep = 1.0 - mask * pa
+                    out_ref[0, 0, pl.ds(r0, RB_F), :] = (
+                        mask * pat_ref[0, 0, pl.ds(r0, RB_F), :]
+                        + keep * out_ref[0, 0, pl.ds(r0, RB_F), :]
+                    )
+                    out_ref[0, 1, pl.ds(r0, RB_F), :] = (
+                        mask * pat_ref[0, 1, pl.ds(r0, RB_F), :]
+                        + keep * out_ref[0, 1, pl.ds(r0, RB_F), :]
+                    )
+                    out_ref[0, 2, pl.ds(r0, RB_F), :] = (
+                        mask * pat_ref[0, 2, pl.ds(r0, RB_F), :]
+                        + keep * out_ref[0, 2, pl.ds(r0, RB_F), :]
+                    )
+                    out_ref[0, 3, pl.ds(r0, RB_F), :] = (
+                        mask * pa + keep * out_ref[0, 3, pl.ds(r0, RB_F), :]
+                    )
+                    pending_ref[pl.ds(r0, RB_F), :] = jnp.zeros((RB_F, ts), jnp.float32)
+                    return 0
+
+                lax.fori_loop(0, pn, blend_block, 0)
 
     return kernel
 
@@ -820,13 +867,20 @@ def render_batch_pallas(batch_arrays, canvas_rgb, ts: int, n_tiles: int, interpr
     kernel = make_render_kernel(ts)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=17,
+        num_scalar_prefetch=18,
         grid=(Ctot,),
         in_specs=[
             pl.BlockSpec((1, 4, CH), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, 1, CH), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, 1, CH), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, 4, CH), lambda i, *_: (i, 0, 0)),
+            # Fill-image pattern block, routed by the chunk's pattern
+            # index (clamped: plain chunks keep block 0 resident, so the
+            # pipeline only refetches around icon-fill chunks).
+            pl.BlockSpec(
+                (1, 4, ts, ts),
+                lambda i, *s: (jnp.maximum(s[17][i], 0), 0, 0, 0),
+            ),
         ],
         out_specs=pl.BlockSpec(
             (1, 4, ts, ts), lambda i, tile_s, *_: (tile_s[i], 0, 0, 0)
@@ -853,8 +907,8 @@ def render_batch_pallas(batch_arrays, canvas_rgb, ts: int, n_tiles: int, interpr
         b.prim_y0, b.prim_nb,
         f32(b.color[:, 0]), f32(b.color[:, 1]), f32(b.color[:, 2]),
         f32(b.opacity), f32(b.hw),
-        prof_flat, prof_total, canvas,
-        b.geom, b.traveled, b.seg_prof, b.seg_aux,
+        prof_flat, prof_total, canvas, b.pat,
+        b.geom, b.traveled, b.seg_prof, b.seg_aux, b.patterns,
     )
 
     a = out[:, 3]

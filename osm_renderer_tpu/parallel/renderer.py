@@ -54,6 +54,7 @@ class BatchRenderer:
         mesh: Optional[Mesh] = None,
         backend: str = "pallas",
         interpret: bool = False,
+        stylesheet_dir: Optional[str] = None,
     ):
         self.styler = styler
         self.precision = precision
@@ -61,6 +62,11 @@ class BatchRenderer:
         self.mesh = mesh
         self.backend = backend
         self.interpret = interpret
+        self.icon_cache = None
+        if stylesheet_dir is not None:
+            from osm_renderer_tpu.draw.labels.icons import IconCache
+
+            self.icon_cache = IconCache(stylesheet_dir)
 
     def prepare(
         self, tiles_entities: Sequence[Tuple[object, Tile]], scale: int = 1
@@ -112,15 +118,20 @@ class BatchRenderer:
         from osm_renderer_tpu.ops import render_pallas as RP
 
         profiles = prim_mod.ProfileTable()
+        patterns = (
+            prim_mod.PatternTable(self.icon_cache, 256 * scale)
+            if self.icon_cache is not None
+            else None
+        )
         streams = []
         fallback = []
         for idx, (entities, tile) in enumerate(tiles_entities):
             prims = assemble_tile_prims(entities, tile, float(scale), self.styler)
-            stream = prim_mod.stream_tile_packed(prims, profiles, RP.CH)
+            stream = prim_mod.stream_tile_packed(prims, profiles, RP.CH, patterns)
             if stream.has_icon_fills:
                 fallback.append(idx)
             streams.append(stream)
-        pb = RP.build_pallas_batch(streams, profiles, 256 * scale)
+        pb = RP.build_pallas_batch(streams, profiles, 256 * scale, patterns)
         self._check_coords(pb.geom)
         n_tiles = len(tiles_entities)
         pb = RP.PallasBatch(*(jnp.asarray(a) for a in pb))

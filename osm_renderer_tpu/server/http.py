@@ -98,6 +98,7 @@ class TileService:
                     styler,
                     backend="pallas",
                     interpret=jax.default_backend() != "tpu",
+                    stylesheet_dir=stylesheet_dir,
                 )
         else:
             self.batch_renderer = None

@@ -115,6 +115,67 @@ def test_packed_stream_matches_oracle():
     assert diff.max() <= 1
 
 
+def test_icon_fill_matches_oracle(tmp_path):
+    """Device-side tiled fill-image (KIND_FILL_IMAGE) vs the oracle's
+    fill_contour_icon: same mask, per-pixel premultiplied icon source,
+    fill opacity ignored (fill.rs:36-40)."""
+    from PIL import Image
+
+    from osm_renderer_tpu.draw.labels.icons import IconCache
+    from osm_renderer_tpu.draw.oracle import OracleTile
+
+    rng = np.random.default_rng(7)
+    icon_px = rng.integers(0, 256, size=(10, 12, 4), dtype=np.uint8)
+    icon_px[..., 3] = rng.integers(60, 256, size=(10, 12), dtype=np.uint8)
+    Image.fromarray(icon_px, "RGBA").save(tmp_path / "pat.png")
+    cache = IconCache(str(tmp_path))
+    icon = cache.get("pat.png")
+    assert icon is not None
+
+    polys = [make_polygon(rng) for _ in range(3)]
+    stroke_pairs = make_polyline(rng)
+
+    # Oracle: plain fill, icon fill, stroke, icon fill (order matters).
+    tile = OracleTile(1)
+    tile.reset(CANVAS)
+    tile.fill_contour(polys[0], (60, 120, 60), 0.8)
+    tile.bump_generation()
+    tile.fill_contour_icon(polys[1], icon.rgba)
+    tile.bump_generation()
+    tile.draw_lines(stroke_pairs, 3.0, (255, 255, 255), 1.0, None, LINE_CAP_BUTT, True)
+    tile.bump_generation()
+    tile.fill_contour_icon(polys[2], icon.rgba)
+    tile.bump_generation()
+    tile.blend_unfinished(False)
+    tile.blend_unfinished(True)
+    want = tile.to_rgb()
+
+    prims_dev = [
+        P.FillPrim(kind="fill", color=(60, 120, 60), opacity=0.8, edges=polys[0]),
+        P.FillPrim(kind="fill", color=None, opacity=1.0, edges=polys[1],
+                   fill_image="pat.png"),
+        P.make_stroke_prim(stroke_pairs, 3.0, (255, 255, 255), 1.0, None,
+                           LINE_CAP_BUTT, True),
+        P.FillPrim(kind="fill", color=None, opacity=1.0, edges=polys[2],
+                   fill_image="pat.png"),
+    ]
+    profiles = P.ProfileTable()
+    patterns = P.PatternTable(cache, 256)
+    stream = P.stream_tile_packed(prims_dev, profiles, RP.CH, patterns)
+    assert not stream.has_icon_fills
+    assert RP.KIND_FILL_IMAGE in stream.chunk_kind
+    pb = RP.build_pallas_batch([stream], profiles, 256, patterns)
+    assert pb.patterns.shape[0] == 1  # deduplicated
+    pb = RP.PallasBatch(*(jnp.asarray(x) for x in pb))
+    canvas = jnp.array([c / 255.0 for c in CANVAS], dtype=jnp.float32)
+    got = np.asarray(RP.render_batch_pallas(pb, canvas, 256, 1, True))[0]
+    diff = np.abs(want.astype(int) - got.astype(int))
+    assert diff.max() <= 1
+    # Random per-pixel icon alpha makes 1-ulp f32 rounding denser than
+    # for constant-color fills.
+    assert (diff > 0).mean() < 5e-3
+
+
 @pytest.mark.parametrize("seed", [3, 11, 29])
 def test_pallas_fuzz_scenes(seed):
     """Randomized scenes through the packed pallas pipeline vs oracle."""
