@@ -368,6 +368,12 @@ class PatternTable:
         self._idx[icon_name] = idx
         return idx
 
+    def add_layer(self, layer: np.ndarray) -> int:
+        """Register a host-rasterized premultiplied (4, ts, ts) layer
+        (used for fills too large for one kernel chunk)."""
+        self.tiles.append(np.ascontiguousarray(layer.astype(np.float32)))
+        return len(self.tiles) - 1
+
     def array(self) -> np.ndarray:
         if not self.tiles:
             return np.zeros((1, 4, self.ts, self.ts), dtype=np.float32)
@@ -407,10 +413,14 @@ def stream_tile_packed(
     groups = pack_prims(prims, chunk_size)
     for group in groups:
         if len(group) == 1:
-            if getattr(group[0], "fill_image", None) is not None:
-                _stream_icon_fill(ts, group[0], patterns, chunk_size)
+            p = group[0]
+            if isinstance(p, FillPrim) and p.edges.shape[0] > chunk_size:
+                _stream_fill_layer(ts, p, patterns)
                 continue
-            _stream_prim(ts, group[0], profiles, chunk_size)
+            if getattr(p, "fill_image", None) is not None:
+                _stream_icon_fill(ts, p, patterns, chunk_size)
+                continue
+            _stream_prim(ts, p, profiles, chunk_size)
             continue
         first = group[0]
         if isinstance(first, FillPrim):
@@ -450,15 +460,64 @@ def _push_chunk(
     ts.geom_len += geom.shape[0]
 
 
+def _stream_fill_layer(
+    ts: TileStream, prim, patterns: Optional[PatternTable]
+) -> None:
+    """Fill primitive too large for one kernel chunk (> CH edges; the
+    parity/rank fill rule needs every edge at once, so it cannot split
+    across chunks).  Rasterized on the host by the exact f64 dense model
+    (ops/coverage_np.py) into a premultiplied layer that the kernel
+    src-overs as a pattern block (KIND_LAYER) at the correct paint
+    position.  Also bypasses the int32 coordinate bound."""
+    from osm_renderer_tpu.ops import coverage_np as cov
+
+    if patterns is None:
+        ts.has_icon_fills = True
+        return
+    if prim.edges.shape[0] == 0:
+        return
+    size = patterns.ts
+    if prim.fill_image is not None:
+        if patterns.icon_cache is None:
+            ts.has_icon_fills = True  # no icon source here: CPU fallback
+            return
+        icon_idx = patterns.index_for(prim.fill_image)
+        if icon_idx is None:
+            return  # unloadable icon: the reference draws nothing
+        mask = cov.fill_alpha(prim.edges, 1.0, size)
+        layer = patterns.tiles[icon_idx].astype(np.float64) * mask[None]
+    else:
+        alpha = cov.fill_alpha(prim.edges, prim.opacity, size)
+        layer = np.empty((4, size, size))
+        for c in range(3):
+            layer[c] = (prim.color[c] / 255.0) * alpha
+        layer[3] = alpha
+    nz_r = np.flatnonzero(layer[3].any(axis=1))
+    if nz_r.size == 0:
+        return
+    nz_c = np.flatnonzero(layer[3].any(axis=0))
+    idx = patterns.add_layer(layer)
+    bbox_geom = np.array(
+        [[int(nz_c[0]), int(nz_r[0]), int(nz_c[-1]), int(nz_r[-1])]], dtype=np.int64
+    )
+    z = np.zeros(1)
+    _push_chunk(
+        ts, 6, bbox_geom, z, z.astype(np.int64), True, (0, 0, 0), 1.0, 0.0, pat=idx
+    )
+
+
 def _stream_icon_fill(
     ts: TileStream, prim, patterns: Optional[PatternTable], chunk_size: int
 ) -> None:
     """Tiled fill-image primitive -> KIND_FILL_IMAGE chunk (or CPU
-    fallback flag when no pattern table / oversize geometry)."""
+    fallback flag when no pattern table)."""
     edges = prim.edges
     if edges.shape[0] == 0:
         return
-    if patterns is None or edges.shape[0] > chunk_size:
+    if edges.shape[0] > chunk_size:
+        _stream_fill_layer(ts, prim, patterns)
+        return
+    if patterns is None or patterns.icon_cache is None:
         ts.has_icon_fills = True
         return
     pidx = patterns.index_for(prim.fill_image)

@@ -50,6 +50,7 @@ KIND_STROKE = 2
 KIND_STROKE_SOLID = 3
 KIND_STROKE_SOLID_WIDE = 4
 KIND_FILL_IMAGE = 5
+KIND_LAYER = 6      # host-rasterized premultiplied layer (src-over of a pattern)
 
 
 class PallasBatch(NamedTuple):
@@ -132,7 +133,7 @@ def build_pallas_batch(tile_streams, profiles, ts: int, patterns=None) -> Pallas
             k = s.chunk_kind[ci]
             n = g.shape[0]
             assert n <= CH, f"chunk of {n} exceeds CH={CH}"
-            if k in (KIND_FILL, KIND_FILL_IMAGE):
+            if k in (KIND_FILL, KIND_FILL_IMAGE, KIND_LAYER):
                 ylo = g[:, [1, 3]].min() if n else 0
                 yhi = g[:, [1, 3]].max() if n else 0
             else:
@@ -819,7 +820,35 @@ def make_render_kernel(ts: int):
 
                 lax.fori_loop(0, pn, blend_block, 0)
 
-            @pl.when(pat_s[tc] >= 0)
+            @pl.when((pat_s[tc] >= 0) & (kind == KIND_LAYER))
+            def _blend_layer():
+                # Host-rasterized premultiplied layer (oversize fills,
+                # computed exactly in f64 by ops/coverage_np.py): plain
+                # src-over of the pattern block, no pending mask.
+                def blend_block(b, _):
+                    r0 = (p0 + b) * RB_F
+                    pa = pat_ref[0, 3, pl.ds(r0, RB_F), :]
+                    keep = 1.0 - pa
+                    out_ref[0, 0, pl.ds(r0, RB_F), :] = (
+                        pat_ref[0, 0, pl.ds(r0, RB_F), :]
+                        + keep * out_ref[0, 0, pl.ds(r0, RB_F), :]
+                    )
+                    out_ref[0, 1, pl.ds(r0, RB_F), :] = (
+                        pat_ref[0, 1, pl.ds(r0, RB_F), :]
+                        + keep * out_ref[0, 1, pl.ds(r0, RB_F), :]
+                    )
+                    out_ref[0, 2, pl.ds(r0, RB_F), :] = (
+                        pat_ref[0, 2, pl.ds(r0, RB_F), :]
+                        + keep * out_ref[0, 2, pl.ds(r0, RB_F), :]
+                    )
+                    out_ref[0, 3, pl.ds(r0, RB_F), :] = (
+                        pa + keep * out_ref[0, 3, pl.ds(r0, RB_F), :]
+                    )
+                    return 0
+
+                lax.fori_loop(0, pn, blend_block, 0)
+
+            @pl.when((pat_s[tc] >= 0) & (kind != KIND_LAYER))
             def _blend_pattern():
                 # Tiled fill-image generation (fill.rs:36-40 semantics):
                 # the per-pixel source is the premultiplied icon sample;

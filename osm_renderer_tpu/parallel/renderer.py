@@ -118,11 +118,9 @@ class BatchRenderer:
         from osm_renderer_tpu.ops import render_pallas as RP
 
         profiles = prim_mod.ProfileTable()
-        patterns = (
-            prim_mod.PatternTable(self.icon_cache, 256 * scale)
-            if self.icon_cache is not None
-            else None
-        )
+        # Pattern table always exists: host-rasterized layers (oversize
+        # fills) need it even without an icon cache.
+        patterns = prim_mod.PatternTable(self.icon_cache, 256 * scale)
         streams = []
         fallback = []
         for idx, (entities, tile) in enumerate(tiles_entities):

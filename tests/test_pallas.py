@@ -176,6 +176,69 @@ def test_icon_fill_matches_oracle(tmp_path):
     assert (diff > 0).mean() < 5e-3
 
 
+def test_oversize_fill_layer_matches_oracle(tmp_path):
+    """Fills with more edges than one chunk (> CH) render via a
+    host-rasterized premultiplied layer (KIND_LAYER) at the right paint
+    position; output must still match the sequential oracle."""
+    from PIL import Image
+
+    from osm_renderer_tpu.draw.labels.icons import IconCache
+    from osm_renderer_tpu.draw.oracle import OracleTile
+
+    rng = np.random.default_rng(13)
+
+    def big_star(cx, cy, n, r_out, r_in):
+        ang = np.linspace(0, 2 * np.pi, 2 * n, endpoint=False)
+        r = np.where(np.arange(2 * n) % 2 == 0, r_out, r_in)
+        px = np.round(cx + r * np.cos(ang)).astype(np.int64)
+        py = np.round(cy + r * np.sin(ang)).astype(np.int64)
+        pts = np.stack([px, py], 1)
+        pts = np.concatenate([pts, pts[:1]], 0)
+        return np.concatenate([pts[:-1], pts[1:]], axis=1)
+
+    star_a = big_star(90, 110, 100, 85, 40)    # 200 edges > CH
+    star_b = big_star(180, 170, 80, 70, 30)    # 160 edges > CH
+    small = make_polygon(rng)
+    assert star_a.shape[0] > RP.CH and star_b.shape[0] > RP.CH
+
+    icon_px = rng.integers(0, 256, size=(8, 9, 4), dtype=np.uint8)
+    icon_px[..., 3] = rng.integers(120, 256, size=(8, 9), dtype=np.uint8)
+    Image.fromarray(icon_px, "RGBA").save(tmp_path / "big.png")
+    cache = IconCache(str(tmp_path))
+    icon = cache.get("big.png")
+
+    tile = OracleTile(1)
+    tile.reset(CANVAS)
+    tile.fill_contour(star_a, (50, 90, 180), 0.75)
+    tile.bump_generation()
+    tile.fill_contour(small, (200, 60, 60), 1.0)
+    tile.bump_generation()
+    tile.fill_contour_icon(star_b, icon.rgba)
+    tile.bump_generation()
+    tile.blend_unfinished(False)
+    tile.blend_unfinished(True)
+    want = tile.to_rgb()
+
+    prims_dev = [
+        P.FillPrim(kind="fill", color=(50, 90, 180), opacity=0.75, edges=star_a),
+        P.FillPrim(kind="fill", color=(200, 60, 60), opacity=1.0, edges=small),
+        P.FillPrim(kind="fill", color=None, opacity=1.0, edges=star_b,
+                   fill_image="big.png"),
+    ]
+    profiles = P.ProfileTable()
+    patterns = P.PatternTable(cache, 256)
+    stream = P.stream_tile_packed(prims_dev, profiles, RP.CH, patterns)
+    assert not stream.has_icon_fills
+    assert stream.chunk_kind.count(RP.KIND_LAYER) == 2
+    pb = RP.build_pallas_batch([stream], profiles, 256, patterns)
+    pb = RP.PallasBatch(*(jnp.asarray(x) for x in pb))
+    canvas = jnp.array([c / 255.0 for c in CANVAS], dtype=jnp.float32)
+    got = np.asarray(RP.render_batch_pallas(pb, canvas, 256, 1, True))[0]
+    diff = np.abs(want.astype(int) - got.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 5e-3
+
+
 @pytest.mark.parametrize("seed", [3, 11, 29])
 def test_pallas_fuzz_scenes(seed):
     """Randomized scenes through the packed pallas pipeline vs oracle."""
