@@ -23,7 +23,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from osm_renderer_tpu.draw.primitives import FillPrim, StrokePrim
+from osm_renderer_tpu.draw.primitives import FAST_COORD_BOUND, FillPrim, StrokePrim
 
 
 def _style_key(p):
@@ -176,6 +176,13 @@ def pack_prims(prims: List[object], capacity: int) -> List[List[object]]:
     groups and handled by the caller's chunk splitting.
     """
     lens, bboxes, closed = _precompute_pack_attrs(prims)
+    # Prims with coordinates beyond the int32-safe bound are flagged for
+    # the host-layer path (stream_tile_packed) and never packed.
+    for k, bb in enumerate(bboxes):
+        if bb is not None and (
+            max(abs(bb[0]), abs(bb[1]), abs(bb[2]), abs(bb[3])) >= FAST_COORD_BOUND
+        ):
+            prims[k]._coord_oob = True
     groups: List[List[object]] = []
     i = 0
     n = len(prims)
@@ -192,6 +199,7 @@ def pack_prims(prims: List[object], capacity: int) -> List[List[object]]:
                 lens[k] <= capacity
                 and closed[k]
                 and getattr(prims[k], "fill_image", None) is None
+                and not getattr(prims[k], "_coord_oob", False)
             ):
                 small.append(k)
             else:

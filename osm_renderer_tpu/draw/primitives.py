@@ -80,6 +80,11 @@ class FillPrim:
 
 Prim = object  # FillPrim | StrokePrim
 
+# |tile-relative coordinate| bound under which every int32 closed form in
+# the device kernels is overflow-free (see ops/render_pallas.py).  Prims
+# beyond it are rendered through the exact f64 host layer path.
+FAST_COORD_BOUND = 12000
+
 
 def _entity_point_pairs(entity, tile: Tile, scale: float) -> np.ndarray:
     """(N, 4) consecutive point pairs (way polyline / mp ring edges)."""
@@ -414,8 +419,12 @@ def stream_tile_packed(
     for group in groups:
         if len(group) == 1:
             p = group[0]
-            if isinstance(p, FillPrim) and p.edges.shape[0] > chunk_size:
+            oob = getattr(p, "_coord_oob", False)
+            if isinstance(p, FillPrim) and (p.edges.shape[0] > chunk_size or oob):
                 _stream_fill_layer(ts, p, patterns)
+                continue
+            if isinstance(p, StrokePrim) and oob:
+                _stream_stroke_layer(ts, p, patterns)
                 continue
             if getattr(p, "fill_image", None) is not None:
                 _stream_icon_fill(ts, p, patterns, chunk_size)
@@ -496,6 +505,49 @@ def _stream_fill_layer(
     if nz_r.size == 0:
         return
     nz_c = np.flatnonzero(layer[3].any(axis=0))
+    idx = patterns.add_layer(layer)
+    bbox_geom = np.array(
+        [[int(nz_c[0]), int(nz_r[0]), int(nz_c[-1]), int(nz_r[-1])]], dtype=np.int64
+    )
+    z = np.zeros(1)
+    _push_chunk(
+        ts, 6, bbox_geom, z, z.astype(np.int64), True, (0, 0, 0), 1.0, 0.0, pat=idx
+    )
+
+
+def _stream_stroke_layer(
+    ts: TileStream, prim, patterns: Optional[PatternTable]
+) -> None:
+    """Stroke with coordinates beyond the int32-safe bound: rasterized
+    on the host by the exact f64 dense model (polyline semantics incl.
+    dash continuity and caps, ops/coverage_np.py) and blended as a
+    KIND_LAYER pattern block."""
+    from osm_renderer_tpu.ops import coverage_np as cov
+
+    if patterns is None:
+        ts.has_icon_fills = True
+        return
+    pairs = prim.raw_pairs if prim.raw_pairs is not None else prim.segs[~prim.outer]
+    if pairs.shape[0] == 0:
+        return
+    size = patterns.ts
+    alpha = cov.polyline_stroke_alpha(
+        pairs,
+        prim.half_width,
+        prim.opacity,
+        list(prim.dashes) if prim.dashes is not None else None,
+        prim.cap,
+        prim.use_caps_for_dashes,
+        size,
+    )
+    nz_r = np.flatnonzero(alpha.any(axis=1))
+    if nz_r.size == 0:
+        return
+    nz_c = np.flatnonzero(alpha.any(axis=0))
+    layer = np.empty((4, size, size))
+    for c in range(3):
+        layer[c] = (prim.color[c] / 255.0) * alpha
+    layer[3] = alpha
     idx = patterns.add_layer(layer)
     bbox_geom = np.array(
         [[int(nz_c[0]), int(nz_r[0]), int(nz_c[-1]), int(nz_r[-1])]], dtype=np.int64

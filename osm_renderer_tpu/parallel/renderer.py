@@ -26,7 +26,7 @@ from osm_renderer_tpu.draw.primitives import FillPrim, assemble_tile_prims
 from osm_renderer_tpu.mapcss.styler import Styler
 from osm_renderer_tpu.ops.render_jnp import TileBatch, render_batch
 
-FAST_COORD_BOUND = 12000  # |tile-relative coords| bound: keeps all int32 forms overflow-free
+from osm_renderer_tpu.draw.primitives import FAST_COORD_BOUND  # noqa: F401 (re-export)
 
 
 class PreparedBatch(NamedTuple):

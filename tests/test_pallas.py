@@ -239,6 +239,53 @@ def test_oversize_fill_layer_matches_oracle(tmp_path):
     assert (diff > 0).mean() < 5e-3
 
 
+def test_out_of_bound_coords_via_layers():
+    """Prims whose tile-relative coordinates exceed the int32-safe bound
+    render through exact f64 host layers instead of failing the batch."""
+    from osm_renderer_tpu.draw.oracle import OracleTile
+    from osm_renderer_tpu.draw.primitives import FAST_COORD_BOUND
+
+    far = 5 * FAST_COORD_BOUND
+    tri = np.array(
+        [[-far, -100, 200, 90], [200, 90, 120, far], [120, far, -far, -100]],
+        dtype=np.int64,
+    )
+    pairs = np.array([[-far, 60, far, 180]], dtype=np.int64)
+    small = make_polygon(np.random.default_rng(3))
+
+    tile = OracleTile(1)
+    tile.reset(CANVAS)
+    tile.fill_contour(tri, (70, 130, 70), 0.9)
+    tile.bump_generation()
+    tile.draw_lines(pairs, 5.0, (250, 250, 240), 1.0, [8.0, 4.0], LINE_CAP_ROUND, True)
+    tile.bump_generation()
+    tile.fill_contour(small, (180, 40, 40), 1.0)
+    tile.bump_generation()
+    tile.blend_unfinished(False)
+    tile.blend_unfinished(True)
+    want = tile.to_rgb()
+
+    prims_dev = [
+        P.FillPrim(kind="fill", color=(70, 130, 70), opacity=0.9, edges=tri),
+        P.make_stroke_prim(pairs, 5.0, (250, 250, 240), 1.0, [8.0, 4.0],
+                           LINE_CAP_ROUND, True),
+        P.FillPrim(kind="fill", color=(180, 40, 40), opacity=1.0, edges=small),
+    ]
+    profiles = P.ProfileTable()
+    patterns = P.PatternTable(None, 256)
+    stream = P.stream_tile_packed(prims_dev, profiles, RP.CH, patterns)
+    assert stream.chunk_kind.count(RP.KIND_LAYER) == 2
+    assert not stream.has_icon_fills
+    pb = RP.build_pallas_batch([stream], profiles, 256, patterns)
+    assert int(np.abs(np.asarray(pb.geom)).max()) < FAST_COORD_BOUND
+    pb = RP.PallasBatch(*(jnp.asarray(x) for x in pb))
+    canvas = jnp.array([c / 255.0 for c in CANVAS], dtype=jnp.float32)
+    got = np.asarray(RP.render_batch_pallas(pb, canvas, 256, 1, True))[0]
+    diff = np.abs(want.astype(int) - got.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 5e-3
+
+
 @pytest.mark.parametrize("seed", [3, 11, 29])
 def test_pallas_fuzz_scenes(seed):
     """Randomized scenes through the packed pallas pipeline vs oracle."""
