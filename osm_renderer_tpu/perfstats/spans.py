@@ -65,6 +65,18 @@ def measure(name: str):
         run.stack.pop()
 
 
+def add_span(name: str, seconds: float) -> None:
+    """Record a named span with an externally measured duration under the
+    current tile (used to attribute per-tile shares of batched device
+    work, where one wall-clock interval covers many tiles)."""
+    run: Optional[_TileRun] = getattr(_tls, "run", None)
+    if run is None:
+        return
+    parent = run.stack[-1]
+    node = parent.children.setdefault(name, _Node(name))
+    node.total += seconds
+
+
 class PerfStats:
     """Aggregated per-zoom stats; thread-safe via external locking."""
 

@@ -129,40 +129,62 @@ class TileService:
     def render_tiles_device(self, requests: List[Tuple[Tile, int]]) -> List[bytes]:
         """Batched device render; one dispatch per scale group.
 
-        Tiles whose primitives the device path cannot draw yet (tiled
-        fill-image fills, or geometry beyond the int32 coordinate bound)
-        fall back to the CPU oracle path individually.
+        Oversize fills, out-of-bound coordinates and tiled fill-image
+        fills draw on the device path (host-layer / pattern chunks);
+        tiles fall back to the CPU oracle only when the device batch
+        cannot represent them (e.g. icon fills without a stylesheet dir,
+        or the jnp backend).
         """
         out: Dict[int, bytes] = {}
         by_scale: Dict[int, List[Tuple[int, Tile]]] = {}
         for i, (tile, scale) in enumerate(requests):
             by_scale.setdefault(scale, []).append((i, tile))
+        import time as _time
+
         for scale, group in by_scale.items():
+            t0 = _time.perf_counter()
             tiles_entities = [
                 (self.reader.get_entities_in_tile_with_neighbors(t, self.osm_ids), t)
                 for _, t in group
             ]
+            ent_dt = _time.perf_counter() - t0
+            t0 = _time.perf_counter()
             try:
                 prepared = self.batch_renderer.prepare(tiles_entities, scale)
+                prep_dt = _time.perf_counter() - t0
                 needs_cpu = set(getattr(prepared, "cpu_fallback_tiles", ()))
+                t0 = _time.perf_counter()
                 rgb = np.array(self.batch_renderer.render_prepared(prepared))
+                dev_dt = _time.perf_counter() - t0
             except ValueError:
+                prep_dt = _time.perf_counter() - t0
+                dev_dt = 0.0
                 needs_cpu = set(range(len(group)))
                 rgb = None
-            with perfstats.measure("Compose and encode"):
-                for gi, ((i, t), (entities, _)) in enumerate(zip(group, tiles_entities)):
+            n = len(group)
+            for gi, ((i, t), (entities, _)) in enumerate(zip(group, tiles_entities)):
+                # Per-tile perf accounting: batched phases are attributed
+                # as equal shares (reference records per-tile spans;
+                # /perf_stats keeps the same per-zoom mean semantics).
+                perfstats.start_tile(t.zoom)
+                perfstats.add_span("Get tile entities (batch share)", ent_dt / n)
+                perfstats.add_span("Prepare device batch (batch share)", prep_dt / n)
+                perfstats.add_span("Device render (batch share)", dev_dt / n)
+                with perfstats.measure("Compose and encode"):
                     if gi in needs_cpu or rgb is None:
                         img = self._cpu_drawer().draw_to_pixels(
                             entities, t, scale, self.styler
                         )
                         out[i] = rgb_to_png(img)
-                        continue
-                    img = rgb[gi]
-                    if self.labeler is not None:
-                        img = self.labeler.composite_labels(
-                            img, entities, t, float(scale), self.styler
-                        )
-                    out[i] = rgb_to_png(img)
+                    else:
+                        img = rgb[gi]
+                        if self.labeler is not None:
+                            img = self.labeler.composite_labels(
+                                img, entities, t, float(scale), self.styler
+                            )
+                        out[i] = rgb_to_png(img)
+                with self._perf_lock:
+                    perfstats.finish_tile(self.perf_stats)
         return [out[i] for i in range(len(requests))]
 
 

@@ -134,3 +134,9 @@ def test_device_backend_service(tmp_path):
     b = np.asarray(Image.open(_io.BytesIO(cpu.render_tile_cpu(tile, 1))))
     diff = np.abs(a.astype(int) - b.astype(int))
     assert diff.max() <= 2
+
+    # Device path records per-tile perf spans (batch shares + compose).
+    html = dev.perf_stats.to_html()
+    assert "Device render (batch share)" in html
+    assert "Compose and encode" in html
+    assert f"zoom {tile.zoom}" in html
