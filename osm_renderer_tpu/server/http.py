@@ -87,10 +87,12 @@ class TileService:
             from osm_renderer_tpu.utils.jax_setup import setup_jax
 
             setup_jax()
+            self.devices = jax.devices()
             if precision == "exact":
                 self.batch_renderer = BatchRenderer(
                     styler, backend="jnp", precision="exact"
                 )
+                self.devices = self.devices[:1]
             else:
                 # The Pallas kernel needs a real TPU; elsewhere (tests,
                 # CPU-only hosts) it runs in interpret mode.
