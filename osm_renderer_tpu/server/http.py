@@ -128,6 +128,58 @@ class TileService:
             perfstats.finish_tile(self.perf_stats)
         return png
 
+    def _render_group_device(self, tiles_entities, scale: int, t_prep0: float):
+        """One scale group on the device backend.
+
+        With multiple accelerators (reference analogue: the
+        thread-per-core worker pool, `http_server.rs:50-83`), the group
+        is split round-robin and dispatched concurrently — one
+        committed batch per chip, no cross-chip communication (the
+        MeshTileRenderer model).  Returns (rgb, cpu-fallback indices,
+        host prepare seconds)."""
+        import time as _time
+
+        import jax
+
+        devices = getattr(self, "devices", None) or [None]
+        n_tiles = len(tiles_entities)
+        if len(devices) <= 1 or n_tiles <= 1:
+            prepared = self.batch_renderer.prepare(tiles_entities, scale)
+            prep_dt = _time.perf_counter() - t_prep0
+            needs_cpu = set(getattr(prepared, "cpu_fallback_tiles", ()))
+            return (
+                np.array(self.batch_renderer.render_prepared(prepared)),
+                needs_cpu,
+                prep_dt,
+            )
+
+        shards = [list(range(d, n_tiles, len(devices))) for d in range(len(devices))]
+        shards = [(dev, idxs) for dev, idxs in zip(devices, shards) if idxs]
+        needs_cpu: set = set()
+        staged = []
+        for dev, idxs in shards:
+            prep = self.batch_renderer.prepare(
+                [tiles_entities[i] for i in idxs], scale
+            )
+            needs_cpu.update(idxs[f] for f in getattr(prep, "cpu_fallback_tiles", ()))
+            batch = jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, dev), prep.batch
+            )
+            canvas = jax.device_put(prep.canvas_rgb, dev)
+            staged.append((idxs, prep._replace(batch=batch, canvas_rgb=canvas)))
+        prep_dt = _time.perf_counter() - t_prep0
+        results = [
+            (idxs, self.batch_renderer.render_prepared(p)) for idxs, p in staged
+        ]
+        jax.block_until_ready([r for _, r in results])
+        ts = 256 * scale
+        rgb = np.empty((n_tiles, ts, ts, 3), dtype=np.uint8)
+        for idxs, arr in results:
+            a = np.asarray(arr)
+            for j, i in enumerate(idxs):
+                rgb[i] = a[j]
+        return rgb, needs_cpu, prep_dt
+
     def render_tiles_device(self, requests: List[Tuple[Tile, int]]) -> List[bytes]:
         """Batched device render; one dispatch per scale group.
 
@@ -152,12 +204,10 @@ class TileService:
             ent_dt = _time.perf_counter() - t0
             t0 = _time.perf_counter()
             try:
-                prepared = self.batch_renderer.prepare(tiles_entities, scale)
-                prep_dt = _time.perf_counter() - t0
-                needs_cpu = set(getattr(prepared, "cpu_fallback_tiles", ()))
-                t0 = _time.perf_counter()
-                rgb = np.array(self.batch_renderer.render_prepared(prepared))
-                dev_dt = _time.perf_counter() - t0
+                rgb, needs_cpu, prep_dt = self._render_group_device(
+                    tiles_entities, scale, t0
+                )
+                dev_dt = _time.perf_counter() - t0 - prep_dt
             except ValueError:
                 prep_dt = _time.perf_counter() - t0
                 dev_dt = 0.0

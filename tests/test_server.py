@@ -140,3 +140,40 @@ def test_device_backend_service(tmp_path):
     assert "Device render (batch share)" in html
     assert "Compose and encode" in html
     assert f"zoom {tile.zoom}" in html
+
+
+def test_device_backend_multi_device_sharding(tmp_path):
+    """A batch larger than one tile is split round-robin across all
+    visible devices (8 virtual CPU devices in tests) and reassembled in
+    request order, matching the CPU path tile-for-tile."""
+    from tests.fixtures import MINI_OSM
+    from osm_renderer_tpu.geodata.importer import import_osm
+
+    osm_path = os.path.join(str(tmp_path), "mini.osm")
+    with open(osm_path, "w") as f:
+        f.write(MINI_OSM)
+    bin_path = os.path.join(str(tmp_path), "mini.bin")
+    import_osm(osm_path, bin_path)
+
+    styler = Styler(parse_file(STYLESHEET_DIR, "default.mapcss"), "josm")
+    dev = TileService(bin_path, styler, STYLESHEET_DIR, backend="device")
+    cpu = TileService(bin_path, styler, STYLESHEET_DIR, backend="cpu")
+    import jax
+
+    assert len(dev.devices) == len(jax.devices())
+
+    t18 = coords_to_max_zoom_tile(47.1412, 9.5215)
+    base = Tile(16, t18.x >> 2, t18.y >> 2)
+    tiles = [
+        Tile(16, base.x + dx, base.y + dy) for dx in (0, 1) for dy in (0, 1)
+    ] + [Tile(15, base.x >> 1, base.y >> 1)]
+    pngs = dev.render_tiles_device([(t, 1) for t in tiles])
+    assert len(pngs) == len(tiles)
+
+    from PIL import Image
+    import io as _io
+
+    for t, png in zip(tiles, pngs):
+        a = np.asarray(Image.open(_io.BytesIO(png)))
+        b = np.asarray(Image.open(_io.BytesIO(cpu.render_tile_cpu(t, 1))))
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 2, t
