@@ -145,7 +145,9 @@ class DeviceDrawer:
                 dtype=jnp.float64,
             )
         ts = 256 * scale
-        out = np.array(render_batch(batch, canvas_rgb, ts, chunk))
+        out = np.array(
+            render_batch(batch, canvas_rgb, ts, chunk, chain=profiles.has_round_caps())
+        )
 
         if self.labeler is not None:
             for i, (entities, tile) in enumerate(tiles_entities):

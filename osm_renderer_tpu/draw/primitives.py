@@ -340,6 +340,13 @@ class ProfileTable:
             np.asarray(self.totals, dtype=dtype),
         )
 
+    def has_round_caps(self) -> bool:
+        """True if any profile row carries a round-cap original interval
+        (the only case where the walk-chain visited rule is needed)."""
+        return any(
+            bool(np.any((r[:, 0] < np.inf) & (r[:, 5] > 0))) for r in self.rows
+        )
+
 
 class PatternTable:
     """Deduplicated tiled fill-image table for one batch.

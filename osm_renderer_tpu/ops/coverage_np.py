@@ -262,7 +262,7 @@ def stroke_segment_alpha(
         c_sel = np.where(is_gap, c_of(k + 1), c_of(k))
         s_mn = mn0 + mn_i * c_sel
         s_mx = mx0 + mx_i * k
-        return s_mn, s_mx
+        return s_mn, s_mx, c_sel
 
     def start_alive(s_mn, s_mx):
         s_x = np.where(swap, s_mx, s_mn)
@@ -278,12 +278,51 @@ def stroke_segment_alpha(
 
     in_slab = (A >= 0) & (T <= hK)
 
-    s_mn_T, s_mx_T = band_start(T)
-    ok_T = in_slab & start_alive(s_mn_T, s_mx_T)
+    # The walk stops a perpendicular at its FIRST not-in-line pixel
+    # (oracle DrawThickLine / line.rs:125-127).  For solid strokes (and
+    # non-round dash caps) in_line is monotone along the perpendicular,
+    # so owner-start aliveness is exact.  Round caps on dashes shrink
+    # the effective half-width as a function of start-distance, which
+    # drifts along the staircase perpendicular — so every intermediate
+    # perpendicular pixel must be in-line too.  Their positions are in
+    # closed form: step j of branch `mul` from start (s_mn, s_mx) with
+    # phase pe sits at minor s_mn + mul*mn_i*j and major
+    # s_mx - mul*mx_i*C(j), C(j) = max(0, ceil((mul*pe + 2j*mn - mx)/2mx)),
+    # pe = 2c*mn - 2mx*Gamma(c), Gamma(c) = C(c) with pe=0 (validated
+    # exhaustively against the walk).
+    needs_chain = (not profile.empty) and bool(np.any(profile.segments[:, 5] > 0))
+
+    def gamma_of(c):
+        return np.maximum(0, -((-(2 * c * mn_d - mx_d)) // two_mx))
+
+    def chain_alive(s_mn, s_mx, c_sel, mul, j):
+        if not needs_chain:
+            return True
+        pe = 2 * c_sel * mn_d - two_mx * gamma_of(c_sel)
+        e0 = mul * pe
+        jmax = int(np.ceil(max(half_width + 0.5, 1.0))) + 2
+        ok = np.ones(np.broadcast(s_mn, s_mx).shape, dtype=bool)
+        for jp in range(1, jmax):
+            mask = jp < j
+            if not np.any(mask):
+                break
+            Cjp = np.maximum(0, -((-(e0 + 2 * jp * mn_d - mx_d)) // two_mx))
+            minor = s_mn + mul * mn_i * jp
+            major = s_mx - mul * mx_i * Cjp
+            ok &= np.where(mask, start_alive(minor, major), True)
+        return ok
+
+    s_mn_T, s_mx_T, c_sel_T = band_start(T)
+    dn_T = (MN - s_mn_T) * mn_i
+    mul_T = np.where(dn_T >= 0, 1, -1)
+    ok_T = (
+        in_slab
+        & start_alive(s_mn_T, s_mx_T)
+        & chain_alive(s_mn_T, s_mx_T, c_sel_T, mul_T, np.abs(dn_T))
+    )
     # Band-edge pixels may instead belong to band T+1 via its mul=-1 branch.
     if np.any(edge_band):
-        s_mn_N, s_mx_N = band_start(T + 1)
-        dn_T = (MN - s_mn_T) * mn_i
+        s_mn_N, s_mx_N, c_sel_N = band_start(T + 1)
         dn_N = (MN - s_mn_N) * mn_i
         ok_T = ok_T & np.where(edge_band, dn_T >= 0, True)
         ok_N = (
@@ -292,6 +331,7 @@ def stroke_segment_alpha(
             & (T + 1 <= hK)
             & (dn_N <= 0)
             & start_alive(s_mn_N, s_mx_N)
+            & chain_alive(s_mn_N, s_mx_N, c_sel_N, -1, -dn_N)
         )
         visited = in_line & (ok_T | ok_N)
     else:

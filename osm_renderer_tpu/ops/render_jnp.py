@@ -152,7 +152,7 @@ def _stroke_opacity(cd, start_dist, half_width, prof, prof_total, traveled):
     return jnp.fmin(sd_op, cd_op), cd_op > 0.0
 
 
-def _stroke_segment_alpha(seg, hw, opacity, prof, prof_total, traveled, xs, ys, fi, ff):
+def _stroke_segment_alpha(seg, hw, opacity, prof, prof_total, traveled, xs, ys, fi, ff, chain=False):
     """Alpha field of one stroke segment over the (ts, ts) grid.
 
     seg: (4,) int; xs: (1, ts); ys: (ts, 1); fi/ff: int/float dtypes.
@@ -178,10 +178,19 @@ def _stroke_segment_alpha(seg, hw, opacity, prof, prof_total, traveled, xs, ys, 
     denom = jnp.sqrt((dx * dx + dy * dy).astype(ff))
     raw = numer_const + sdy * xs - sdx * ys
     cd = jnp.abs(raw.astype(ff)) / denom
-    dxp = (xs - p1x).astype(ff)
-    dyp = (ys - p1y).astype(ff)
-    long_d = jnp.sqrt(dxp * dxp + dyp * dyp)
-    start_dist = jnp.sqrt(jnp.fmax(long_d * long_d - cd * cd, 0.0))
+    if ff == jnp.float64:
+        # Exact path: replicate the reference's rounding chain
+        # (line.rs:120-121) bit-for-bit.
+        dxp = (xs - p1x).astype(ff)
+        dyp = (ys - p1y).astype(ff)
+        long_d = jnp.sqrt(dxp * dxp + dyp * dyp)
+        start_dist = jnp.sqrt(jnp.fmax(long_d * long_d - cd * cd, 0.0))
+    else:
+        # f32 path: the chain loses ~0.05 px at long distances; use the
+        # mathematically equal |(p - p1) . d| / |d| with an exact int32
+        # dot product (safe under the coordinate bound).
+        dot = (xs - p1x) * sdx + (ys - p1y) * sdy
+        start_dist = jnp.abs(dot.astype(ff)) / denom
 
     op, in_line = _stroke_opacity(cd, start_dist, hw, prof, prof_total, traveled)
 
@@ -215,27 +224,63 @@ def _stroke_segment_alpha(seg, hw, opacity, prof, prof_total, traveled, xs, ys, 
             k = jnp.where((k < K) & (h_of(k + 1) <= bc), k + 1, k)
         is_gap = h_of(k) != bc
         c_sel = jnp.where(is_gap, c_of(k + 1), c_of(k))
-        return mn0 + mn_i * c_sel, mx0 + mx_i * k
+        return mn0 + mn_i * c_sel, mx0 + mx_i * k, c_sel
 
     def start_alive(s_mn, s_mx):
         s_x = jnp.where(swap, s_mx, s_mn)
         s_y = jnp.where(swap, s_mn, s_mx)
         raw_s = numer_const + sdy * s_x - sdx * s_y
         cd_s = jnp.abs(raw_s.astype(ff)) / denom
-        dxs = (s_x - p1x).astype(ff)
-        dys = (s_y - p1y).astype(ff)
-        long_s = jnp.sqrt(dxs * dxs + dys * dys)
-        sd_s = jnp.sqrt(jnp.fmax(long_s * long_s - cd_s * cd_s, 0.0))
+        if ff == jnp.float64:
+            dxs = (s_x - p1x).astype(ff)
+            dys = (s_y - p1y).astype(ff)
+            long_s = jnp.sqrt(dxs * dxs + dys * dys)
+            sd_s = jnp.sqrt(jnp.fmax(long_s * long_s - cd_s * cd_s, 0.0))
+        else:
+            dot_s = (s_x - p1x) * sdx + (s_y - p1y) * sdy
+            sd_s = jnp.abs(dot_s.astype(ff)) / denom
         _, alive = _stroke_opacity(cd_s, sd_s, hw, prof, prof_total, traveled)
         return alive
 
     in_slab = (A >= 0) & (T <= hK)
-    s_mn_T, s_mx_T = band_start(T)
+    s_mn_T, s_mx_T, c_sel_T = band_start(T)
     ok_T = in_slab & start_alive(s_mn_T, s_mx_T)
 
-    s_mn_N, s_mx_N = band_start(T + 1)
+    s_mn_N, s_mx_N, c_sel_N = band_start(T + 1)
     dn_T = (MN - s_mn_T) * mn_i
     dn_N = (MN - s_mn_N) * mn_i
+
+    if chain:
+        # Walk-chain rule for round-capped dashes: every intermediate
+        # perpendicular pixel must be in-line too (see coverage_np.py
+        # for the validated closed forms).
+        any_orig = jnp.any((prof[:, 0] < 1e30) & (prof[:, 5] > 0))
+
+        def ceil_div(a, b):
+            return _floor_div(a + b - 1, b, fi, ff)
+
+        def chain_alive(s_mn_v, s_mx_v, c_sel_v, mul_v, jv):
+            tcm = 2 * c_sel_v * mn_d
+            G = jnp.maximum(0, ceil_div(tcm - mx_d, two_mx))
+            e0 = mul_v * (tcm - two_mx * G)
+            ok = jnp.ones_like(jv, dtype=bool)
+            for jp in range(1, 12):
+                Cjp = jnp.maximum(0, ceil_div(e0 + 2 * jp * mn_d - mx_d, two_mx))
+                minor = s_mn_v + mul_v * mn_i * jp
+                major = s_mx_v - mul_v * mx_i * Cjp
+                ok = ok & (start_alive(minor, major) | (jp >= jv))
+            return ok
+
+        mul_T = jnp.where(dn_T >= 0, 1, -1).astype(fi)
+        ok_T = ok_T & (
+            ~any_orig | chain_alive(s_mn_T, s_mx_T, c_sel_T, mul_T, jnp.abs(dn_T))
+        )
+        chain_N = ~any_orig | chain_alive(
+            s_mn_N, s_mx_N, c_sel_N, jnp.asarray(-1, fi), -dn_N
+        )
+    else:
+        chain_N = True
+
     ok_T = ok_T & jnp.where(edge_band, dn_T >= 0, True)
     ok_N = (
         edge_band
@@ -243,6 +288,7 @@ def _stroke_segment_alpha(seg, hw, opacity, prof, prof_total, traveled, xs, ys, 
         & (T + 1 <= hK)
         & (dn_N <= 0)
         & start_alive(s_mn_N, s_mx_N)
+        & chain_N
     )
     visited = in_line & (ok_T | ok_N) & ~degenerate
     return jnp.where(visited, opacity * op, 0.0)
@@ -324,14 +370,16 @@ def _fill_chunk_alpha(geom, mask, fill_opacity, ts: int, fi, ff):
 
 
 def _stroke_chunk_alpha(
-    geom, traveled, prof_idx, mask, hw, opacity, profiles, profile_total, ts: int, fi, ff
+    geom, traveled, prof_idx, mask, hw, opacity, profiles, profile_total, ts: int, fi, ff,
+    chain=False,
 ):
     xs = jnp.arange(ts, dtype=fi)[None, :]
     ys = jnp.arange(ts, dtype=fi)[:, None]
 
     def seg_alpha(seg, trav, pidx, m):
         alpha = _stroke_segment_alpha(
-            seg, hw, opacity, profiles[pidx], profile_total[pidx], trav, xs, ys, fi, ff
+            seg, hw, opacity, profiles[pidx], profile_total[pidx], trav, xs, ys, fi, ff,
+            chain,
         )
         return jnp.where(m, alpha, 0.0)
 
@@ -348,7 +396,7 @@ def _stroke_chunk_alpha(
 # Chunk-scan compositor
 # --------------------------------------------------------------------------
 
-def _render_one_tile(batch: TileBatch, tile_idx, canvas_rgb, ts: int, chunk: int, fi, ff):
+def _render_one_tile(batch: TileBatch, tile_idx, canvas_rgb, ts: int, chunk: int, fi, ff, chain=False):
     geom = batch.geom[tile_idx].astype(fi)
     traveled = batch.geom_traveled[tile_idx]
     gprof = batch.geom_profile[tile_idx]
@@ -377,7 +425,7 @@ def _render_one_tile(batch: TileBatch, tile_idx, canvas_rgb, ts: int, chunk: int
         def stroke_branch():
             return _stroke_chunk_alpha(
                 g, sl(traveled), sl(gprof), mask, hw, op,
-                batch.profiles, batch.profile_total, ts, fi, ff,
+                batch.profiles, batch.profile_total, ts, fi, ff, chain,
             )
 
         def pad_branch():
@@ -418,8 +466,8 @@ def _finalize_rgb(C):
     return jnp.trunc(v).astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("ts", "chunk", "precision"))
-def render_batch(batch: TileBatch, canvas_rgb, ts: int, chunk: int = 64, precision: str = "exact"):
+@functools.partial(jax.jit, static_argnames=("ts", "chunk", "precision", "chain"))
+def render_batch(batch: TileBatch, canvas_rgb, ts: int, chunk: int = 64, precision: str = "exact", chain: bool = False):
     """Render all tiles in the batch -> (T, ts, ts, 3) uint8.
 
     precision="exact": int64/f64 closed forms (requires jax_enable_x64),
@@ -437,6 +485,6 @@ def render_batch(batch: TileBatch, canvas_rgb, ts: int, chunk: int = 64, precisi
     T = batch.geom.shape[0]
 
     def one(i):
-        return _finalize_rgb(_render_one_tile(batch, i, canvas_rgb, ts, chunk, fi, ff))
+        return _finalize_rgb(_render_one_tile(batch, i, canvas_rgb, ts, chunk, fi, ff, chain))
 
     return jax.vmap(one)(jnp.arange(T))

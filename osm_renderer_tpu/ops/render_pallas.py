@@ -527,12 +527,26 @@ def make_render_kernel(ts: int):
                         s_y = jnp.where(swap, s_mn, s_mx)
                         raw_s = nc + sdy * s_x - sdx * s_y
                         cd_s = jnp.abs(raw_s.astype(jnp.float32)) * inv_denom
-                        dxq = (s_x - p1x).astype(jnp.float32)
-                        dyq = (s_y - p1y).astype(jnp.float32)
-                        lo_s = jnp.sqrt(dxq * dxq + dyq * dyq)
-                        sd_s = jnp.sqrt(jnp.fmax(lo_s * lo_s - cd_s * cd_s, 0.0))
+                        # start distance = |(p - p1) . d| / |d| — exact
+                        # int32 dot under the coordinate bound (the
+                        # reference's sqrt(long^2 - cd^2) chain loses
+                        # ~0.05 px in f32 at long distances, line.rs:120).
+                        dot_s = (s_x - p1x) * sdx + (s_y - p1y) * sdy
+                        sd_s = jnp.abs(dot_s.astype(jnp.float32)) * inv_denom
                         _, alive = stroke_opacity(cd_s, sd_s)
                         return alive
+
+                    # Round caps on dashes shrink the effective half-width
+                    # along the perpendicular, so the walk's first-dead-
+                    # pixel cutoff needs the full chain check (see
+                    # coverage_np.py); for other profiles in_line is
+                    # monotone and owner-start aliveness is exact.
+                    any_orig = False
+                    for i in range(DS):
+                        any_orig = jnp.logical_or(
+                            any_orig,
+                            (prow[i][0] < jnp.float32(1e30)) & (prow[i][5] > 0.0),
+                        )
 
                 ratio = aux_smem[1, sg]
                 K = mx_d
@@ -569,10 +583,10 @@ def make_render_kernel(ts: int):
                             if solid:
                                 sd = None
                             else:
-                                dxp = (xsv - p1x).astype(jnp.float32)
-                                dyp = (ys - p1y).astype(jnp.float32)
-                                lo = jnp.sqrt(dxp * dxp + dyp * dyp)
-                                sd = jnp.sqrt(jnp.fmax(lo * lo - cd * cd, 0.0))
+                                # Exact int32 dot form of the start
+                                # distance (see alive_at).
+                                dot = (xsv - p1x) * sdx + (ys - p1y) * sdy
+                                sd = jnp.abs(dot.astype(jnp.float32)) * inv_denom
                             op, in_line = stroke_opacity(cd, sd)
 
                             MN = jnp.where(swap, ys, xsv)
@@ -740,42 +754,101 @@ def make_render_kernel(ts: int):
                             s_mx_T = mx0 + mx_i * k
 
                             in_slab = (A >= 0) & (T_band <= hK)
-                            ok_T = in_slab & alive_at(s_mn_T, s_mx_T)
-
                             dn_T = (MN - s_mn_T) * mn_i
-                            ok_Tf = ok_T & ((~edge_band) | (dn_T >= 0))
-                            visited = in_line & ok_Tf
-                            alpha = jnp.where(visited, opacity * op, 0.0)
 
-                            cur = pending_ref[pl.ds(r0, RB), col0 : col0 + 128]
-                            pending_ref[pl.ds(r0, RB), col0 : col0 + 128] = jnp.fmax(cur, alpha)
+                            # The walk stops each perpendicular at its FIRST
+                            # not-in-line pixel; round caps on dashes make
+                            # in_line non-monotone along the perpendicular,
+                            # so every intermediate perp pixel must be alive
+                            # too.  Their closed-form positions (validated
+                            # exhaustively against the walk, coverage_np.py):
+                            # step j of branch mul sits at minor
+                            # s_mn + mul*mn_i*j, major s_mx - mul*mx_i*C(j),
+                            # C(j) = max(0, ceil((mul*pe + 2j*mn - mx)/2mx)),
+                            # pe = 2c*mn - 2mx*max(0, ceil((2c*mn - mx)/2mx)).
+                            JMAX_CHAIN = 12
 
-                            # Band-edge pixels (1 column in 2*mx) may belong
-                            # to band T+1 via its mul=-1 branch; evaluate
-                            # that owner only when such pixels exist here.
-                            @pl.when(jnp.any(edge_band & in_line & ~visited))
-                            def _edge_band_owner():
-                                bc2 = jnp.clip(T_band + 1, 0, hK)
-                                nxt = step_up(k, c, rc, g, rg)
-                                take2 = (k < K) & (nxt[0] + nxt[3] <= bc2)
-                                k2 = jnp.where(take2, nxt[0], k)
-                                c2 = jnp.where(take2, nxt[1], c)
-                                g2 = jnp.where(take2, nxt[3], g)
-                                is_gap2 = (k2 + g2) != bc2
-                                c_sel2 = jnp.where(is_gap2, c2 + 1, c2)
-                                s_mn_N = mn0 + mn_i * c_sel2
-                                s_mx_N = mx0 + mx_i * k2
-                                dn_N = (MN - s_mn_N) * mn_i
-                                ok_N = (
-                                    edge_band
-                                    & (A + 1 >= 0)
-                                    & (T_band + 1 <= hK)
-                                    & (dn_N <= 0)
-                                    & alive_at(s_mn_N, s_mx_N)
+                            def chain_alive(s_mn_v, s_mx_v, c_sel_v, mul_v, jv):
+                                tcm = 2 * c_sel_v * mn_d
+                                G = jnp.maximum(
+                                    0,
+                                    _floor_div_f(
+                                        tcm - mx_d + two_mx - 1, two_mx_f, two_mx
+                                    ),
                                 )
-                                alpha2 = jnp.where(in_line & ok_N, opacity * op, 0.0)
-                                cur2 = pending_ref[pl.ds(r0, RB), col0 : col0 + 128]
-                                pending_ref[pl.ds(r0, RB), col0 : col0 + 128] = jnp.fmax(cur2, alpha2)
+                                e0 = mul_v * (tcm - two_mx * G)
+                                ok = jv < jnp.int32(1 << 30)
+                                for jp in range(1, JMAX_CHAIN):
+                                    Cjp = jnp.maximum(
+                                        0,
+                                        _floor_div_f(
+                                            e0 + 2 * jp * mn_d - mx_d + two_mx - 1,
+                                            two_mx_f,
+                                            two_mx,
+                                        ),
+                                    )
+                                    minor = s_mn_v + mul_v * mn_i * jp
+                                    major = s_mx_v - mul_v * mx_i * Cjp
+                                    ok = ok & (alive_at(minor, major) | (jp >= jv))
+                                return ok
+
+                            def emit_visited(chain_on):
+                                ok_T = in_slab & alive_at(s_mn_T, s_mx_T)
+                                if chain_on:
+                                    mul_T = jnp.where(dn_T >= 0, 1, -1)
+                                    ok_T = ok_T & chain_alive(
+                                        s_mn_T, s_mx_T, c_sel, mul_T, jnp.abs(dn_T)
+                                    )
+                                ok_Tf = ok_T & ((~edge_band) | (dn_T >= 0))
+                                visited = in_line & ok_Tf
+                                alpha = jnp.where(visited, opacity * op, 0.0)
+
+                                cur = pending_ref[pl.ds(r0, RB), col0 : col0 + 128]
+                                pending_ref[pl.ds(r0, RB), col0 : col0 + 128] = jnp.fmax(cur, alpha)
+
+                                # Band-edge pixels (1 column in 2*mx) may belong
+                                # to band T+1 via its mul=-1 branch; evaluate
+                                # that owner only when such pixels exist here.
+                                @pl.when(jnp.any(edge_band & in_line & ~visited))
+                                def _edge_band_owner():
+                                    bc2 = jnp.clip(T_band + 1, 0, hK)
+                                    nxt = step_up(k, c, rc, g, rg)
+                                    take2 = (k < K) & (nxt[0] + nxt[3] <= bc2)
+                                    k2 = jnp.where(take2, nxt[0], k)
+                                    c2 = jnp.where(take2, nxt[1], c)
+                                    g2 = jnp.where(take2, nxt[3], g)
+                                    is_gap2 = (k2 + g2) != bc2
+                                    c_sel2 = jnp.where(is_gap2, c2 + 1, c2)
+                                    s_mn_N = mn0 + mn_i * c_sel2
+                                    s_mx_N = mx0 + mx_i * k2
+                                    dn_N = (MN - s_mn_N) * mn_i
+                                    ok_N = (
+                                        edge_band
+                                        & (A + 1 >= 0)
+                                        & (T_band + 1 <= hK)
+                                        & (dn_N <= 0)
+                                        & alive_at(s_mn_N, s_mx_N)
+                                    )
+                                    if chain_on:
+                                        ok_N = ok_N & chain_alive(
+                                            s_mn_N, s_mx_N, c_sel2, -1, -dn_N
+                                        )
+                                    alpha2 = jnp.where(in_line & ok_N, opacity * op, 0.0)
+                                    cur2 = pending_ref[pl.ds(r0, RB), col0 : col0 + 128]
+                                    pending_ref[pl.ds(r0, RB), col0 : col0 + 128] = jnp.fmax(cur2, alpha2)
+
+                            if solid:
+                                emit_visited(False)
+                            else:
+                                # Per-segment runtime gate: the chain only
+                                # matters for profiles with round caps.
+                                @pl.when(~any_orig)
+                                def _plain():
+                                    emit_visited(False)
+
+                                @pl.when(any_orig)
+                                def _with_chain():
+                                    emit_visited(True)
 
                     return 0
 

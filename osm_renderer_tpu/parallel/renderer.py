@@ -36,6 +36,7 @@ class PreparedBatch(NamedTuple):
     chunk: int  # chunk size (jnp) / n_tiles (pallas)
     precision: str
     cpu_fallback_tiles: tuple = ()  # tile indices the device path can't draw
+    chain: bool = False  # jnp: round-capped dashes need the walk-chain rule
 
 
 class BatchRenderer:
@@ -95,7 +96,8 @@ class BatchRenderer:
         if self.mesh is not None:
             batch = self._shard(batch)
         return PreparedBatch(
-            batch, self._canvas(dtype), 256 * scale, chunk, self.precision
+            batch, self._canvas(dtype), 256 * scale, chunk, self.precision,
+            (), profiles.has_round_caps(),
         )
 
     def _canvas(self, dtype):
@@ -171,6 +173,7 @@ class BatchRenderer:
             prepared.ts,
             prepared.chunk,
             prepared.precision,
+            chain=getattr(prepared, "chain", False),
         )
 
     def render(

@@ -115,6 +115,74 @@ def test_packed_stream_matches_oracle():
     assert diff.max() <= 1
 
 
+def test_pallas_2x_canvas():
+    """ts=512 (@2x) exercises 4 column halves and larger scratch."""
+    rng = np.random.default_rng(17)
+    prims_oracle, prims_dev = [], []
+    for _ in range(3):
+        edges = (make_polygon(rng) * 2).astype(np.int64)
+        c = rand_color(rng)
+        prims_oracle.append({"kind": "fill", "edges": edges, "color": c, "opacity": 1.0})
+        prims_dev.append(P.FillPrim(kind="fill", color=c, opacity=1.0, edges=edges))
+    for _ in range(3):
+        pairs = (make_polyline(rng) * 2).astype(np.int64)
+        c = rand_color(rng)
+        prims_oracle.append(
+            {"kind": "stroke", "pairs": pairs, "color": c, "opacity": 1.0,
+             "width": 6.0, "dashes": [12.0, 6.0], "cap": LINE_CAP_ROUND,
+             "use_caps_for_dashes": True}
+        )
+        prims_dev.append(
+            P.make_stroke_prim(pairs, 6.0, c, 1.0, [12.0, 6.0], LINE_CAP_ROUND, True)
+        )
+
+    want = oracle_render(prims_oracle, ts_scale=2)
+    profiles = P.ProfileTable()
+    stream = P.stream_tile_packed(prims_dev, profiles, RP.CH)
+    pb = RP.build_pallas_batch([stream], profiles, 512)
+    pb = RP.PallasBatch(*(jnp.asarray(x) for x in pb))
+    canvas = jnp.array([c / 255.0 for c in CANVAS], dtype=jnp.float32)
+    got = np.asarray(RP.render_batch_pallas(pb, canvas, 512, 1, True))[0]
+    diff = np.abs(want.astype(int) - got.astype(int))
+    assert got.shape == (512, 512, 3)
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 2e-3
+
+
+def test_dashed_round_cap_chain_rule():
+    """Round caps on dashes make in_line non-monotone along the walk's
+    perpendiculars; the kernel must reproduce the first-dead-pixel
+    cutoff (walk-chain rule).  These segments previously differed from
+    the oracle by up to 100/255."""
+    cases = [
+        ((222, 404), (538, 68)),     # the original 2x repro
+        ((339, 263), (99, 536)),
+        ((370, 110), (74, 507)),
+        ((170, 529), (413, 49)),
+        ((170, 84), (131, 146)),
+    ]
+    for p1, p2 in cases:
+        pairs = np.array([[p1[0], p1[1], p2[0], p2[1]]], dtype=np.int64)
+        prims_oracle = [
+            {"kind": "stroke", "pairs": pairs, "color": (200, 10, 10),
+             "opacity": 1.0, "width": 6.0, "dashes": [12.0, 6.0],
+             "cap": LINE_CAP_ROUND, "use_caps_for_dashes": True}
+        ]
+        prims_dev = [
+            P.make_stroke_prim(pairs, 6.0, (200, 10, 10), 1.0, [12.0, 6.0],
+                               LINE_CAP_ROUND, True)
+        ]
+        want = oracle_render(prims_oracle, ts_scale=2)
+        profiles = P.ProfileTable()
+        stream = P.stream_tile_packed(prims_dev, profiles, RP.CH)
+        pb = RP.build_pallas_batch([stream], profiles, 512)
+        pb = RP.PallasBatch(*(jnp.asarray(x) for x in pb))
+        canvas = jnp.array([c / 255.0 for c in CANVAS], dtype=jnp.float32)
+        got = np.asarray(RP.render_batch_pallas(pb, canvas, 512, 1, True))[0]
+        diff = np.abs(want.astype(int) - got.astype(int))
+        assert diff.max() <= 1, (p1, p2, diff.max())
+
+
 def test_icon_fill_matches_oracle(tmp_path):
     """Device-side tiled fill-image (KIND_FILL_IMAGE) vs the oracle's
     fill_contour_icon: same mask, per-pixel premultiplied icon source,
