@@ -300,7 +300,9 @@ def stroke_segment_alpha(
             return True
         pe = 2 * c_sel * mn_d - two_mx * gamma_of(c_sel)
         e0 = mul * pe
-        jmax = int(np.ceil(max(half_width + 0.5, 1.0))) + 2
+        # Perp minor-steps until out-of-line: up to (hw+0.5)/cos(angle),
+        # worst case sqrt(2) for diagonal segments.
+        jmax = int(np.ceil(max(half_width + 0.5, 1.0) * 1.4143)) + 2
         ok = np.ones(np.broadcast(s_mn, s_mx).shape, dtype=bool)
         for jp in range(1, jmax):
             mask = jp < j
