@@ -56,6 +56,7 @@ class BatchRenderer:
         backend: str = "pallas",
         interpret: bool = False,
         stylesheet_dir: Optional[str] = None,
+        tile_bucket: bool = False,
     ):
         self.styler = styler
         self.precision = precision
@@ -63,6 +64,10 @@ class BatchRenderer:
         self.mesh = mesh
         self.backend = backend
         self.interpret = interpret
+        # Bucket the tile-batch axis to powers of two so serving with
+        # varying request-batch sizes reuses a handful of compiled
+        # kernel signatures (n_tiles is static for the pallas call).
+        self.tile_bucket = tile_bucket
         self.icon_cache = None
         if stylesheet_dir is not None:
             from osm_renderer_tpu.draw.labels.icons import IconCache
@@ -131,9 +136,16 @@ class BatchRenderer:
             if stream.has_icon_fills:
                 fallback.append(idx)
             streams.append(stream)
+        n_tiles = len(tiles_entities)
+        if self.tile_bucket:
+            from osm_renderer_tpu.utils.jax_setup import next_pow2
+
+            bucket = next_pow2(max(n_tiles, 4), 4)
+            while len(streams) < bucket:
+                streams.append(prim_mod.TileStream())
+            n_tiles = bucket
         pb = RP.build_pallas_batch(streams, profiles, 256 * scale, patterns)
         self._check_coords(pb.geom)
-        n_tiles = len(tiles_entities)
         pb = RP.PallasBatch(*(jnp.asarray(a) for a in pb))
         return PreparedBatch(
             pb, self._canvas(np.float32), 256 * scale, n_tiles, "pallas",

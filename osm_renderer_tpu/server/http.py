@@ -101,6 +101,7 @@ class TileService:
                     backend="pallas",
                     interpret=jax.default_backend() != "tpu",
                     stylesheet_dir=stylesheet_dir,
+                    tile_bucket=True,
                 )
         else:
             self.batch_renderer = None
