@@ -64,3 +64,50 @@ def test_2x_scale(tmp_path):
     assert got.shape == (1, 512, 512, 3)
     diff = np.abs(want.astype(int) - got[0].astype(int))
     assert diff.max() <= 1 and (diff > 0).mean() < 0.01
+
+
+def test_fill_image_from_stylesheet(tmp_path):
+    """fill-image styled from MapCSS renders identically through the CPU
+    oracle (fill_contour_icon) and the device pattern path."""
+    import os
+
+    from PIL import Image
+
+    from osm_renderer_tpu.parallel.renderer import BatchRenderer
+
+    reader = build_mini_reader(tmp_path)
+    icon_dir = tmp_path / "styledir"
+    os.makedirs(icon_dir / "icons", exist_ok=True)
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(9, 7, 4), dtype=np.uint8)
+    px[..., 3] = rng.integers(100, 256, size=(9, 7), dtype=np.uint8)
+    Image.fromarray(px, "RGBA").save(icon_dir / "icons" / "pat.png")
+
+    # fill-color wins over fill-image (drawer.rs:156-219 precedence), so
+    # the icon-filled entities must carry no fill-color.
+    style = """
+canvas { fill-color: #f1eee8; }
+way[building] { fill-image: "icons/pat.png"; z-index: 5; }
+way[highway=residential] { color: #ffffff; width: 5; z-index: 10; }
+area[natural=water], way[natural=water] { fill-color: #b5d0d0; z-index: 2; }
+"""
+    styler = Styler(parse_string(style), "josm")
+    cpu = CpuDrawer(stylesheet_dir=str(icon_dir))
+    dev = BatchRenderer(
+        styler, backend="pallas", interpret=True, stylesheet_dir=str(icon_dir)
+    )
+
+    tiles = _tiles_around_fixture(16)[:2]
+    tiles_entities = [
+        (reader.get_entities_in_tile_with_neighbors(t), t) for t in tiles
+    ]
+    prepared = dev.prepare(tiles_entities, 1)
+    assert not prepared.cpu_fallback_tiles
+    from osm_renderer_tpu.ops.render_pallas import KIND_FILL_IMAGE
+
+    assert KIND_FILL_IMAGE in np.asarray(prepared.batch.kind)
+    got = np.asarray(dev.render_prepared(prepared))
+    for i, (entities, t) in enumerate(tiles_entities):
+        want = cpu.draw_to_pixels(entities, t, 1, styler)
+        diff = np.abs(want.astype(int) - got[i].astype(int))
+        assert diff.max() <= 1, (t, diff.max())
