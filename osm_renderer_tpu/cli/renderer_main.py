@@ -15,6 +15,7 @@ Extra (framework-specific, optional):
     [render]
     backend = cpu          ; or device
     precision = fast       ; or exact (device backend)
+    png-level = 6          ; deflate level (1 = max throughput, 6 = smaller tiles)
     labels = yes
 """
 
@@ -59,6 +60,7 @@ def main(argv=None) -> int:
 
     backend = config.get("render", "backend", fallback="cpu")
     precision = config.get("render", "precision", fallback="fast")
+    png_level = int(config.get("render", "png-level", fallback="6"))
     labels = config.getboolean("render", "labels", fallback=True)
 
     from osm_renderer_tpu.mapcss.parser import parse_file
@@ -81,6 +83,7 @@ def main(argv=None) -> int:
         osm_ids=osm_ids,
         enable_labels=labels,
         precision=precision,
+        png_level=png_level,
     )
     print(f"Serving tiles on http://{address} (backend={backend})")
     asyncio.run(run_server(address, service))

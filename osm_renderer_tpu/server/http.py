@@ -70,11 +70,13 @@ class TileService:
         osm_ids: Optional[Set[int]] = None,
         enable_labels: bool = True,
         precision: str = "fast",
+        png_level: int = 6,
     ):
         self.reader = GeodataReader.load(geodata_file)
         self.styler = styler
         self.osm_ids = osm_ids
         self.backend = backend
+        self.png_level = png_level
         self.labeler = Labeler(icon_base_path=stylesheet_dir) if enable_labels else None
         self.perf_stats = perfstats.PerfStats()
         self._perf_lock = threading.Lock()
@@ -124,7 +126,7 @@ class TileService:
         with perfstats.measure("Draw tile"):
             rgb = self._cpu_drawer().draw_to_pixels(entities, tile, scale, self.styler)
         with perfstats.measure("RGB triples to PNG"):
-            png = rgb_to_png(rgb)
+            png = rgb_to_png(rgb, self.png_level)
         with self._perf_lock:
             perfstats.finish_tile(self.perf_stats)
         return png
@@ -228,7 +230,7 @@ class TileService:
                         img = self._cpu_drawer().draw_to_pixels(
                             entities, t, scale, self.styler
                         )
-                        out[i] = rgb_to_png(img)
+                        out[i] = rgb_to_png(img, self.png_level)
                     else:
                         img = rgb[gi]
                         if self.labeler is not None:
