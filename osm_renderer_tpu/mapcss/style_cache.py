@@ -10,6 +10,7 @@ identify strings, so this is an exact key.
 
 from __future__ import annotations
 
+import weakref
 from typing import Dict, List, Optional, Tuple
 
 from osm_renderer_tpu.mapcss.parser import Rule, UnaryTest, UnaryTestType
@@ -35,6 +36,11 @@ class StyleCache:
         # Lazily-built map from key string-pool offset -> (interesting, value_matters).
         self._offset_decision: Dict[int, Optional[bool]] = {}
         self._cache: Dict[Tuple, list] = {}
+        # Entity-identity memo over the key itself: the same mmap'd way
+        # is styled in up to 9 neighboring tiles, and its tags (hence
+        # key) cannot change.  Weakly keyed by the reader so entities
+        # from different geodata files never collide.
+        self._key_memo: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
     def _decide(self, tags, k_off: int, k_len: int) -> Optional[bool]:
         cached = self._offset_decision.get(k_off, "missing")
@@ -48,6 +54,15 @@ class StyleCache:
     def _key(self, entity, zoom: int) -> Tuple:
         from osm_renderer_tpu.mapcss.styler import cache_slot
 
+        memo = self._key_memo.get(entity.reader)
+        if memo is None:
+            memo = {}
+            self._key_memo[entity.reader] = memo
+        mk = (entity.__class__, entity.local_id, zoom)
+        got = memo.get(mk)
+        if got is not None:
+            return got
+
         tags = entity.tags()
         parts: List[int] = []
         for row in tags.key_value_offsets():
@@ -56,7 +71,9 @@ class StyleCache:
                 parts.append(int(row[0]))
                 if decision:
                     parts.append(int(row[2]))
-        return (cache_slot(entity), tuple(parts), zoom)
+        key = (cache_slot(entity), tuple(parts), zoom)
+        memo[mk] = key
+        return key
 
     def get(self, entity, zoom: int):
         return self._cache.get(self._key(entity, zoom))
