@@ -209,21 +209,33 @@ def pack_prims(prims: List[object], capacity: int) -> List[List[object]]:
         with_bb = [k for k in small if bboxes[k] is not None]
         with_bb.sort(key=lambda k: (bboxes[k][2] // 64, bboxes[k][0]))
 
+        # A pack that cannot fit the run's smallest prim can never
+        # accept again — retire it from the first-fit scan (identical
+        # packing, fewer candidate packs per prim).
+        min_cnt = int(min((lens[k] for k in with_bb), default=0))
+        full_packs: List[_Pack] = []
         packs: List[_Pack] = []
         for k in with_bb:
             bb = bboxes[k]
             cnt = int(lens[k])
             placed = False
-            for pack in packs:
+            for pi, pack in enumerate(packs):
                 if pack.fits(cnt, bb, capacity):
                     pack.add(prims[k], cnt, bb)
+                    if pack.count + min_cnt > capacity:
+                        full_packs.append(packs.pop(pi))
                     placed = True
                     break
             if not placed:
                 pack = _Pack()
                 pack.add(prims[k], cnt, bb)
-                packs.append(pack)
+                if pack.count + min_cnt > capacity:
+                    full_packs.append(pack)
+                else:
+                    packs.append(pack)
 
+        for pack in full_packs:
+            groups.append(pack.prims)
         for pack in packs:
             groups.append(pack.prims)
         for k in big:
