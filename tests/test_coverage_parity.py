@@ -179,3 +179,39 @@ def test_mixed_scene():
                       "color": rand_color(rng), "opacity": 1.0,
                       "dashes": [5.0, 3.0], "cap": LINE_CAP_ROUND})
     assert_parity(prims, "mixed scene")
+
+
+def test_long_segment_chain_classes_512():
+    """Byte-exact parity on the walk-chain stress class: long segments
+    (endpoints beyond the canvas) on a 512 canvas, every cap kind, wide
+    round-capped dashes included."""
+    rng = np.random.default_rng(77)
+    ts = 512
+    for trial in range(40):
+        p1 = rng.integers(-100, ts + 100, 2)
+        p2 = rng.integers(-100, ts + 100, 2)
+        if (p1 == p2).all():
+            continue
+        pairs = np.array([[p1[0], p1[1], p2[0], p2[1]]], dtype=np.int64)
+        w = float(rng.choice([1.0, 3.0, 6.0, 11.0, 16.0]))
+        dashes = [None, [12.0, 6.0], [3.0, 2.0]][int(rng.integers(0, 3))]
+        cap = int(rng.choice([LINE_CAP_BUTT, LINE_CAP_ROUND, LINE_CAP_SQUARE]))
+
+        tile = OracleTile(2)
+        tile.reset(CANVAS)
+        tile.draw_lines(pairs, w, (255, 255, 255), 1.0, dashes, cap, True)
+        tile.bump_generation()
+        tile.blend_unfinished(False)
+        tile.blend_unfinished(True)
+        want = tile.to_rgb()
+
+        base = np.zeros((ts, ts, 4))
+        base[..., :3] = np.array(CANVAS, dtype=np.float64) / 255.0
+        base[..., 3] = 1.0
+        alpha = cov.polyline_stroke_alpha(pairs, w / 2.0, 1.0, dashes, cap, True, ts)
+        cov.blend_src_over(base, alpha, (255, 255, 255))
+        dense = cov.rgba_to_rgb_u8(base)
+        assert np.array_equal(want, dense), (
+            trial, tuple(p1), tuple(p2), w, dashes, cap,
+            int(np.abs(want.astype(int) - dense.astype(int)).max()),
+        )
