@@ -53,3 +53,28 @@ def test_canvas_default_black():
     t.blend_unfinished(False)
     t.blend_unfinished(True)
     assert (t.to_rgb() == 0).all()
+
+
+def test_renderer_config_validation(tmp_path, capsys):
+    from osm_renderer_tpu.cli.renderer_main import main as renderer_main
+
+    assert renderer_main([]) == 1
+
+    missing = tmp_path / "missing.conf"
+    missing_path = str(missing)
+    assert renderer_main([missing_path]) == 1
+
+    bad_type = tmp_path / "bad.conf"
+    bad_type.write_text(
+        "[http]\naddress = 127.0.0.1:1\n[geodata]\nfile = x.bin\n"
+        "[style]\nfile = s.mapcss\ntype = wrong\n"
+    )
+    assert renderer_main([str(bad_type)]) == 1
+
+    import pytest as _pytest
+
+    no_addr = tmp_path / "noaddr.conf"
+    no_addr.write_text("[geodata]\nfile = x.bin\n[style]\nfile = s\ntype = josm\n")
+    with _pytest.raises(SystemExit):
+        renderer_main([str(no_addr)])
+    assert "address" in capsys.readouterr().err
