@@ -765,6 +765,21 @@ void osmr_glyph_draw_quad(void* g, double x0, double y0, double x1, double y1,
   static_cast<GlyphRasterizer*>(g)->DrawQuad(x0, y0, x1, y1, x2, y2);
 }
 
+// Batched outline: ops are records of 7 doubles [kind, x0, y0, x1, y1,
+// x2, y2]; kind 0 = line (x2/y2 unused), 1 = quad.  One call per glyph
+// instead of one per curve (ctypes call overhead dominates otherwise).
+void osmr_glyph_draw_path(void* g, const double* ops, size_t n_ops) {
+  auto* gr = static_cast<GlyphRasterizer*>(g);
+  for (size_t i = 0; i < n_ops; ++i) {
+    const double* op = ops + 7 * i;
+    if (op[0] == 0.0) {
+      gr->DrawLine(op[1], op[2], op[3], op[4]);
+    } else {
+      gr->DrawQuad(op[1], op[2], op[3], op[4], op[5], op[6]);
+    }
+  }
+}
+
 int osmr_glyph_save(void* g, void* t) {
   return static_cast<GlyphRasterizer*>(g)->SaveToFigure(
              *static_cast<TilePixels*>(t))

@@ -100,7 +100,16 @@ class Labeler:
         device-rendered RGB tile (the base is fully opaque, so
         compositing over u8 stays within 1/255 of the exact path)."""
         ts = base_rgb.shape[0]
-        scratch = OracleTile(ts // 256)
+        scale_i = ts // 256
+        # Native tile buffers are expensive to allocate; reuse per scale
+        # (thread-unsafe reuse is fine: the device compositor runs the
+        # batch loop on one thread).
+        cache = getattr(self, "_scratch_tiles", None)
+        if cache is None:
+            cache = self._scratch_tiles = {}
+        scratch = cache.get(scale_i)
+        if scratch is None:
+            scratch = cache[scale_i] = OracleTile(scale_i)
         scratch.reset(None)
         self.draw_labels(scratch, entities, tile, scale, styler)
         layer = scratch.export_label_layer()  # (ts, ts, 4) premultiplied f64

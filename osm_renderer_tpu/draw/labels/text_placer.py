@@ -171,20 +171,27 @@ class TextPlacer:
     def _rasterize(glyph: _Glyph, rasterizer: GlyphRasterizer, scale: float, tr):
         if glyph.shape is None:
             return
+        # Per-point transform math is kept identical to the scalar form
+        # (golden images are bit-exact); only the native call is batched
+        # (one per glyph instead of one per curve).
+        flat: List[float] = []
+        push = flat.extend
         fx = fy = 0.0
         for v in glyph.shape:
             tox, toy = v.x * scale, v.y * scale
             if v.kind == LINE_TO:
                 p1 = tr((fx, fy))
                 p0 = tr((tox, toy))
-                rasterizer.draw_line(p0[0], p0[1], p1[0], p1[1])
+                push((0.0, p0[0], p0[1], p1[0], p1[1], 0.0, 0.0))
             elif v.kind == CURVE_TO:
                 mx, my = v.cx * scale, v.cy * scale
                 p2 = tr((fx, fy))
                 p1 = tr((mx, my))
                 p0 = tr((tox, toy))
-                rasterizer.draw_quad(p0[0], p0[1], p1[0], p1[1], p2[0], p2[1])
+                push((1.0, p0[0], p0[1], p1[0], p1[1], p2[0], p2[1]))
             fx, fy = tox, toy
+        if flat:
+            rasterizer.draw_path(np.array(flat, dtype=np.float64).reshape(-1, 7))
 
 
 def _compute_way_position(points: np.ndarray, advance_by: float):

@@ -82,6 +82,7 @@ def _get_lib():
         lib.osmr_glyph_rasterizer_free.argtypes = [ctypes.c_void_p]
         lib.osmr_glyph_draw_line.argtypes = [ctypes.c_void_p] + [ctypes.c_double] * 4
         lib.osmr_glyph_draw_quad.argtypes = [ctypes.c_void_p] + [ctypes.c_double] * 6
+        lib.osmr_glyph_draw_path.argtypes = [ctypes.c_void_p, _F64P, ctypes.c_size_t]
         lib.osmr_glyph_save.restype = ctypes.c_int
         lib.osmr_glyph_save.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
 
@@ -197,6 +198,12 @@ class GlyphRasterizer:
 
     def draw_quad(self, x0, y0, x1, y1, x2, y2) -> None:
         self._lib.osmr_glyph_draw_quad(self._handle, x0, y0, x1, y1, x2, y2)
+
+    def draw_path(self, ops: np.ndarray) -> None:
+        """ops: (N, 7) f64 records [kind, x0, y0, x1, y1, x2, y2];
+        kind 0 = line, 1 = quad.  One native call per glyph."""
+        ops = np.ascontiguousarray(ops, dtype=np.float64)
+        self._lib.osmr_glyph_draw_path(self._handle, ops.reshape(-1), ops.shape[0])
 
     def save_to_figure(self, tile: OracleTile) -> bool:
         return bool(self._lib.osmr_glyph_save(self._handle, tile._handle))
