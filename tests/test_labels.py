@@ -183,3 +183,34 @@ def test_fill_image(city):
         ).astype(np.uint8)
         got = img[y, x]
         assert np.abs(got.astype(int) - want.astype(int)).max() <= 1, (x, y, got, want)
+
+
+import os as _os
+import pytest as _pytest
+
+_SYMBOLS = "/root/reference/tests/mapcss/symbols"
+
+
+@_pytest.mark.skipif(not _os.path.isdir(_SYMBOLS), reason="reference symbols unavailable")
+def test_icon_cache_decodes_real_symbol_pngs():
+    """Decode a spread of the reference's shipped symbol PNGs (various
+    color types) to premultiplied f64 RGBA."""
+    import numpy as np
+
+    from osm_renderer_tpu.draw.labels.icons import IconCache
+
+    cache = IconCache(_SYMBOLS)
+    names = sorted(n for n in _os.listdir(_SYMBOLS) if n.endswith(".png"))
+    assert len(names) > 200
+    ok = 0
+    for name in names[::13]:
+        icon = cache.get(name)
+        if icon is None:
+            continue
+        assert icon.rgba.ndim == 3 and icon.rgba.shape[2] == 4
+        a = icon.rgba[..., 3]
+        assert (a >= 0).all() and (a <= 1).all()
+        # premultiplied: color channels never exceed alpha
+        assert (icon.rgba[..., :3] <= a[..., None] + 1e-12).all()
+        ok += 1
+    assert ok >= 15
