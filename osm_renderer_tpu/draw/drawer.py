@@ -106,10 +106,21 @@ class CpuDrawer:
 class DeviceDrawer:
     """Accelerator rendering path: batched fills/strokes on device."""
 
-    def __init__(self, labeler=None, chunk_size: int = 64, backend: str = "jnp"):
+    def __init__(
+        self,
+        labeler=None,
+        chunk_size: int = 64,
+        backend: str = "jnp",
+        stylesheet_dir=None,
+    ):
         self.labeler = labeler
         self.chunk_size = chunk_size
         self.backend = backend
+        self.icon_cache = None
+        if stylesheet_dir is not None:
+            from osm_renderer_tpu.draw.labels.icons import IconCache
+
+            self.icon_cache = IconCache(stylesheet_dir)
 
     def render_tiles(
         self, tiles_entities: List[Tuple[object, Tile]], scale: int, styler: Styler
@@ -120,6 +131,7 @@ class DeviceDrawer:
         from osm_renderer_tpu.ops.render_jnp import render_batch
 
         profiles = prim_mod.ProfileTable()
+        patterns = prim_mod.PatternTable(self.icon_cache, 256 * scale)
         streams = []
         all_prims = []
         chunk = self.chunk_size
@@ -133,9 +145,11 @@ class DeviceDrawer:
             while chunk < max_fill:
                 chunk *= 2
         for prims in all_prims:
-            streams.append(prim_mod.stream_tile(prims, profiles, chunk))
+            streams.append(prim_mod.stream_tile(prims, profiles, chunk, patterns))
 
-        batch = prim_mod.build_batch(streams, profiles, chunk)
+        batch = prim_mod.build_batch(
+            streams, profiles, chunk, patterns=patterns, ts=256 * scale
+        )
         canvas = styler.canvas_fill_color
         if canvas is None:
             canvas_rgb = jnp.zeros(3, dtype=jnp.float64)

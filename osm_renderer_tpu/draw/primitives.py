@@ -619,18 +619,37 @@ def _stream_prim(ts: TileStream, prim, profiles: ProfileTable, chunk_size: int) 
                         end == n, prim.color, prim.opacity, prim.half_width)
 
 
-def stream_tile(prims: List[Prim], profiles: ProfileTable, chunk_size: int) -> TileStream:
+def stream_tile(
+    prims: List[Prim],
+    profiles: ProfileTable,
+    chunk_size: int,
+    patterns: Optional[PatternTable] = None,
+) -> TileStream:
     ts = TileStream()
 
-    def push_chunk(kind, geom, traveled, profile, last, color, opacity, hw):
-        _push_chunk(ts, kind, geom, traveled, profile, last, color, opacity, hw)
+    def push_chunk(kind, geom, traveled, profile, last, color, opacity, hw, pat=-1):
+        _push_chunk(ts, kind, geom, traveled, profile, last, color, opacity, hw, pat)
 
     for prim in prims:
         if isinstance(prim, FillPrim):
             if prim.fill_image is not None:
-                # The jnp backend has no pattern support; callers fall
-                # back to the CPU path for such tiles.
-                ts.has_icon_fills = True
+                edges = prim.edges
+                if edges.shape[0] == 0:
+                    continue
+                if patterns is None or patterns.icon_cache is None:
+                    # No icon source: fall back to the CPU path per tile.
+                    ts.has_icon_fills = True
+                    continue
+                if edges.shape[0] > chunk_size:
+                    raise ValueError(
+                        f"fill primitive with {edges.shape[0]} edges exceeds chunk size {chunk_size}"
+                    )
+                pidx = patterns.index_for(prim.fill_image)
+                if pidx is None:
+                    continue  # unloadable icon: the reference draws nothing
+                z = np.zeros(edges.shape[0])
+                push_chunk(5, edges, z, z.astype(np.int64), True,
+                           (0, 0, 0), 1.0, 0.0, pat=pidx)
                 continue
             edges = prim.edges
             if edges.shape[0] == 0:
@@ -664,6 +683,8 @@ def build_batch(
     profiles: ProfileTable,
     chunk_size: int,
     dtype=np.float64,
+    patterns: Optional[PatternTable] = None,
+    ts: int = 256,
 ):
     """Stack per-tile streams into the padded TileBatch arrays."""
     from osm_renderer_tpu.ops.render_jnp import TileBatch
@@ -687,6 +708,7 @@ def build_batch(
     color = np.zeros((T, C, 3), dtype=dtype)
     opacity = np.zeros((T, C), dtype=dtype)
     hw = np.zeros((T, C), dtype=dtype)
+    pat = np.full((T, C), -1, dtype=np.int32)
 
     for t, s in enumerate(tile_streams):
         if s.geom_len:
@@ -703,6 +725,13 @@ def build_batch(
             color[t, :n] = s.chunk_color
             opacity[t, :n] = s.chunk_opacity
             hw[t, :n] = s.chunk_hw
+            pat[t, :n] = s.chunk_pat
+
+    if patterns is not None and patterns.tiles:
+        pat_arr = patterns.array().transpose(0, 2, 3, 1).astype(dtype)
+        ts = patterns.ts
+    else:
+        pat_arr = np.zeros((1, ts, ts, 4), dtype=dtype)
 
     prof_rows, prof_totals = profiles.arrays(dtype)
     return TileBatch(
@@ -718,4 +747,6 @@ def build_batch(
         chunk_hw=hw,
         profiles=prof_rows,
         profile_total=prof_totals,
+        chunk_pat=pat,
+        patterns=pat_arr,
     )

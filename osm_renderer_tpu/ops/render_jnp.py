@@ -42,6 +42,7 @@ _SUB = 8  # inner vectorization width over edges/segments
 KIND_PAD = 0
 KIND_FILL = 1
 KIND_STROKE = 2
+KIND_FILL_IMAGE = 5  # tiled fill-image (pattern-sourced generation)
 
 
 class TileBatch(NamedTuple):
@@ -57,6 +58,8 @@ class TileBatch(NamedTuple):
     chunk_hw: jax.Array      # (T, C) float
     profiles: jax.Array      # (NP, DS, 8) float
     profile_total: jax.Array  # (NP,) float
+    chunk_pat: jax.Array     # (T, C) int32  fill-image index, -1 = none
+    patterns: jax.Array      # (NPat, ts, ts, 4) float premultiplied tiled icons
 
 
 def _require_x64():
@@ -414,7 +417,7 @@ def _render_one_tile(batch: TileBatch, tile_idx, canvas_rgb, ts: int, chunk: int
 
     def step(carry, ch):
         C, pending = carry
-        kind, off, cnt, last, color, op, hw = ch
+        kind, off, cnt, last, color, op, hw, pat = ch
         sl = lambda arr: lax.dynamic_slice_in_dim(arr, off, chunk, axis=0)
         g = sl(geom)
         mask = idxs < cnt
@@ -431,16 +434,37 @@ def _render_one_tile(batch: TileBatch, tile_idx, canvas_rgb, ts: int, chunk: int
         def pad_branch():
             return jnp.zeros((ts, ts), dtype=C.dtype)
 
-        alpha = lax.switch(kind, [pad_branch, fill_branch, stroke_branch])
+        # kind 5 (fill-image) rasterizes the same mask as a plain fill
+        # (host sets opacity 1); the source colors come from the pattern
+        # at blend time.
+        alpha = lax.switch(
+            jnp.clip(kind, 0, 3),
+            [pad_branch, fill_branch, stroke_branch, fill_branch],
+        )
         pending = jnp.fmax(pending, alpha)
 
         def do_blend(args):
             C, pending = args
-            a = pending[..., None]
-            src = jnp.concatenate(
-                [color * pending[..., None], pending[..., None]], axis=-1
-            )
-            return src + (1.0 - a) * C, jnp.zeros_like(pending)
+
+            def color_blend(_):
+                a = pending[..., None]
+                src = jnp.concatenate(
+                    [color * pending[..., None], pending[..., None]], axis=-1
+                )
+                return src + (1.0 - a) * C
+
+            def pattern_blend(_):
+                # fill.rs:36-40 semantics: per-pixel premultiplied icon
+                # sample, fill opacity ignored.
+                tile_pat = lax.dynamic_index_in_dim(
+                    batch.patterns, jnp.maximum(pat, 0), axis=0, keepdims=False
+                )
+                m = pending[..., None]
+                a_eff = m * tile_pat[..., 3:4]
+                return m * tile_pat + (1.0 - a_eff) * C
+
+            newC = lax.cond(pat >= 0, pattern_blend, color_blend, None)
+            return newC, jnp.zeros_like(pending)
 
         C, pending = lax.cond(last, do_blend, lambda args: args, (C, pending))
         return (C, pending), None
@@ -453,6 +477,7 @@ def _render_one_tile(batch: TileBatch, tile_idx, canvas_rgb, ts: int, chunk: int
         batch.chunk_color[tile_idx],
         batch.chunk_opacity[tile_idx],
         batch.chunk_hw[tile_idx],
+        batch.chunk_pat[tile_idx],
     )
     (C, _), _ = lax.scan(step, (C0, pending0), chunks)
     return C

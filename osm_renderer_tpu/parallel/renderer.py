@@ -81,6 +81,7 @@ class BatchRenderer:
             return self._prepare_pallas(tiles_entities, scale)
         dtype = np.float32 if self.precision == "fast" else np.float64
         profiles = prim_mod.ProfileTable()
+        patterns = prim_mod.PatternTable(self.icon_cache, 256 * scale)
         all_prims = []
         chunk = self.chunk_size
         for entities, tile in tiles_entities:
@@ -91,8 +92,16 @@ class BatchRenderer:
             )
             while chunk < max_fill:
                 chunk *= 2
-        streams = [prim_mod.stream_tile(prims, profiles, chunk) for prims in all_prims]
-        batch = prim_mod.build_batch(streams, profiles, chunk, dtype=dtype)
+        streams = [
+            prim_mod.stream_tile(prims, profiles, chunk, patterns)
+            for prims in all_prims
+        ]
+        fallback = tuple(
+            i for i, st in enumerate(streams) if st.has_icon_fills
+        )
+        batch = prim_mod.build_batch(
+            streams, profiles, chunk, dtype=dtype, patterns=patterns, ts=256 * scale
+        )
 
         if self.precision == "fast":
             self._check_coords(batch.geom)
@@ -102,7 +111,7 @@ class BatchRenderer:
             batch = self._shard(batch)
         return PreparedBatch(
             batch, self._canvas(dtype), 256 * scale, chunk, self.precision,
-            (), profiles.has_round_caps(),
+            fallback, profiles.has_round_caps(),
         )
 
     def _canvas(self, dtype):
@@ -165,7 +174,7 @@ class BatchRenderer:
         rep = NamedSharding(mesh, P())
         sharded = []
         for name, arr in zip(TileBatch._fields, batch):
-            if name in ("profiles", "profile_total"):
+            if name in ("profiles", "profile_total", "patterns"):
                 sharded.append(jax.device_put(arr, rep))
             else:
                 sharded.append(jax.device_put(arr, dp))
@@ -208,7 +217,7 @@ def pad_batch_to(tiles: int, prepared: PreparedBatch) -> PreparedBatch:
 
     new = TileBatch(
         *(
-            a if name in ("profiles", "profile_total") else pad0(a)
+            a if name in ("profiles", "profile_total", "patterns") else pad0(a)
             for name, a in zip(TileBatch._fields, batch)
         )
     )

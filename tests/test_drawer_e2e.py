@@ -111,3 +111,38 @@ area[natural=water], way[natural=water] { fill-color: #b5d0d0; z-index: 2; }
         want = cpu.draw_to_pixels(entities, t, 1, styler)
         diff = np.abs(want.astype(int) - got[i].astype(int))
         assert diff.max() <= 1, (t, diff.max())
+
+
+def test_fill_image_jnp_backend(tmp_path):
+    """fill-image on the pure-XLA (jnp) backend matches the CPU oracle."""
+    import os
+
+    from PIL import Image
+
+    reader = build_mini_reader(tmp_path)
+    icon_dir = tmp_path / "styledir"
+    os.makedirs(icon_dir / "icons", exist_ok=True)
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(6, 11, 4), dtype=np.uint8)
+    px[..., 3] = rng.integers(90, 256, size=(6, 11), dtype=np.uint8)
+    Image.fromarray(px, "RGBA").save(icon_dir / "icons" / "pat.png")
+
+    style = """
+canvas { fill-color: #f1eee8; }
+way[building] { fill-image: "icons/pat.png"; z-index: 5; }
+way[highway=residential] { color: #ffffff; width: 5; z-index: 10; }
+area[natural=water], way[natural=water] { fill-color: #b5d0d0; z-index: 2; }
+"""
+    styler = Styler(parse_string(style), "josm")
+    cpu = CpuDrawer(stylesheet_dir=str(icon_dir))
+    dev = DeviceDrawer(stylesheet_dir=str(icon_dir))
+
+    tiles = _tiles_around_fixture(16)[:2]
+    tiles_entities = [
+        (reader.get_entities_in_tile_with_neighbors(t), t) for t in tiles
+    ]
+    got = dev.render_tiles(tiles_entities, 1, styler)
+    for i, (entities, t) in enumerate(tiles_entities):
+        want = cpu.draw_to_pixels(entities, t, 1, styler)
+        diff = np.abs(want.astype(int) - got[i].astype(int))
+        assert diff.max() <= 1, (t, diff.max())

@@ -48,7 +48,7 @@ def test_sharded_batch_matches_single_device():
     rep = NamedSharding(mesh, P())
     sharded = TileBatch(
         *(
-            jax.device_put(a, rep if name in ("profiles", "profile_total") else dp)
+            jax.device_put(a, rep if name in ("profiles", "profile_total", "patterns") else dp)
             for name, a in zip(TileBatch._fields, batch)
         )
     )
