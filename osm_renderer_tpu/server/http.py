@@ -237,7 +237,7 @@ class TileService:
                             img = self.labeler.composite_labels(
                                 img, entities, t, float(scale), self.styler
                             )
-                        out[i] = rgb_to_png(img)
+                        out[i] = rgb_to_png(img, self.png_level)
                 with self._perf_lock:
                     perfstats.finish_tile(self.perf_stats)
         return [out[i] for i in range(len(requests))]

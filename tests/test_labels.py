@@ -186,12 +186,12 @@ def test_fill_image(city):
 
 
 import os as _os
-import pytest as _pytest
 
-_SYMBOLS = "/root/reference/tests/mapcss/symbols"
+_SYMBOLS = _os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)), "fixtures", "mapcss", "symbols"
+)
 
 
-@_pytest.mark.skipif(not _os.path.isdir(_SYMBOLS), reason="reference symbols unavailable")
 def test_icon_cache_decodes_real_symbol_pngs():
     """Decode a spread of the reference's shipped symbol PNGs (various
     color types) to premultiplied f64 RGBA."""

@@ -1,19 +1,16 @@
 """MapCSS parser golden tests against the reference's canonical AST dump
-(mirrors `tests/test_mapcss_parser.rs`)."""
+(mirrors `tests/test_mapcss_parser.rs`).
+
+The fixtures (`mapnik.mapcss`, `mapnik.parsed.canonical`,
+`osmosnimki-minimal.mapcss`) are vendored verbatim under
+tests/fixtures/mapcss so these goldens always run."""
 
 import os
 
-import pytest
-
-from tests.conftest import reference_path
 from osm_renderer_tpu.mapcss.parser import format_rules, parse_file, parse_string
 
-MAPNIK_DIR = reference_path("tests", "mapcss")
+MAPNIK_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "mapcss")
 CANONICAL = os.path.join(MAPNIK_DIR, "mapnik.parsed.canonical")
-
-needs_fixtures = pytest.mark.skipif(
-    not os.path.exists(CANONICAL), reason="reference mapcss fixtures unavailable"
-)
 
 
 def _canonical_text() -> str:
@@ -21,21 +18,18 @@ def _canonical_text() -> str:
         return f.read().replace("\r\n", "\n")
 
 
-@needs_fixtures
 def test_mapnik_parse_golden():
     rules = parse_file(MAPNIK_DIR, "mapnik.mapcss")
     assert format_rules(rules) == _canonical_text()
 
 
-@needs_fixtures
 def test_parsing_is_idempotent():
     rules = parse_file(MAPNIK_DIR, "mapnik.parsed.canonical")
     assert format_rules(rules) == _canonical_text()
 
 
-@needs_fixtures
 def test_osmosnimki_parses():
-    rules = parse_file(reference_path("mapcss"), "osmosnimki-minimal.mapcss")
+    rules = parse_file(MAPNIK_DIR, "osmosnimki-minimal.mapcss")
     assert len(rules) > 100
     # Re-parsing our own dump must be stable.
     dumped = format_rules(rules)
