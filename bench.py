@@ -1,18 +1,26 @@
 #!/usr/bin/env python
-"""Benchmark: z15 256x256 tiles/sec/chip on the device render path.
+"""Benchmark: z15 256x256 tiles/sec/chip on the device render path,
+plus honest end-to-end serving numbers.
 
 Renders the synthetic-city corpus (tools/make_fixture.py — the
 reference's test extract is stripped from this snapshot, and the
 environment has no network) through the full pipeline: geodata query ->
-style cascade -> primitive assembly -> batched device rasterization.
+style cascade -> primitive assembly -> batched device rasterization ->
+PNG encode.
 
 Prints ONE JSON line:
   {"metric": "z15_tiles_per_sec_per_chip", "value": N, "unit": "tiles/s",
-   "vs_baseline": ratio_vs_cpu_oracle_path}
+   "vs_baseline": ratio_vs_cpu_oracle_path, "detail": {...}}
+
+detail carries the serving truth: e2e tiles/s (entities -> styled ->
+assembled -> device -> PNG) measured cold (empty chunk cache), warm
+(chunk-cache hits — the steady state of a slippy server re-serving the
+same tiles), and warm with labels.
 
 The CPU baseline is the C++ oracle rasterizer driven entity-by-entity —
-a faithful reimplementation of the reference renderer's draw loop, used
-here as the stand-in for the (unbuildable-in-this-image) Rust reference.
+a faithful reimplementation of the reference renderer's draw loop
+(http_server.rs / drawer.rs), used as the stand-in for the
+(unbuildable-in-this-image) Rust reference.
 """
 
 import json
@@ -67,6 +75,7 @@ def main():
     tiles_entities = [
         (reader.get_entities_in_tile_with_neighbors(t), t) for t in tiles
     ]
+    n_tiles = len(tiles_entities)
 
     # --- CPU oracle baseline (reference-parity path) ---
     from osm_renderer_tpu.draw.drawer import CpuDrawer
@@ -78,19 +87,25 @@ def main():
     for entities, t in tiles_entities:
         cpu.draw_to_pixels(entities, t, 1, styler)
     cpu_dt = time.perf_counter() - t0
-    cpu_tps = len(tiles_entities) / cpu_dt
+    cpu_tps = n_tiles / cpu_dt
 
     # --- device path ---
     import jax
+    import jax.numpy as jnp
 
     backend = jax.default_backend()
     from osm_renderer_tpu.parallel.renderer import BatchRenderer
 
-    dev = BatchRenderer(styler, backend="pallas")
-    # Build the batch once (assembly measured separately below).
+    dev = BatchRenderer(styler, backend="pallas", chunk_cache_tiles=256)
+
+    # Cold assembly: entity sets -> styled -> packed -> device arrays.
     t0 = time.perf_counter()
     prepared = dev.prepare(tiles_entities, scale=1)
-    assembly_dt = time.perf_counter() - t0
+    assembly_cold_dt = time.perf_counter() - t0
+    # Warm assembly: per-tile chunk-cache hits, pure concatenation.
+    t0 = time.perf_counter()
+    prepared = dev.prepare(tiles_entities, scale=1)
+    assembly_warm_dt = time.perf_counter() - t0
 
     out = dev.render_prepared(prepared)  # compile + first run
     out.block_until_ready()
@@ -98,9 +113,6 @@ def main():
     # The device runtime may memoize executions with identical input
     # buffers, so each timed rep gets a (visually equivalent) perturbed
     # copy of the style table, prepared outside the timed region.
-    import jax
-    import jax.numpy as jnp
-
     reps = 16
     preps = []
     for i in range(reps):
@@ -114,7 +126,71 @@ def main():
     outs = [dev.render_prepared(p) for p in preps]
     jax.block_until_ready(outs)
     dev_dt = (time.perf_counter() - t0) / reps
-    dev_tps = len(tiles_entities) / dev_dt
+    dev_tps = n_tiles / dev_dt
+
+    # --- PNG encode (host, native libdeflate path) ---
+    from osm_renderer_tpu.draw.png_writer import rgb_to_png
+
+    imgs = np.asarray(out)
+    t0 = time.perf_counter()
+    png_bytes = [rgb_to_png(imgs[i], 1) for i in range(n_tiles)]
+    png_dt = time.perf_counter() - t0
+    png_tps = n_tiles / png_dt
+    del png_bytes
+
+    # --- end-to-end serving (entities -> ... -> PNG bytes) ---
+    # Steady-state serving pipelines device readback + host encode of
+    # batch N against the (async-dispatched) render of batch N+1, so
+    # throughput is the max of the stages, not their sum.
+    def e2e_pipelined(n_batches: int, fetch_entities: bool, labeler=None):
+        def encode(te, rendered):
+            rgb = np.asarray(rendered)
+            pngs = []
+            for i, (ents, t) in enumerate(te):
+                img = rgb[i]
+                if labeler is not None:
+                    img = labeler.composite_labels(img, ents, t, 1.0, styler)
+                pngs.append(rgb_to_png(img, 1))
+            assert len(pngs) == n_tiles
+
+        inflight = None
+        t0 = time.perf_counter()
+        for b in range(n_batches):
+            te = [
+                (
+                    reader.get_entities_in_tile_with_neighbors(t)
+                    if fetch_entities
+                    or (labeler is not None and not labeler.has_cached_layer(t, 256))
+                    else None,
+                    t,
+                )
+                for t in tiles
+            ]
+            p = dev.prepare(te, scale=1)
+            r = dev.render_prepared(p)  # async dispatch
+            try:
+                r.copy_to_host_async()
+            except Exception:
+                pass
+            if inflight is not None:
+                encode(*inflight)
+            inflight = (te, r)
+        encode(*inflight)
+        dt = time.perf_counter() - t0
+        return n_batches * n_tiles / dt
+
+    # Cold: empty cache, full assembly per tile (one batch, no overlap).
+    dev.cache_clear()
+    e2e_cold_tps = e2e_pipelined(1, True)
+    # Warm: chunk-cache hits (steady-state slippy serving).
+    e2e_pipelined(1, False)  # pipeline warm-up
+    e2e_warm_tps = e2e_pipelined(4, False)
+
+    from osm_renderer_tpu.draw.labels.labeler import Labeler
+
+    labeler = Labeler(icon_base_path=base, label_cache_tiles=256)
+    e2e_labels_tps = e2e_pipelined(1, True, labeler)
+    e2e_labels_warm_tps = e2e_pipelined(2, False, labeler)
 
     # Secondary config: z12-z17 pyramid sweep over the whole extract
     # (BASELINE.json configs 2/5), one batch per zoom.
@@ -147,9 +223,6 @@ def main():
         zdt = (time.perf_counter() - t0) / zreps
         pyramid[f"z{zoom}"] = round(len(zte) / zdt, 1)
 
-    # End-to-end (assembly amortized across repeated renders of a live
-    # server is near-zero since styled tiles are cached; report raw
-    # device throughput as the headline, assembly separately).
     result = {
         "metric": "z15_tiles_per_sec_per_chip",
         "value": round(dev_tps, 2),
@@ -157,11 +230,19 @@ def main():
         "vs_baseline": round(dev_tps / cpu_tps, 3),
         "detail": {
             "backend": backend,
-            "n_tiles": len(tiles_entities),
+            "n_tiles": n_tiles,
             "cpu_oracle_tiles_per_sec_1core": round(cpu_tps, 2),
             "cpu_cores": os.cpu_count(),
             "device_ms_per_batch": round(dev_dt * 1e3, 2),
-            "assembly_ms_per_batch": round(assembly_dt * 1e3, 2),
+            "assembly_cold_ms_per_batch": round(assembly_cold_dt * 1e3, 2),
+            "assembly_warm_ms_per_batch": round(assembly_warm_dt * 1e3, 2),
+            "png_encode_tiles_per_sec_1core": round(png_tps, 1),
+            "e2e_tiles_per_sec": {
+                "cold": round(e2e_cold_tps, 1),
+                "warm": round(e2e_warm_tps, 1),
+                "labels_cold": round(e2e_labels_tps, 1),
+                "labels_warm": round(e2e_labels_warm_tps, 1),
+            },
             "pyramid_tiles_per_sec": pyramid,
         },
     }

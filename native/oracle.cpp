@@ -640,6 +640,66 @@ class GlyphRasterizer {
     DrawQuad(mx, my, m12x, m12y, x2, y2);
   }
 
+  // Stripe-key bounding box of everything drawn: {x_min, x_max, y_min,
+  // y_max}.  Returns false when nothing was drawn.
+  bool Bounds(int32_t* out4) const {
+    bool any = false;
+    int32_t xmin = INT32_MAX, xmax = INT32_MIN;
+    int32_t ymin = INT32_MAX, ymax = INT32_MIN;
+    for (const auto& [y, stripe] : stripes_) {
+      if (stripe.a.empty() && stripe.s.empty()) continue;
+      any = true;
+      ymin = std::min(ymin, y);
+      ymax = std::max(ymax, y);
+      if (!stripe.a.empty()) {
+        xmin = std::min(xmin, stripe.a.begin()->first);
+        xmax = std::max(xmax, stripe.a.rbegin()->first);
+      }
+      if (!stripe.s.empty()) {
+        xmin = std::min(xmin, stripe.s.begin()->first);
+        xmax = std::max(xmax, stripe.s.rbegin()->first);
+      }
+    }
+    if (!any) return false;
+    out4[0] = xmin;
+    out4[1] = xmax;
+    out4[2] = ymin;
+    out4[3] = ymax;
+    return true;
+  }
+
+  // Dense alpha export over the window [x0, x0+w) x [y0, y0+h): the
+  // same min(a + running_s, 1) emission as SaveToFigure, zero where it
+  // would emit nothing.  Used to bake glyph-atlas patches.
+  void Export(int32_t x0, int32_t y0, size_t w, size_t h, double* out) const {
+    std::fill(out, out + w * h, 0.0);
+    for (const auto& [y, stripe] : stripes_) {
+      if (y < y0 || y >= y0 + int32_t(h)) continue;
+      if (stripe.a.empty() && stripe.s.empty()) continue;
+      int32_t x_min = INT32_MAX, x_max = INT32_MIN;
+      if (!stripe.a.empty()) {
+        x_min = std::min(x_min, stripe.a.begin()->first);
+        x_max = std::max(x_max, stripe.a.rbegin()->first);
+      }
+      if (!stripe.s.empty()) {
+        x_min = std::min(x_min, stripe.s.begin()->first);
+        x_max = std::max(x_max, stripe.s.rbegin()->first);
+      }
+      double s_acc = 0.0;
+      for (int32_t x = x_min; x <= x_max; ++x) {
+        auto s_it = stripe.s.find(x);
+        if (s_it != stripe.s.end()) s_acc += s_it->second;
+        double total = s_acc;
+        auto a_it = stripe.a.find(x);
+        if (a_it != stripe.a.end()) total += a_it->second;
+        total = std::min(total, 1.0);
+        if (total > 0.0 && x >= x0 && x < x0 + int32_t(w)) {
+          out[size_t(y - y0) * w + size_t(x - x0)] = total;
+        }
+      }
+    }
+  }
+
   // Emits min(a + running_s, 1) as label alpha; aborts on collision.
   bool SaveToFigure(TilePixels& pixels) const {
     for (const auto& [y, stripe] : stripes_) {
@@ -785,6 +845,15 @@ int osmr_glyph_save(void* g, void* t) {
              *static_cast<TilePixels*>(t))
              ? 1
              : 0;
+}
+
+int osmr_glyph_bounds(void* g, int32_t* out4) {
+  return static_cast<GlyphRasterizer*>(g)->Bounds(out4) ? 1 : 0;
+}
+
+void osmr_glyph_export(void* g, int32_t x0, int32_t y0, size_t w, size_t h,
+                       double* out) {
+  static_cast<GlyphRasterizer*>(g)->Export(x0, y0, w, h, out);
 }
 
 }  // extern "C"

@@ -11,6 +11,7 @@ Mirrors `labeler.rs` + the label part of `drawer.rs:221-262`:
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import Optional
 
 import numpy as np
@@ -25,9 +26,25 @@ from osm_renderer_tpu.mapcss.styler import Style, Styler, TextPosition
 
 
 class Labeler:
-    def __init__(self, icon_base_path: Optional[str] = None, font_path: Optional[str] = None):
+    def __init__(
+        self,
+        icon_base_path: Optional[str] = None,
+        font_path: Optional[str] = None,
+        use_atlas: bool = True,
+        label_cache_tiles: int = 0,
+    ):
         self.text_placer = TextPlacer(font_path)
         self.icon_cache = IconCache(icon_base_path) if icon_base_path else None
+        # Glyph-atlas fast path (draw/labels/atlas.py): ~92% of glyph
+        # rasterizations repeat across tiles; atlas patches turn them
+        # into numpy blits.  use_atlas=False keeps the exact per-glyph
+        # scanline path (parity tests compare the two).
+        self.use_atlas = use_atlas
+        self._atlas = None
+        # Optional per-tile committed-label-layer LRU (serving: slippy
+        # clients re-request the same tiles constantly).
+        self.label_cache_tiles = label_cache_tiles
+        self._layer_cache = OrderedDict()
 
     # -- per-entity --
 
@@ -93,26 +110,121 @@ class Labeler:
         for entity, style in styled_nodes:
             self.label_entity(entity, style, tile, scale, TextPosition.CENTER, pixels)
 
+    # -- glyph-atlas fast path (serving) --
+
+    def _label_entity_atlas(
+        self, entity, style, tile, scale, default_text_position, layer, atlas
+    ) -> None:
+        """All-or-nothing label via atlas blits; mirrors label_entity
+        exactly except that glyph transforms are phase/angle-quantized
+        (documented in draw/labels/atlas.py)."""
+        y_offset = 0
+        if style.icon_image is not None and self.icon_cache is not None:
+            icon = self.icon_cache.get(style.icon_image)
+            if icon is not None:
+                pos = labelable.get_label_position(entity, tile, scale)
+                if pos is not None:
+                    center_x, center_y = pos
+                    start_x = int(center_x - icon.width / 2.0)
+                    start_y = int(center_y - icon.height / 2.0)
+                    # Icons occupy their whole rect for collision
+                    # (osmr_label_icon writes every pixel).
+                    layer.stage(
+                        start_x, start_y, icon.rgba,
+                        np.ones(icon.rgba.shape[:2], dtype=bool),
+                    )
+                    y_offset = icon.height // 2
+
+        if style.text_style is not None:
+            placements, gscale, rgb = self.text_placer.enumerate_placements(
+                entity, style.text_style, tile, scale, y_offset,
+                default_text_position,
+            )
+            if placements:
+                r, g, b = rgb
+                for glyph, kind, params in placements:
+                    if kind == "center":
+                        got = atlas.get_center(glyph.ch, glyph, gscale, *params)
+                    else:
+                        got = atlas.get_line(glyph.ch, glyph, gscale, *params)
+                    if got is None:
+                        continue
+                    patch, px, py = got
+                    rgba = np.empty(patch.shape + (4,), dtype=np.float64)
+                    rgba[..., 0] = (r / 255.0) * patch
+                    rgba[..., 1] = (g / 255.0) * patch
+                    rgba[..., 2] = (b / 255.0) * patch
+                    rgba[..., 3] = patch
+                    layer.stage(px, py, rgba, patch > 0.0)
+        layer.commit_label()
+
+    def _label_layer_atlas(
+        self, entities, tile: Tile, scale: float, styler: Styler, ts: int
+    ) -> np.ndarray:
+        from osm_renderer_tpu.draw.labels.atlas import GlyphAtlas, LabelLayer
+
+        if self._atlas is None:
+            self._atlas = GlyphAtlas()
+        layer = LabelLayer(ts)
+        styled_areas = styler.style_areas(
+            entities.ways, entities.multipolygons, tile.zoom, True
+        )
+        styled_nodes = styler.style_entities(entities.nodes, tile.zoom, True)
+        for entity, style in styled_areas:
+            default_pos = (
+                TextPosition.LINE if isinstance(entity, Way) else TextPosition.CENTER
+            )
+            self._label_entity_atlas(
+                entity, style, tile, scale, default_pos, layer, self._atlas
+            )
+        for entity, style in styled_nodes:
+            self._label_entity_atlas(
+                entity, style, tile, scale, TextPosition.CENTER, layer, self._atlas
+            )
+        return layer.export_center()
+
+    def has_cached_layer(self, tile: Tile, ts: int) -> bool:
+        return (tile.zoom, tile.x, tile.y, ts) in self._layer_cache
+
     def composite_labels(
         self, base_rgb: np.ndarray, entities, tile: Tile, scale: float, styler: Styler
     ) -> np.ndarray:
-        """Render labels on a scratch canvas and src-over them onto a
-        device-rendered RGB tile (the base is fully opaque, so
-        compositing over u8 stays within 1/255 of the exact path)."""
+        """Render labels and src-over them onto a device-rendered RGB
+        tile (the base is fully opaque, so compositing over u8 stays
+        within 1/255 of the exact path).
+
+        Default path: glyph atlas + numpy label layer, with an optional
+        per-tile committed-layer LRU for serving.  use_atlas=False runs
+        the exact per-glyph scanline path."""
         ts = base_rgb.shape[0]
-        scale_i = ts // 256
-        # Native tile buffers are expensive to allocate; reuse per scale
-        # (thread-unsafe reuse is fine: the device compositor runs the
-        # batch loop on one thread).
-        cache = getattr(self, "_scratch_tiles", None)
-        if cache is None:
-            cache = self._scratch_tiles = {}
-        scratch = cache.get(scale_i)
-        if scratch is None:
-            scratch = cache[scale_i] = OracleTile(scale_i)
-        scratch.reset(None)
-        self.draw_labels(scratch, entities, tile, scale, styler)
-        layer = scratch.export_label_layer()  # (ts, ts, 4) premultiplied f64
+        if self.use_atlas:
+            key = (tile.zoom, tile.x, tile.y, ts)
+            layer = None
+            if self.label_cache_tiles:
+                layer = self._layer_cache.get(key)
+                if layer is not None:
+                    self._layer_cache.move_to_end(key)
+            if layer is None:
+                layer = self._label_layer_atlas(entities, tile, scale, styler, ts)
+                if self.label_cache_tiles:
+                    self._layer_cache[key] = layer
+                    while len(self._layer_cache) > self.label_cache_tiles:
+                        self._layer_cache.popitem(last=False)
+        else:
+            scale_i = ts // 256
+            # Native tile buffers are expensive to allocate; reuse per
+            # scale (thread-unsafe reuse is fine: the device compositor
+            # runs the batch loop on one thread).
+            cache = getattr(self, "_scratch_tiles", None)
+            if cache is None:
+                cache = self._scratch_tiles = {}
+            scratch = cache.get(scale_i)
+            if scratch is None:
+                scratch = cache[scale_i] = OracleTile(scale_i)
+            scratch.reset(None)
+            self.draw_labels(scratch, entities, tile, scale, styler)
+            layer = scratch.export_label_layer()  # (ts, ts, 4) premult f64
+
         a = layer[..., 3:4]
         out = layer[..., :3] * 255.0 + (1.0 - a) * base_rgb.astype(np.float64)
         return np.clip(np.trunc(out + 1e-9), 0, 255).astype(np.uint8)

@@ -39,7 +39,7 @@ class TextPlacer:
     def __init__(self, font_path: Optional[str] = None):
         self.font = FontEngine(font_path or _DEFAULT_FONT)
 
-    def place(
+    def enumerate_placements(
         self,
         entity,
         text_style: TextStyle,
@@ -47,36 +47,45 @@ class TextPlacer:
         global_scale: float,
         y_offset: int,
         default_text_position: TextPosition,
-        pixels: OracleTile,
-    ) -> bool:
+    ):
+        """Shaping + placement without rasterization.
+
+        Returns (placements, scale, rgb) where each placement is
+        (glyph, kind, params):
+          kind "center": params = (x_off, baseline)
+          kind "line":   params = (wx, wy, sin_a, cos_a, gcx, gcy)
+        or (None, 0, rgb) when the label trivially succeeds with no
+        glyphs (missing text tag / font size / too-wide-for-way).
+        Both the exact oracle path and the glyph-atlas path consume
+        this, so placement math lives in exactly one place."""
         from osm_renderer_tpu.draw.labels import labelable
 
+        color = text_style.text_color
+        rgb = (color.r, color.g, color.b) if color is not None else (0, 0, 0)
+
         if text_style.font_size is None:
-            return True
+            return None, 0.0, rgb
         font_size = text_style.font_size * global_scale
 
         text = entity.tags().get_by_key(text_style.text)
         if text is None:
-            return True
+            return None, 0.0, rgb
 
         text_pos = text_style.text_position or default_text_position
         scale = self.font.scale_for_pixel_height(font_size)
         glyphs, total_width = self._text_to_glyphs(text, scale)
-
-        color = text_style.text_color
-        rgb = (color.r, color.g, color.b) if color is not None else (0, 0, 0)
-        rasterizer = GlyphRasterizer(rgb)
 
         vm = self.font.v_metrics()
         ascent = vm.ascent * scale
         descent = vm.descent * scale
         line_gap = vm.line_gap * scale
 
+        placements = []
         if text_pos == TextPosition.LINE:
             points = labelable.get_waypoints(entity, tile, global_scale)
             if points is not None:
                 if points.shape[0] < 2:
-                    return True
+                    return None, 0.0, rgb
                 if points[0, 0] > points[-1, 0]:
                     points = points[::-1]
                 seg_lens = [
@@ -90,7 +99,7 @@ class TextPlacer:
                 ]
                 total_way_length = sum(seg_lens)
                 if total_width > total_way_length:
-                    return True
+                    return None, 0.0, rgb
                 cur_dist = (total_way_length - total_width) / 2.0
                 glyph_center_y = (descent + ascent) / 2.0
                 for glyph in glyphs:
@@ -100,16 +109,10 @@ class TextPlacer:
                     )
                     sin_a = math.sin(-angle)
                     cos_a = math.cos(-angle)
-
-                    def tr(p, _wx=wx, _wy=wy, _s=sin_a, _c=cos_a,
-                           _gcx=glyph_center_x, _gcy=glyph_center_y):
-                        tx = p[0] - _gcx
-                        ty = p[1] - _gcy
-                        rx = tx * _c - ty * _s
-                        ry = ty * _c + tx * _s
-                        return (_wx + rx, _wy - ry)
-
-                    self._rasterize(glyph, rasterizer, scale, tr)
+                    placements.append(
+                        (glyph, "line",
+                         (wx, wy, sin_a, cos_a, glyph_center_x, glyph_center_y))
+                    )
                     cur_dist += glyph.width
         else:  # Center
             pos = labelable.get_label_position(entity, tile, global_scale)
@@ -141,16 +144,52 @@ class TextPlacer:
                 for row, row_width in rows:
                     cur_x = center_x - row_width / 2.0
                     for glyph in row:
-                        baseline = cur_y + ascent
-                        x_off = cur_x
-
-                        def tr(p, _x=x_off, _b=baseline):
-                            return (_x + p[0], _b - p[1])
-
-                        self._rasterize(glyph, rasterizer, scale, tr)
+                        placements.append((glyph, "center", (cur_x, cur_y + ascent)))
                         cur_x += glyph.width
                     cur_y += row_height
 
+        return placements, scale, rgb
+
+    @staticmethod
+    def make_tr(kind: str, params):
+        """The per-point transform for a placement — the exact
+        arithmetic golden images were canonized with."""
+        if kind == "center":
+            x_off, baseline = params
+
+            def tr(p, _x=x_off, _b=baseline):
+                return (_x + p[0], _b - p[1])
+
+            return tr
+        wx, wy, sin_a, cos_a, gcx, gcy = params
+
+        def tr(p, _wx=wx, _wy=wy, _s=sin_a, _c=cos_a, _gcx=gcx, _gcy=gcy):
+            tx = p[0] - _gcx
+            ty = p[1] - _gcy
+            rx = tx * _c - ty * _s
+            ry = ty * _c + tx * _s
+            return (_wx + rx, _wy - ry)
+
+        return tr
+
+    def place(
+        self,
+        entity,
+        text_style: TextStyle,
+        tile,
+        global_scale: float,
+        y_offset: int,
+        default_text_position: TextPosition,
+        pixels: OracleTile,
+    ) -> bool:
+        placements, scale, rgb = self.enumerate_placements(
+            entity, text_style, tile, global_scale, y_offset, default_text_position
+        )
+        if placements is None:
+            return True
+        rasterizer = GlyphRasterizer(rgb)
+        for glyph, kind, params in placements:
+            self._rasterize(glyph, rasterizer, scale, self.make_tr(kind, params))
         return rasterizer.save_to_figure(pixels)
 
     def _text_to_glyphs(self, text: str, scale: float):

@@ -85,6 +85,12 @@ def _get_lib():
         lib.osmr_glyph_draw_path.argtypes = [ctypes.c_void_p, _F64P, ctypes.c_size_t]
         lib.osmr_glyph_save.restype = ctypes.c_int
         lib.osmr_glyph_save.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.osmr_glyph_bounds.restype = ctypes.c_int
+        lib.osmr_glyph_bounds.argtypes = [ctypes.c_void_p, _I32P]
+        lib.osmr_glyph_export.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_size_t, ctypes.c_size_t, _F64P,
+        ]
 
         _lib = lib
     return _lib
@@ -207,3 +213,17 @@ class GlyphRasterizer:
 
     def save_to_figure(self, tile: OracleTile) -> bool:
         return bool(self._lib.osmr_glyph_save(self._handle, tile._handle))
+
+    def bounds(self) -> Optional[Tuple[int, int, int, int]]:
+        """(x_min, x_max, y_min, y_max) of drawn coverage, or None."""
+        out = np.zeros(4, dtype=np.int32)
+        if not self._lib.osmr_glyph_bounds(self._handle, out):
+            return None
+        return int(out[0]), int(out[1]), int(out[2]), int(out[3])
+
+    def export_patch(self, x0: int, y0: int, w: int, h: int) -> np.ndarray:
+        """Dense (h, w) f64 alpha over the window — the exact values
+        save_to_figure would emit (glyph-atlas baking)."""
+        out = np.zeros(h * w, dtype=np.float64)
+        self._lib.osmr_glyph_export(self._handle, x0, y0, w, h, out)
+        return out.reshape(h, w)

@@ -10,7 +10,13 @@ the output:
   half-width/dash/cap parameters), and
 * pairwise disjoint bounding boxes (inflated by the stroke margin), so
   no pixel is touched by two members — max-within vs. src-over-between
-  is then indistinguishable, and fill span pairing cannot mix contours.
+  is then indistinguishable.
+
+Fully-opaque color fills don't even need disjointness: with alpha 1,
+max-within-generation and src-over-between-generations produce the
+same pixel, so a whole same-style run shares one generation (fill
+coverage is extracted per primitive as scanline spans — draw/spans.py
+— so merging never mixes contours).
 
 Within a maximal same-style run of the paint order, members may be
 reordered (disjoint primitives' blends commute; overlapping ones stay
@@ -62,41 +68,19 @@ def _geom_count(p) -> int:
     return p.edges.shape[0] if isinstance(p, FillPrim) else p.segs.shape[0]
 
 
-def _is_closed_loops(p) -> bool:
-    """True if a fill's edges form a union of closed loops (every vertex
-    balanced as start and end) — required for cross-contour span pairing
-    to stay correct when merging; open contours are never packed.
-
-    Edges come chained (consecutive point pairs per ring), so it
-    suffices to check that every chained run closes back on its start.
-    """
-    if not isinstance(p, FillPrim):
-        return True
-    g = p.edges
-    n = g.shape[0]
-    if n == 0:
-        return False
-    cont = np.all(g[:-1, 2:] == g[1:, :2], axis=1) if n > 1 else np.zeros(0, bool)
-    ring_starts = np.concatenate(([0], np.flatnonzero(~cont) + 1))
-    ring_ends = np.concatenate((ring_starts[1:] - 1, [n - 1]))
-    return bool(np.all(g[ring_starts, :2] == g[ring_ends, 2:]))
-
-
 def _precompute_pack_attrs(prims: List[object]):
-    """Vectorized `_bbox` + `_is_closed_loops` over the whole prim list.
+    """Vectorized `_bbox` over the whole prim list.
 
     One concatenate + `reduceat` sweep replaces per-prim numpy reductions
     (which dominate host assembly time on dense tiles).  Results match
-    the scalar helpers exactly; those remain as the executable spec."""
+    the scalar helper exactly; it remains as the executable spec."""
     n = len(prims)
-    is_fill = np.fromiter((isinstance(p, FillPrim) for p in prims), bool, n)
     geoms = [(p.edges if isinstance(p, FillPrim) else p.segs) for p in prims]
     lens = np.fromiter((g.shape[0] for g in geoms), np.int64, n)
     total = int(lens.sum())
     bboxes: List[Optional[Tuple[int, int, int, int]]] = [None] * n
-    closed = np.where(is_fill, False, True)
     if total == 0:
-        return lens, bboxes, closed
+        return lens, bboxes
 
     margins = np.fromiter(
         (
@@ -128,45 +112,7 @@ def _precompute_pack_attrs(prims: List[object]):
     ).tolist()
     for k, i in enumerate(np.flatnonzero(nz)):
         bboxes[i] = tuple(box_arr[k])
-
-    # Closed-loop check: chain continuity broken at prim boundaries, then
-    # every chained run must close back on its start.
-    N = allg.shape[0]
-    cont = (
-        np.all(allg[:-1, 2:] == allg[1:, :2], axis=1)
-        if N > 1
-        else np.zeros(0, bool)
-    )
-    b = offs[1:-1]
-    b = b[(b >= 1) & (b <= N - 1)]
-    cont[b - 1] = False
-    ring_starts = np.concatenate(([0], np.flatnonzero(~cont) + 1))
-    ring_ends = np.concatenate((ring_starts[1:] - 1, [N - 1]))
-    ring_closed = np.all(allg[ring_starts, :2] == allg[ring_ends, 2:], axis=1)
-    prim_of_ring = np.searchsorted(offs[1:], ring_starts, side="right")
-    all_rings_closed = np.ones(n, bool)
-    np.logical_and.at(all_rings_closed, prim_of_ring, ring_closed)
-    closed = np.where(is_fill, all_rings_closed & nz, True)
-    return lens, bboxes, closed
-
-
-class _Pack:
-    __slots__ = ("prims", "bboxes", "count")
-
-    def __init__(self):
-        self.prims = []
-        self.bboxes = []
-        self.count = 0
-
-    def fits(self, cnt: int, bb, capacity: int) -> bool:
-        if self.count + cnt > capacity:
-            return False
-        return all(_disjoint(bb, other) for other in self.bboxes)
-
-    def add(self, p, cnt: int, bb) -> None:
-        self.prims.append(p)
-        self.bboxes.append(bb)
-        self.count += cnt
+    return lens, bboxes
 
 
 def pack_prims(prims: List[object], capacity: int) -> List[List[object]]:
@@ -175,14 +121,26 @@ def pack_prims(prims: List[object], capacity: int) -> List[List[object]]:
     Oversize primitives (> capacity geometry) are returned as singleton
     groups and handled by the caller's chunk splitting.
     """
-    lens, bboxes, closed = _precompute_pack_attrs(prims)
+    lens, bboxes = _precompute_pack_attrs(prims)
     # Prims with coordinates beyond the int32-safe bound are flagged for
-    # the host-layer path (stream_tile_packed) and never packed.
+    # the host-layer path (stream_tile_packed) and never packed; so are
+    # round-capped strokes wider than the walk-chain exactness bound
+    # (primitives.CHAIN_EXACT_HALF_WIDTH).
+    from osm_renderer_tpu.draw.primitives import CHAIN_EXACT_HALF_WIDTH
+    from osm_renderer_tpu.ops.coverage_np import LINE_CAP_ROUND
+
     for k, bb in enumerate(bboxes):
         if bb is not None and (
             max(abs(bb[0]), abs(bb[1]), abs(bb[2]), abs(bb[3])) >= FAST_COORD_BOUND
         ):
             prims[k]._coord_oob = True
+        p = prims[k]
+        if (
+            isinstance(p, StrokePrim)
+            and p.cap == LINE_CAP_ROUND
+            and p.half_width > CHAIN_EXACT_HALF_WIDTH
+        ):
+            p._coord_oob = True  # exact f64 host-layer path
     groups: List[List[object]] = []
     i = 0
     n = len(prims)
@@ -192,52 +150,73 @@ def pack_prims(prims: List[object], capacity: int) -> List[List[object]]:
         while j < n and _style_key(prims[j]) == key:
             j += 1
 
+        is_fill_run = isinstance(prims[i], FillPrim)
         small = []
         big = []
         for k in range(i, j):
-            if (
-                lens[k] <= capacity
-                and closed[k]
-                and getattr(prims[k], "fill_image", None) is None
-                and not getattr(prims[k], "_coord_oob", False)
+            if getattr(prims[k], "fill_image", None) is not None or getattr(
+                prims[k], "_coord_oob", False
             ):
+                big.append(k)
+            elif is_fill_run:
+                # Fill chunks split freely across span chunks, so no
+                # capacity constraint applies.
+                (small if lens[k] > 0 else big).append(k)
+            elif lens[k] <= capacity:
                 small.append(k)
             else:
                 big.append(k)
+
+        if is_fill_run and small and prims[i].opacity == 1.0:
+            # Fully-opaque fills: one generation for the whole style
+            # run, no disjointness scan (see module docstring).
+            groups.append([prims[k] for k in small])
+            for k in big:
+                groups.append([prims[k]])
+            i = j
+            continue
 
         # Spatial sort improves row-block locality.
         with_bb = [k for k in small if bboxes[k] is not None]
         with_bb.sort(key=lambda k: (bboxes[k][2] // 64, bboxes[k][0]))
 
-        # A pack that cannot fit the run's smallest prim can never
-        # accept again — retire it from the first-fit scan (identical
-        # packing, fewer candidate packs per prim).
-        min_cnt = int(min((lens[k] for k in with_bb), default=0))
-        full_packs: List[_Pack] = []
-        packs: List[_Pack] = []
+        # First-fit over packs, vectorized: every placed member's bbox
+        # lives in one flat array tagged with its pack id; a candidate
+        # overlaps pack p iff it overlaps any member tagged p.
+        n_small = len(with_bb)
+        mem_bb = np.empty((n_small, 4), dtype=np.int64)
+        mem_pack = np.empty(n_small, dtype=np.int64)
+        pack_counts = np.empty(n_small, dtype=np.int64)
+        m = 0
+        n_packs = 0
+        pack_members: List[List[object]] = []
         for k in with_bb:
-            bb = bboxes[k]
+            bb = np.asarray(bboxes[k], dtype=np.int64)
             cnt = int(lens[k])
-            placed = False
-            for pi, pack in enumerate(packs):
-                if pack.fits(cnt, bb, capacity):
-                    pack.add(prims[k], cnt, bb)
-                    if pack.count + min_cnt > capacity:
-                        full_packs.append(packs.pop(pi))
-                    placed = True
-                    break
-            if not placed:
-                pack = _Pack()
-                pack.add(prims[k], cnt, bb)
-                if pack.count + min_cnt > capacity:
-                    full_packs.append(pack)
-                else:
-                    packs.append(pack)
+            ok = pack_counts[:n_packs] + cnt <= capacity
+            if m and ok.any():
+                B = mem_bb[:m]
+                overlap = ~(
+                    (bb[1] < B[:, 0]) | (B[:, 1] < bb[0])
+                    | (bb[3] < B[:, 2]) | (B[:, 3] < bb[2])
+                )
+                ok[mem_pack[:m][overlap]] = False
+            cand = np.flatnonzero(ok)
+            if cand.size:
+                pi = int(cand[0])
+                pack_members[pi].append(prims[k])
+                pack_counts[pi] += cnt
+            else:
+                pi = n_packs
+                pack_members.append([prims[k]])
+                pack_counts[pi] = cnt
+                n_packs += 1
+            mem_bb[m] = bb
+            mem_pack[m] = pi
+            m += 1
 
-        for pack in full_packs:
-            groups.append(pack.prims)
-        for pack in packs:
-            groups.append(pack.prims)
+        for members in pack_members:
+            groups.append(members)
         for k in big:
             groups.append([prims[k]])
         i = j

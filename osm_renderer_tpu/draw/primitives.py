@@ -85,6 +85,14 @@ Prim = object  # FillPrim | StrokePrim
 # beyond it are rendered through the exact f64 host layer path.
 FAST_COORD_BOUND = 12000
 
+# Round caps make in_line non-monotone along the walk's perpendiculars;
+# the device kernels check JMAX_CHAIN-1 = 11 intermediate positions
+# (render_pallas.py), which is exact for round-capped half-widths up to
+# ~7.5 px (PARITY.md).  Wider round-capped strokes route to the exact
+# f64 host-layer path so the byte-exactness guarantee never silently
+# lapses.
+CHAIN_EXACT_HALF_WIDTH = 7.0
+
 
 def _entity_point_pairs(entity, tile: Tile, scale: float) -> np.ndarray:
     """(N, 4) consecutive point pairs (way polyline / mp ring edges)."""
@@ -180,6 +188,106 @@ def make_stroke_prim(
     )
 
 
+def make_stroke_prims_batch(requests) -> List[StrokePrim]:
+    """Vectorized `make_stroke_prim` over many polylines (the host
+    assembly hot path): one concatenated diff/sqrt pass, per-row 2D
+    cumsum for the arc-length phases (identical left-to-right addition
+    order as the per-prim cumsum, so results match bit-for-bit), and
+    vectorized cap extension.
+
+    `requests` rows: (pairs, width, color, opacity, dashes, cap,
+    use_caps_for_dashes).  Equivalent to
+    `[make_stroke_prim(*r) for r in requests]`.
+    """
+    n_req = len(requests)
+    if n_req == 0:
+        return []
+    pairs_list = [np.asarray(r[0], dtype=np.int64).reshape(-1, 4) for r in requests]
+    lens = np.fromiter((p.shape[0] for p in pairs_list), np.int64, n_req)
+    total = int(lens.sum())
+    if total == 0:
+        return [make_stroke_prim(*r) for r in requests]
+    if n_req > 1 and n_req * int(lens.max()) > 4_000_000:
+        # One huge polyline would blow up the padded cumsum matrix;
+        # split (order-preserving — results are per-request).
+        mid = n_req // 2
+        return make_stroke_prims_batch(requests[:mid]) + make_stroke_prims_batch(
+            requests[mid:]
+        )
+    allp = np.concatenate([p for p in pairs_list if p.shape[0]], axis=0)
+    offs = np.zeros(n_req + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+
+    d = (allp[:, 2:] - allp[:, :2]).astype(np.float64)
+    seg_lens = np.sqrt(d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1])
+    nondeg = (allp[:, 0] != allp[:, 2]) | (allp[:, 1] != allp[:, 3])
+
+    # Exclusive per-prim cumsum with the exact per-prim addition order:
+    # rows of a padded 2D matrix accumulate independently.
+    max_len = int(lens.max())
+    mat = np.zeros((n_req, max_len))
+    row_idx = np.repeat(np.arange(n_req), lens)
+    col_idx = np.arange(total) - np.repeat(offs[:-1], lens)
+    mat[row_idx, col_idx] = seg_lens
+    np.cumsum(mat, axis=1, out=mat)
+    trav_before = np.empty(total)
+    trav_before[col_idx == 0] = 0.0
+    nz = col_idx > 0
+    trav_before[nz] = mat[row_idx[nz], col_idx[nz] - 1]
+
+    out: List[StrokePrim] = []
+    for ri, (pairs, width, color, opacity, dashes, cap, use_caps) in enumerate(requests):
+        hw = width / 2.0
+        s, e = int(offs[ri]), int(offs[ri + 1])
+        pr = allp[s:e]
+        nd = nondeg[s:e]
+        segs_arr = pr[nd]
+        travs_arr = trav_before[s:e][nd]
+        cap_rows = []
+        if cap in (LINE_CAP_ROUND, LINE_CAP_SQUARE) and e > s:
+            if nd[0]:
+                p1 = (int(pr[0, 0]), int(pr[0, 1]))
+                p2 = (int(pr[0, 2]), int(pr[0, 3]))
+                ce = _push_away_from(p1, p2, hw)
+                if ce != p1:
+                    cap_rows.append((*p1, *ce))
+            if nd[-1]:
+                p1 = (int(pr[-1, 0]), int(pr[-1, 1]))
+                p2 = (int(pr[-1, 2]), int(pr[-1, 3]))
+                ce = _push_away_from(p2, p1, hw)
+                if ce != p2:
+                    cap_rows.append((*p2, *ce))
+        nb = segs_arr.shape[0]
+        if cap_rows:
+            segs_out = np.concatenate(
+                [segs_arr, np.asarray(cap_rows, dtype=np.int64)], axis=0
+            )
+            travs_out = np.concatenate([travs_arr, np.zeros(len(cap_rows))])
+            outer_out = np.concatenate(
+                [np.zeros(nb, dtype=bool), np.ones(len(cap_rows), dtype=bool)]
+            )
+        else:
+            segs_out = segs_arr
+            travs_out = travs_arr
+            outer_out = np.zeros(nb, dtype=bool)
+        out.append(
+            StrokePrim(
+                kind="stroke",
+                color=color,
+                opacity=opacity,
+                half_width=hw,
+                segs=segs_out.reshape(-1, 4),
+                traveled=travs_out,
+                outer=outer_out,
+                dashes=tuple(dashes) if dashes is not None else None,
+                cap=cap,
+                use_caps_for_dashes=use_caps,
+                raw_pairs=pairs_list[ri],
+            )
+        )
+    return out
+
+
 def assemble_tile_prims(
     entities, tile: Tile, scale: float, styler: Styler
 ) -> List[Prim]:
@@ -265,11 +373,13 @@ def assemble_tile_prims(
                 )
             )
 
-    # Pass 2: casings (ways only).
+    # Pass 2: casings (ways only); pass 3: strokes (ways only).
+    # Collected first, then built in one vectorized batch.
+    stroke_reqs = []
     for entity, style in styled:
         if isinstance(entity, Way) and style.casing_color is not None and style.casing_width is not None:
-            prims.append(
-                make_stroke_prim(
+            stroke_reqs.append(
+                (
                     pairs_for(entity),
                     style.casing_width * scale,
                     style.casing_color,
@@ -279,12 +389,10 @@ def assemble_tile_prims(
                     styler.use_caps_for_dashes,
                 )
             )
-
-    # Pass 3: strokes (ways only).
     for entity, style in styled:
         if isinstance(entity, Way) and style.color is not None:
-            prims.append(
-                make_stroke_prim(
+            stroke_reqs.append(
+                (
                     pairs_for(entity),
                     scale * (style.width if style.width is not None else 1.0),
                     style.color,
@@ -294,6 +402,7 @@ def assemble_tile_prims(
                     styler.use_caps_for_dashes,
                 )
             )
+    prims.extend(make_stroke_prims_batch(stroke_reqs))
 
     return prims
 
@@ -406,8 +515,37 @@ class TileStream:
     chunk_opacity: List[float] = field(default_factory=list)
     chunk_hw: List[float] = field(default_factory=list)
     chunk_pat: List[int] = field(default_factory=list)  # fill-image index, -1 = none
+    # True where a fill chunk's geometry is already scanline spans
+    # (y, x_from, x_to, 0) rather than edges (see draw/spans.py).
+    chunk_spans: List[bool] = field(default_factory=list)
     geom_len: int = 0
     has_icon_fills: bool = False  # icon fills present but no PatternTable
+
+
+def _push_fill_spans(
+    ts: TileStream, group, spans_by_id: Dict[int, np.ndarray],
+    kind: int = 1, pat: int = -1, opacity: Optional[float] = None,
+) -> None:
+    """Concatenate the group's pre-extracted scanline spans
+    (draw/spans.py), sort by row, and push one span chunk per
+    generation (split at CH downstream)."""
+    parts = [spans_by_id[id(p)] for p in group if id(p) in spans_by_id]
+    parts = [s for s in parts if s.shape[0]]
+    if not parts:
+        return
+    spans = np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    spans = spans[np.argsort(spans[:, 0], kind="stable")]
+    g4 = np.concatenate(
+        [spans.astype(np.int64), np.zeros((spans.shape[0], 1), np.int64)], axis=1
+    )
+    first = group[0]
+    z = np.zeros(g4.shape[0])
+    _push_chunk(
+        ts, kind, g4, z, z.astype(np.int64), True,
+        first.color if first.color is not None else (0, 0, 0),
+        first.opacity if opacity is None else opacity,
+        0.0, pat=pat, spans=True,
+    )
 
 
 def stream_tile_packed(
@@ -415,35 +553,60 @@ def stream_tile_packed(
     profiles: ProfileTable,
     chunk_size: int,
     patterns: Optional[PatternTable] = None,
+    size: Optional[int] = None,
 ) -> TileStream:
     """Like stream_tile, but merges small same-style disjoint primitives
-    into shared chunks (see draw/packing.py) — the occupancy win that
-    makes the Pallas kernel fast on building-dense tiles."""
+    into shared chunks (see draw/packing.py) and pre-extracts fill
+    coverage as scanline spans — the occupancy wins that make the Pallas
+    kernel fast on building-dense tiles.
+
+    `size` is the canvas size in pixels (256 * scale); defaults to the
+    pattern table's size, else 256."""
     from osm_renderer_tpu.draw.packing import pack_prims
+    from osm_renderer_tpu.draw.spans import fill_spans_multi
 
     ts = TileStream()
+    tile_px = size if size is not None else (patterns.ts if patterns is not None else 256)
     groups = pack_prims(prims, chunk_size)
+
+    # One vectorized span-extraction pass over every fill prim on the
+    # device span path (per-prim calls dominate host assembly).
+    span_prims = [
+        p
+        for group in groups
+        if isinstance(group[0], FillPrim)
+        and not getattr(group[0], "_coord_oob", False)
+        for p in group
+        if p.edges.shape[0]
+    ]
+    spans_by_id = dict(
+        zip(
+            (id(p) for p in span_prims),
+            fill_spans_multi([p.edges for p in span_prims], tile_px),
+        )
+    )
+
     for group in groups:
         if len(group) == 1:
             p = group[0]
             oob = getattr(p, "_coord_oob", False)
-            if isinstance(p, FillPrim) and (p.edges.shape[0] > chunk_size or oob):
+            if isinstance(p, FillPrim) and oob:
                 _stream_fill_layer(ts, p, patterns)
                 continue
             if isinstance(p, StrokePrim) and oob:
                 _stream_stroke_layer(ts, p, patterns)
                 continue
             if getattr(p, "fill_image", None) is not None:
-                _stream_icon_fill(ts, p, patterns, chunk_size)
+                _stream_icon_fill(ts, p, patterns, spans_by_id)
+                continue
+            if isinstance(p, FillPrim):
+                _push_fill_spans(ts, group, spans_by_id)
                 continue
             _stream_prim(ts, p, profiles, chunk_size)
             continue
         first = group[0]
         if isinstance(first, FillPrim):
-            edges = np.concatenate([p.edges for p in group], axis=0)
-            z = np.zeros(edges.shape[0])
-            _push_chunk(ts, 1, edges, z, z.astype(np.int64), True,
-                        first.color, first.opacity, 0.0)
+            _push_fill_spans(ts, group, spans_by_id)
         else:
             segs = np.concatenate([p.segs for p in group], axis=0)
             travs = np.concatenate([p.traveled for p in group])
@@ -460,7 +623,8 @@ def stream_tile_packed(
 
 
 def _push_chunk(
-    ts: TileStream, kind, geom, traveled, profile, last, color, opacity, hw, pat=-1
+    ts: TileStream, kind, geom, traveled, profile, last, color, opacity, hw,
+    pat=-1, spans=False,
 ):
     ts.geom.append(geom)
     ts.traveled.append(traveled)
@@ -473,6 +637,7 @@ def _push_chunk(
     ts.chunk_opacity.append(opacity)
     ts.chunk_hw.append(hw)
     ts.chunk_pat.append(pat)
+    ts.chunk_spans.append(spans)
     ts.geom_len += geom.shape[0]
 
 
@@ -566,15 +731,14 @@ def _stream_stroke_layer(
 
 
 def _stream_icon_fill(
-    ts: TileStream, prim, patterns: Optional[PatternTable], chunk_size: int
+    ts: TileStream, prim, patterns: Optional[PatternTable],
+    spans_by_id: Dict[int, np.ndarray],
 ) -> None:
-    """Tiled fill-image primitive -> KIND_FILL_IMAGE chunk (or CPU
-    fallback flag when no pattern table)."""
-    edges = prim.edges
-    if edges.shape[0] == 0:
-        return
-    if edges.shape[0] > chunk_size:
-        _stream_fill_layer(ts, prim, patterns)
+    """Tiled fill-image primitive -> KIND_FILL_IMAGE span chunk (or CPU
+    fallback flag when no pattern table).  The coverage mask is binary
+    (the reference ignores fill-opacity for images, fill.rs:36-40), so
+    the chunk opacity is forced to 1."""
+    if prim.edges.shape[0] == 0:
         return
     if patterns is None or patterns.icon_cache is None:
         ts.has_icon_fills = True
@@ -583,10 +747,7 @@ def _stream_icon_fill(
     if pidx is None:
         # Unloadable icon: the reference draws nothing for this area.
         return
-    z = np.zeros(edges.shape[0])
-    _push_chunk(
-        ts, 5, edges, z, z.astype(np.int64), True, (0, 0, 0), 1.0, 0.0, pat=pidx
-    )
+    _push_fill_spans(ts, [prim], spans_by_id, kind=5, pat=pidx, opacity=1.0)
 
 
 def _stream_prim(ts: TileStream, prim, profiles: ProfileTable, chunk_size: int) -> None:

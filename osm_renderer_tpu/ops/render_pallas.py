@@ -9,19 +9,29 @@ is restricted to the chunk's bounding-box row blocks (host-computed),
 which is where the 10-100x win over dense evaluation comes from:
 buildings touch ~2 row blocks, not 256 rows.
 
-Math is the closed-form coverage model validated against the C++
-oracle (see ops/coverage_np.py): Bresenham row spans + parity/
-b-extension for fills; perpendicular-band ownership + dash/cap/feather
-opacity for strokes.  All integer forms fit int32 under the host-
-checked |coord| < 12000 bound; floats are f32 (<= 1/255 output
+Fills ride the MXU: the host extracts the exact scanline spans the
+reference's fill would paint (draw/spans.py — integer closed form of
+fill.rs:16-104 incl. the poisoned-vertex rule), and the kernel paints
+them with a coverage matmul per 32-row block:
+    covered = (U @ W) > 0,  U[r,s] = (span s is on row r),
+                            W[s,x] = (xlo_s <= x <= xhi_s)
+with 0/1 bf16 operands and f32 accumulation (sums <= 128, exact), so
+fill membership is byte-exact by construction.
+
+Strokes use the closed-form coverage model validated against the C++
+oracle (see ops/coverage_np.py): perpendicular-band ownership +
+dash/cap/feather opacity.  All integer forms fit int32 under the
+host-checked |coord| < 12000 bound; floats are f32 (<= 1/255 output
 tolerance).
 
 Data layout (host-built by `build_pallas_batch`):
-  geometry   (T, C, 4, CH) int32  chunk-aligned SoA point pairs
-  traveled   (T, C, CH)    f32    arc length before each stroke segment
-  seg_prof   (T, C, CH)    int32  dash profile index per segment
+  geometry   (C, 4, CH) int32  strokes: SoA point pairs;
+             fills: rows (y, xlo, xhi, -) spans, lanes padded
+             (y=-1, xlo=1, xhi=0) so pad lanes cover nothing
+  traveled   (C, CH)    f32    arc length before each stroke segment
+  seg_prof   (C, CH)    int32  dash profile index per segment
   profiles   (NP, DS, 8)   -> prefetched to SMEM as (NP*DS*8,) i32 bits
-  scalars    (T*C,) int32 each: kind, cnt, last, y0, nb (row blocks),
+  scalars    (C,) int32 each: kind, cnt, last, y0, nb (row blocks),
              prim_y0, prim_nb (blend bbox), color r/g/b,
              opacity/halfwidth as f32 bit patterns
 """
@@ -84,60 +94,131 @@ def _f32_bits(x: np.ndarray) -> np.ndarray:
     return x.astype(np.float32).view(np.int32)
 
 
-def build_pallas_batch(tile_streams, profiles, ts: int, patterns=None) -> PallasBatch:
-    """Convert TileStream chunk lists (chunk size <= CH) into the flat
-    chunk-aligned layout (no per-tile padding).
+def _convert_tile_chunks(s, ts: int):
+    """Per-tile chunk list with fill chunks converted to scanline-span
+    chunks (draw/spans.py), split at CH spans.  Returns tuples
+    (kind, geom(n,4), traveled, profile, last, color, opacity, hw, pat).
 
-    `patterns` is an optional PatternTable (draw/primitives.py) holding
-    the batch's tiled fill-image icons; chunk kind KIND_FILL_IMAGE
-    references it by index."""
-    from osm_renderer_tpu.utils.jax_setup import next_pow2
+    Fill geometry columns become (y, x_from, x_to, 0); membership is
+    decided on the host in exact integer arithmetic, the kernel only
+    paints (fill.rs:16-47 semantics live in fill_spans)."""
+    from osm_renderer_tpu.draw.spans import fill_spans
 
-    T = len(tile_streams)
-    total = sum(len(s.chunk_kind) for s in tile_streams)
-    # Every tile contributes at least one chunk so its canvas gets
-    # initialized even when empty.
-    total += sum(1 for s in tile_streams if not s.chunk_kind)
-    Ctot = next_pow2(max(total, 8), 8)
+    out = []
+    zero_f = np.zeros(0)
+    zero_i = np.zeros(0, dtype=np.int64)
+    for ci in range(len(s.chunk_kind)):
+        k = s.chunk_kind[ci]
+        g = s.geom[ci]
+        meta = (s.chunk_color[ci], s.chunk_opacity[ci], s.chunk_hw[ci], s.chunk_pat[ci])
+        if k in (KIND_FILL, KIND_FILL_IMAGE):
+            if s.chunk_spans and s.chunk_spans[ci]:
+                spans = g[:, :3].astype(np.int64)  # pre-extracted
+            elif g.shape[0]:
+                spans = fill_spans(g, ts).astype(np.int64)
+            else:
+                spans = np.zeros((0, 3), dtype=np.int64)
+            S = spans.shape[0]
+            last = s.chunk_last[ci]
+            if S == 0:
+                out.append((k, np.zeros((0, 4), np.int64), zero_f, zero_i, last) + meta)
+                continue
+            g4 = np.concatenate([spans, np.zeros((S, 1), np.int64)], axis=1)
+            for off in range(0, S, CH):
+                end = min(off + CH, S)
+                nf = end - off
+                out.append(
+                    (k, g4[off:end], np.zeros(nf), np.zeros(nf, np.int64),
+                     last and end == S) + meta
+                )
+        else:
+            out.append((k, g, s.traveled[ci], s.profile[ci], s.chunk_last[ci]) + meta)
+    return out
 
-    geom = np.zeros((Ctot, 4, CH), dtype=np.int32)
-    trav = np.zeros((Ctot, 1, CH), dtype=np.float32)
-    sprof = np.zeros((Ctot, 1, CH), dtype=np.int32)
-    aux = np.zeros((Ctot, 4, CH), dtype=np.float32)
-    tile_id = np.full((Ctot,), max(T - 1, 0), dtype=np.int32)
-    first = np.zeros((Ctot,), dtype=np.int32)
-    kind = np.zeros((Ctot,), dtype=np.int32)
-    cnt = np.zeros((Ctot,), dtype=np.int32)
-    last = np.zeros((Ctot,), dtype=np.int32)
-    y0 = np.zeros((Ctot,), dtype=np.int32)
-    nb = np.zeros((Ctot,), dtype=np.int32)
-    prim_y0 = np.zeros((Ctot,), dtype=np.int32)
-    prim_nb = np.zeros((Ctot,), dtype=np.int32)
-    color = np.zeros((Ctot, 3), dtype=np.float32)
-    opacity = np.zeros((Ctot,), dtype=np.float32)
-    hw = np.zeros((Ctot,), dtype=np.float32)
-    pat = np.full((Ctot,), -1, dtype=np.int32)
 
-    ci_out = 0
-    for t, s in enumerate(tile_streams):
-        n_chunks = len(s.chunk_kind)
-        if n_chunks == 0:
-            tile_id[ci_out] = t
-            first[ci_out] = 1
-            ci_out += 1
-            continue
+def next_bucket(n: int, minimum: int = 8) -> int:
+    """Quarter-octave size buckets (p, 1.25p, 1.5p, 1.75p, 2p ...): at
+    most 12.5% padding with a bounded set of jit signatures per octave
+    (vs plain pow2's up-to-2x padding)."""
+    v = max(n, minimum)
+    p = 1 << max(v.bit_length() - 1, 3)
+    if v == p:
+        return v
+    for num in (5, 6, 7, 8):
+        b = (p * num) // 4
+        if v <= b:
+            return b
+    return 2 * p
 
+
+class TileChunks(NamedTuple):
+    """One tile's device-ready chunk arrays.
+
+    Independent of batch composition (chunk indices are tile-local and
+    pattern/profile indices come from tables that persist across
+    batches), so serving caches these per (tile, zoom, scale) and
+    batches become pure concatenation (`concat_pallas_batch`)."""
+    geom: np.ndarray      # (c, 4, CH) int32
+    trav: np.ndarray      # (c, 1, CH) f32
+    sprof: np.ndarray     # (c, 1, CH) int32
+    aux: np.ndarray       # (c, 4, CH) f32
+    kind: np.ndarray      # (c,) int32
+    cnt: np.ndarray       # (c,) int32
+    last: np.ndarray      # (c,) int32
+    y0: np.ndarray        # (c,) int32
+    nb: np.ndarray        # (c,) int32
+    prim_y0: np.ndarray   # (c,) int32
+    prim_nb: np.ndarray   # (c,) int32
+    color: np.ndarray     # (c, 3) f32
+    opacity: np.ndarray   # (c,) f32
+    hw: np.ndarray        # (c,) f32
+    pat: np.ndarray       # (c,) int32
+
+    @property
+    def nbytes(self) -> int:
+        return sum(a.nbytes for a in self)
+
+
+def build_tile_chunks(stream, ts: int) -> TileChunks:
+    """One TileStream -> device-ready per-tile chunk arrays (fills
+    converted to scanline spans, stroke aux scalars precomputed).
+
+    An empty stream still yields one PAD chunk so the tile's canvas is
+    initialized."""
+    chunks = _convert_tile_chunks(stream, ts)
+    n_chunks = max(len(chunks), 1)
+
+    geom = np.zeros((n_chunks, 4, CH), dtype=np.int32)
+    trav = np.zeros((n_chunks, 1, CH), dtype=np.float32)
+    sprof = np.zeros((n_chunks, 1, CH), dtype=np.int32)
+    aux = np.zeros((n_chunks, 4, CH), dtype=np.float32)
+    kind = np.zeros((n_chunks,), dtype=np.int32)
+    cnt = np.zeros((n_chunks,), dtype=np.int32)
+    last = np.zeros((n_chunks,), dtype=np.int32)
+    y0 = np.zeros((n_chunks,), dtype=np.int32)
+    nb = np.zeros((n_chunks,), dtype=np.int32)
+    prim_y0 = np.zeros((n_chunks,), dtype=np.int32)
+    prim_nb = np.zeros((n_chunks,), dtype=np.int32)
+    color = np.zeros((n_chunks, 3), dtype=np.float32)
+    opacity = np.zeros((n_chunks,), dtype=np.float32)
+    hw = np.zeros((n_chunks,), dtype=np.float32)
+    pat = np.full((n_chunks,), -1, dtype=np.int32)
+
+    if chunks:
         chunk_meta = []
         for ci in range(n_chunks):
-            g = s.geom[ci]
-            k = s.chunk_kind[ci]
+            k, g, _, _, _, _, _, c_hw, _ = chunks[ci]
             n = g.shape[0]
             assert n <= CH, f"chunk of {n} exceeds CH={CH}"
-            if k in (KIND_FILL, KIND_FILL_IMAGE, KIND_LAYER):
+            if k in (KIND_FILL, KIND_FILL_IMAGE):
+                # Span chunks: y in column 0.
+                ylo = g[:, 0].min() if n else 0
+                yhi = g[:, 0].max() if n else 0
+            elif k == KIND_LAYER:
                 ylo = g[:, [1, 3]].min() if n else 0
                 yhi = g[:, [1, 3]].max() if n else 0
             else:
-                m = int(np.ceil(s.chunk_hw[ci])) + 2
+                m = int(np.ceil(c_hw)) + 2
                 ylo = (g[:, [1, 3]].min() - m) if n else 0
                 yhi = (g[:, [1, 3]].max() + m) if n else 0
             ylo = int(max(min(ylo, ts - 1), 0))
@@ -149,7 +230,7 @@ def build_pallas_batch(tile_streams, profiles, ts: int, patterns=None) -> Pallas
         prim_rows = {}
         start = 0
         for ci in range(n_chunks):
-            if s.chunk_last[ci]:
+            if chunks[ci][4]:
                 blocks = [chunk_meta[j] for j in range(start, ci + 1) if chunk_meta[j][1]]
                 if blocks:
                     p0 = min(b for b, _ in blocks)
@@ -160,26 +241,30 @@ def build_pallas_batch(tile_streams, profiles, ts: int, patterns=None) -> Pallas
                 start = ci + 1
 
         for ci in range(n_chunks):
-            g = s.geom[ci]
+            k, g, c_trav, c_prof, c_last, c_color, c_op, c_hw, c_pat = chunks[ci]
             n = g.shape[0]
-            o = ci_out
-            tile_id[o] = t
-            first[o] = 1 if ci == 0 else 0
-            kind[o] = s.chunk_kind[ci]
+            o = ci
+            kind[o] = k
             cnt[o] = n
-            last[o] = int(s.chunk_last[ci])
+            last[o] = int(c_last)
             y0[o], nb[o] = chunk_meta[ci]
-            if s.chunk_last[ci]:
+            if c_last:
                 prim_y0[o], prim_nb[o] = prim_rows[ci]
-            color[o] = s.chunk_color[ci]
-            opacity[o] = s.chunk_opacity[ci]
-            hw[o] = s.chunk_hw[ci]
-            pat[o] = s.chunk_pat[ci]
-            if n:
+            color[o] = c_color
+            opacity[o] = c_op
+            hw[o] = c_hw
+            pat[o] = c_pat
+            if n and k in (KIND_FILL, KIND_FILL_IMAGE):
                 geom[o, :, :n] = g.T.astype(np.int32)
-                trav[o, 0, :n] = s.traveled[ci]
-                sprof[o, 0, :n] = s.profile[ci]
-                if s.chunk_kind[ci] == KIND_STROKE:
+                # Pad lanes so they cover nothing: no row match and an
+                # empty x interval.
+                geom[o, 0, n:] = -1
+                geom[o, 1, n:] = 1
+            elif n:
+                geom[o, :, :n] = g.T.astype(np.int32)
+                trav[o, 0, :n] = c_trav
+                sprof[o, 0, :n] = c_prof
+                if k == KIND_STROKE:
                     # Host-precomputed per-segment scalars (exact in f32
                     # under the coordinate bound): 1/|d|, the staircase
                     # inversion ratio, and h(K) = K + g(K).
@@ -196,16 +281,52 @@ def build_pallas_batch(tile_streams, profiles, ts: int, patterns=None) -> Pallas
                     cK = (2 * mx * mn + mx - 1) // (2 * mx)
                     gK = (2 * cK * mn + mx - 1) // (2 * mx)
                     aux[o, 2, :n] = (mx + gK).astype(np.float32)
-                if kind[o] == KIND_STROKE and not np.any(np.asarray(s.profile[ci])[:n]):
-                    # Wide solid strokes (hw >= 1.25) can skip the
-                    # perpendicular-owner aliveness machinery entirely:
-                    # every owner start is provably in-line.
-                    kind[o] = (
-                        KIND_STROKE_SOLID_WIDE
-                        if s.chunk_hw[ci] >= 1.25
-                        else KIND_STROKE_SOLID
-                    )
-            ci_out += 1
+                    if not np.any(np.asarray(c_prof)[:n]):
+                        # Wide solid strokes (hw >= 1.25) can skip the
+                        # perpendicular-owner aliveness machinery
+                        # entirely: every owner start is provably
+                        # in-line.
+                        kind[o] = (
+                            KIND_STROKE_SOLID_WIDE
+                            if c_hw >= 1.25
+                            else KIND_STROKE_SOLID
+                        )
+
+    return TileChunks(
+        geom, trav, sprof, aux, kind, cnt, last, y0, nb,
+        prim_y0, prim_nb, color, opacity, hw, pat,
+    )
+
+
+def concat_pallas_batch(
+    tile_chunks: List[TileChunks], profiles, ts: int, patterns=None
+) -> PallasBatch:
+    """Stack per-tile chunk arrays into one flat batch (pure
+    concatenation — the serving path's per-request cost on cache hits).
+    The chunk total is bucketed (next_bucket) for stable jit
+    signatures; PAD rows route to the last tile's (already resident)
+    output block and do nothing."""
+    T = len(tile_chunks)
+    counts = [c.kind.shape[0] for c in tile_chunks]
+    total = sum(counts)
+    Ctot = next_bucket(max(total, 8), 8)
+    pad = Ctot - total
+
+    tile_id = np.repeat(np.arange(T, dtype=np.int32), counts)
+    if pad:
+        tile_id = np.concatenate(
+            [tile_id, np.full(pad, max(T - 1, 0), dtype=np.int32)]
+        )
+    first = np.zeros((Ctot,), dtype=np.int32)
+    first[np.concatenate(([0], np.cumsum(counts)[:-1]))] = 1
+
+    def cat(field: str, pad_value=0):
+        parts = [getattr(c, field) for c in tile_chunks]
+        out = np.concatenate(parts, axis=0)
+        if pad:
+            widths = [(0, pad)] + [(0, 0)] * (out.ndim - 1)
+            out = np.pad(out, widths, constant_values=pad_value)
+        return out
 
     prof_rows, prof_totals = profiles.arrays(np.float32)
     if patterns is not None and patterns.tiles:
@@ -213,9 +334,24 @@ def build_pallas_batch(tile_streams, profiles, ts: int, patterns=None) -> Pallas
     else:
         pat_arr = np.zeros((1, 4, ts, ts), dtype=np.float32)
     return PallasBatch(
-        geom, trav, sprof, aux, tile_id, first, kind, cnt, last, y0, nb,
-        prim_y0, prim_nb, color, opacity, hw, prof_rows, prof_totals,
-        pat, pat_arr,
+        cat("geom"), cat("trav"), cat("sprof"), cat("aux"),
+        tile_id, first,
+        cat("kind"), cat("cnt"), cat("last"), cat("y0"), cat("nb"),
+        cat("prim_y0"), cat("prim_nb"), cat("color"), cat("opacity"),
+        cat("hw"), prof_rows, prof_totals, cat("pat", -1), pat_arr,
+    )
+
+
+def build_pallas_batch(tile_streams, profiles, ts: int, patterns=None) -> PallasBatch:
+    """Convert TileStream chunk lists into the flat chunk-aligned layout
+    (no per-tile padding).  Fill chunks are converted to scanline-span
+    chunks (see _convert_tile_chunks).
+
+    `patterns` is an optional PatternTable (draw/primitives.py) holding
+    the batch's tiled fill-image icons; chunk kind KIND_FILL_IMAGE
+    references it by index."""
+    return concat_pallas_batch(
+        [build_tile_chunks(s, ts) for s in tile_streams], profiles, ts, patterns
     )
 
 
@@ -271,8 +407,6 @@ def make_render_kernel(ts: int):
         out_ref,       # (1, 4, ts, ts) f32
         # scratch
         pending_ref,   # (ts, ts) f32
-        n_ref,         # (RB, ts) int32 fill crossing counts
-        tail_ref,      # (RB, ts) int32 fill b-extension mask
         geom_smem,     # SMEM (4, CH) int32
         trav_smem,     # SMEM (1, CH) f32
         sprof_smem,    # SMEM (1, CH) int32
@@ -294,16 +428,18 @@ def make_render_kernel(ts: int):
 
         kind = kind_s[tc]
         cnt = cnt_s[tc]
+        is_stroke = (kind >= KIND_STROKE) & (kind <= KIND_STROKE_SOLID_WIDE)
 
-        # Stage the chunk's geometry into SMEM: Mosaic cannot do dynamic
-        # per-lane scalar loads from VMEM, but SMEM scalars index freely.
-        @pl.when(kind != KIND_PAD)
+        # Stage the chunk's geometry into SMEM (strokes only — the
+        # scalar-driven segment loop needs per-lane scalar loads, which
+        # Mosaic can't do from VMEM; fills read geometry vectorized).
+        @pl.when(is_stroke)
         def _stage_geom():
             cp0 = pltpu.make_async_copy(geom_ref.at[0], geom_smem, dma_sems.at[0])
             cp0.start()
             cp0.wait()
 
-        @pl.when(kind >= KIND_STROKE)
+        @pl.when(is_stroke)
         def _stage_aux():
             cp3 = pltpu.make_async_copy(aux_ref.at[0], aux_smem, dma_sems.at[3])
             cp3.start()
@@ -322,119 +458,38 @@ def make_render_kernel(ts: int):
 
         xs_half = lax.broadcasted_iota(jnp.int32, (RB, 128), 1)
         rows_half = lax.broadcasted_iota(jnp.int32, (RB, 128), 0)
-        xs_half_f = lax.broadcasted_iota(jnp.int32, (RB_F, 128), 1)
         n_halves = ts // 128
 
         # ------------------------- fills -------------------------
+        # Host-extracted scanline spans (draw/spans.py); the kernel just
+        # paints them with a coverage matmul on the MXU per 32-row
+        # block: covered = (U @ W) > 0 with U[r,s] = (y_s == r) and
+        # W[s,x] = (xlo_s <= x <= xhi_s).  0/1 bf16 operands with f32
+        # accumulation (sums <= CH=128) are exact, so fill membership is
+        # byte-identical to the reference's scanline fill.
         @pl.when((kind == KIND_FILL) | (kind == KIND_FILL_IMAGE))
         def _fill():
-            # Per-edge scalars as (1, CH) lane vectors.
-            x1 = geom_ref[0, 0, :].reshape(1, CH)
-            ey1 = geom_ref[0, 1, :].reshape(1, CH)
-            x2 = geom_ref[0, 2, :].reshape(1, CH)
-            ey2 = geom_ref[0, 3, :].reshape(1, CH)
-            lane = lax.broadcasted_iota(jnp.int32, (1, CH), 1)
-            valid = lane < cnt
-
-            adx = jnp.abs(x2 - x1)
-            ady = jnp.abs(ey2 - ey1)
-            sx = jnp.where(x1 < x2, 1, -1)
-            ytop = jnp.minimum(ey1, ey2)
-            ybot = jnp.maximum(ey1, ey2)
-            ady_nz = jnp.maximum(ady, 1)
-            ady_f = ady_nz.astype(jnp.float32)
-            steep = ady > adx
-            big = jnp.int32(1 << 28)
-
-            def span_at(rows, x1v, ey1v, adxv, adyv, sxv, steepv):
-                """Bresenham row span [a, b] at `rows` (same shape)."""
-                adyv_nz = jnp.maximum(adyv, 1)
-                adyv_f = adyv_nz.astype(jnp.float32)
-                j = jnp.abs(rows - ey1v)
-                steep_x = x1v + sxv * _floor_div_f(
-                    2 * j * adxv + adyv, 2.0 * adyv_f, 2 * adyv_nz
-                )
-                i_min = -_floor_div_f(-(adxv * (2 * j - 1)), 2.0 * adyv_f, 2 * adyv_nz)
-                i_max = -_floor_div_f(-(adxv * (2 * j + 1)), 2.0 * adyv_f, 2 * adyv_nz) - 1
-                i_min = jnp.clip(i_min, 0, adxv)
-                i_max = jnp.clip(i_max, 0, adxv)
-                lo = x1v + sxv * i_min
-                hi = x1v + sxv * i_max
-                a = jnp.where(steepv, steep_x, jnp.minimum(lo, hi))
-                b = jnp.where(steepv, steep_x, jnp.maximum(lo, hi))
-                return a, b
+            y_l = geom_ref[0, 0, :].reshape(1, CH)
+            xlo_l = geom_ref[0, 1, :].reshape(1, CH)
+            xhi_l = geom_ref[0, 2, :].reshape(1, CH)
+            # Span x-bounds to sublanes (one relayout per chunk,
+            # amortized over the row blocks).
+            xlo_c = jnp.transpose(xlo_l).reshape(CH, 1)
+            xhi_c = jnp.transpose(xhi_l).reshape(CH, 1)
+            xs_w = lax.broadcasted_iota(jnp.int32, (CH, ts), 1)
+            W = ((xs_w >= xlo_c) & (xs_w <= xhi_c)).astype(jnp.bfloat16)
 
             def row_block(blk, _):
                 r0 = (y0 + blk) * RB_F
-                rows_ch = r0 + lax.broadcasted_iota(jnp.int32, (RB_F, CH), 0)
-                act_all = (rows_ch > ytop) & (rows_ch <= ybot) & valid
-                a_all, b_all = span_at(rows_ch, x1, ey1, adx, ady, sx, steep)
-                a_all = jnp.where(act_all, a_all, big)
-                lane_rb = lax.broadcasted_iota(jnp.int32, (RB_F, CH), 1)
-
-                # Row-block x-range: left of every span start N == 0 and
-                # right of every span end N == n_active, so `filled` is
-                # false outside [xlo_blk, xhi_blk] — cull halves tighter
-                # than the chunk-wide bbox.
-                xlo_blk = jnp.min(a_all)
-                xhi_blk = jnp.max(jnp.where(act_all, b_all, -big))
-
                 rows_col = r0 + lax.broadcasted_iota(jnp.int32, (RB_F, 1), 0)
-                n_active = act_all.astype(jnp.int32).sum(axis=1, keepdims=True)
-                odd_n = (n_active % 2) == 1
-
-                for half in range(n_halves):
-                    col0 = half * 128
-
-                    @pl.when((xlo_blk < col0 + 128) & (xhi_blk >= col0))
-                    def _do_half(col0=col0):
-                        xs_l = col0 + xs_half_f
-
-                        def edge_step(e, _):
-                            ex1 = geom_smem[0, e]
-                            eey1 = geom_smem[1, e]
-                            ex2 = geom_smem[2, e]
-                            eey2 = geom_smem[3, e]
-                            etop = jnp.minimum(eey1, eey2)
-                            ebot = jnp.maximum(eey1, eey2)
-
-                            @pl.when((ebot >= r0) & (etop < r0 + RB_F - 1))
-                            def _do_edge():
-                                eadx = jnp.abs(ex2 - ex1)
-                                eady = jnp.abs(eey2 - eey1)
-                                esx = jnp.where(ex1 < ex2, 1, -1)
-                                act_e = (rows_col > etop) & (rows_col <= ebot)
-                                a_e, b_e = span_at(
-                                    rows_col, ex1, eey1, eadx, eady, esx, eady > eadx
-                                )
-                                a_em = jnp.where(act_e, a_e, big)
-                                less = act_all & (
-                                    (a_all < a_em) | ((a_all == a_em) & (lane_rb < e))
-                                )
-                                rank_e = less.astype(jnp.int32).sum(axis=1, keepdims=True)
-                                odd_e = act_e & ((rank_e % 2) == 1)
-
-                                ge = xs_l >= a_em
-                                n_ref[:RB_F, :128] = n_ref[:RB_F, :128] + (act_e & ge).astype(jnp.int32)
-                                tail_ref[:RB_F, :128] = tail_ref[:RB_F, :128] | (
-                                    odd_e & ge & (xs_l <= b_e)
-                                ).astype(jnp.int32)
-
-                            return 0
-
-                        n_ref[:RB_F, :128] = jnp.zeros((RB_F, 128), jnp.int32)
-                        tail_ref[:RB_F, :128] = jnp.zeros((RB_F, 128), jnp.int32)
-                        lax.fori_loop(0, cnt, edge_step, 0)
-                        N = n_ref[:RB_F, :128]
-                        tail = tail_ref[:RB_F, :128] != 0
-
-                        parity = ((N % 2) == 1) & ~((N == n_active) & odd_n)
-                        filled = parity | tail
-                        alpha = jnp.where(filled, opacity, 0.0).astype(jnp.float32)
-
-                        cur = pending_ref[pl.ds(r0, RB_F), col0 : col0 + 128]
-                        pending_ref[pl.ds(r0, RB_F), col0 : col0 + 128] = jnp.fmax(cur, alpha)
-
+                U = (rows_col == y_l).astype(jnp.bfloat16)
+                C = lax.dot_general(
+                    U, W, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                alpha = jnp.where(C > 0.5, opacity, 0.0)
+                cur = pending_ref[pl.ds(r0, RB_F), :]
+                pending_ref[pl.ds(r0, RB_F), :] = jnp.fmax(cur, alpha)
                 return 0
 
             lax.fori_loop(0, nb, row_block, 0)
@@ -989,8 +1044,6 @@ def render_batch_pallas(batch_arrays, canvas_rgb, ts: int, n_tiles: int, interpr
         ),
         scratch_shapes=[
             pltpu.VMEM((ts, ts), jnp.float32),
-            pltpu.VMEM((RB_F, ts), jnp.int32),
-            pltpu.VMEM((RB_F, ts), jnp.int32),
             pltpu.SMEM((4, CH), jnp.int32),
             pltpu.SMEM((1, CH), jnp.float32),
             pltpu.SMEM((1, CH), jnp.int32),

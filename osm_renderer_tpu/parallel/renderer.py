@@ -12,6 +12,7 @@ communication; optionally the pixel-row axis can be sharded too
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
@@ -57,6 +58,7 @@ class BatchRenderer:
         interpret: bool = False,
         stylesheet_dir: Optional[str] = None,
         tile_bucket: bool = False,
+        chunk_cache_tiles: int = 0,
     ):
         self.styler = styler
         self.precision = precision
@@ -68,6 +70,17 @@ class BatchRenderer:
         # varying request-batch sizes reuses a handful of compiled
         # kernel signatures (n_tiles is static for the pallas call).
         self.tile_bucket = tile_bucket
+        # LRU cache of per-tile device-ready chunk arrays (pallas
+        # backend): a slippy server re-renders the same tiles
+        # constantly, and on a hit batch prepare is pure concatenation
+        # (no entity fetch, styling, projection or packing).  Requires
+        # batch-stable pattern/profile indices, so the tables persist
+        # per scale while the cache is on.
+        self.chunk_cache_tiles = chunk_cache_tiles
+        self._chunk_cache: "OrderedDict" = OrderedDict()
+        self._persist_tables: dict = {}   # scale -> (ProfileTable, PatternTable)
+        self._patterns_dev: dict = {}     # scale -> (n_tiles_in_table, jax.Array)
+        self._empty_chunks: dict = {}     # ts -> TileChunks (PAD-only)
         self.icon_cache = None
         if stylesheet_dir is not None:
             from osm_renderer_tpu.draw.labels.icons import IconCache
@@ -130,34 +143,101 @@ class BatchRenderer:
                 f"got {max_coord}; use precision='exact' with backend='jnp'"
             )
 
+    def _tables_for(self, scale: int):
+        """Per-scale (ProfileTable, PatternTable) — fresh per batch
+        without the chunk cache, persistent (index-stable) with it."""
+        if not self.chunk_cache_tiles:
+            return (
+                prim_mod.ProfileTable(),
+                prim_mod.PatternTable(self.icon_cache, 256 * scale),
+            )
+        got = self._persist_tables.get(scale)
+        if got is None:
+            got = (
+                prim_mod.ProfileTable(),
+                prim_mod.PatternTable(self.icon_cache, 256 * scale),
+            )
+            self._persist_tables[scale] = got
+        return got
+
+    def has_cached_chunks(self, tile: Tile, scale: int) -> bool:
+        return (tile.zoom, tile.x, tile.y, scale) in self._chunk_cache
+
+    def cache_clear(self) -> None:
+        self._chunk_cache.clear()
+        self._persist_tables.clear()
+        self._patterns_dev.clear()
+
+    # Host-rasterized layers (out-of-bound prims) accumulate in a
+    # persistent pattern table as their tiles churn through the cache;
+    # past this bound both are rebuilt from scratch.
+    MAX_PERSISTED_PATTERNS = 48
+
     def _prepare_pallas(self, tiles_entities, scale: int) -> PreparedBatch:
         from osm_renderer_tpu.ops import render_pallas as RP
 
-        profiles = prim_mod.ProfileTable()
-        # Pattern table always exists: host-rasterized layers (oversize
-        # fills) need it even without an icon cache.
-        patterns = prim_mod.PatternTable(self.icon_cache, 256 * scale)
-        streams = []
+        ts_px = 256 * scale
+        profiles, patterns = self._tables_for(scale)
+        tile_chunks = []
         fallback = []
+        cache_on = bool(self.chunk_cache_tiles)
         for idx, (entities, tile) in enumerate(tiles_entities):
+            key = (tile.zoom, tile.x, tile.y, scale)
+            if cache_on:
+                hit = self._chunk_cache.get(key)
+                if hit is not None:
+                    self._chunk_cache.move_to_end(key)
+                    chunks, has_icon_fills = hit
+                    if has_icon_fills:
+                        fallback.append(idx)
+                    tile_chunks.append(chunks)
+                    continue
+            if entities is None:
+                raise ValueError(f"no cached chunks and no entities for {tile}")
             prims = assemble_tile_prims(entities, tile, float(scale), self.styler)
             stream = prim_mod.stream_tile_packed(prims, profiles, RP.CH, patterns)
+            chunks = RP.build_tile_chunks(stream, ts_px)
+            self._check_coords(chunks.geom)
             if stream.has_icon_fills:
                 fallback.append(idx)
-            streams.append(stream)
+            if cache_on:
+                self._chunk_cache[key] = (chunks, stream.has_icon_fills)
+                while len(self._chunk_cache) > self.chunk_cache_tiles:
+                    self._chunk_cache.popitem(last=False)
+                if len(patterns.tiles) > self.MAX_PERSISTED_PATTERNS:
+                    self.cache_clear()
+            tile_chunks.append(chunks)
         n_tiles = len(tiles_entities)
         if self.tile_bucket:
             from osm_renderer_tpu.utils.jax_setup import next_pow2
 
             bucket = next_pow2(max(n_tiles, 4), 4)
-            while len(streams) < bucket:
-                streams.append(prim_mod.TileStream())
+            empty = self._empty_chunks.get(ts_px)
+            if empty is None:
+                empty = RP.build_tile_chunks(prim_mod.TileStream(), ts_px)
+                self._empty_chunks[ts_px] = empty
+            while len(tile_chunks) < bucket:
+                tile_chunks.append(empty)
             n_tiles = bucket
-        pb = RP.build_pallas_batch(streams, profiles, 256 * scale, patterns)
-        self._check_coords(pb.geom)
-        pb = RP.PallasBatch(*(jnp.asarray(a) for a in pb))
+        pb = RP.concat_pallas_batch(tile_chunks, profiles, ts_px, patterns)
+
+        # Ship the (potentially multi-MB) pattern planes once per table
+        # version, not once per batch.
+        pat_dev = None
+        if cache_on:
+            ver = len(patterns.tiles)
+            got = self._patterns_dev.get(scale)
+            if got is not None and got[0] == ver:
+                pat_dev = got[1]
+            else:
+                pat_dev = jnp.asarray(pb.patterns)
+                self._patterns_dev[scale] = (ver, pat_dev)
+        pb = RP.PallasBatch(
+            *(jnp.asarray(a) for a in pb[:-1]),
+            pat_dev if pat_dev is not None else jnp.asarray(pb.patterns),
+        )
         return PreparedBatch(
-            pb, self._canvas(np.float32), 256 * scale, n_tiles, "pallas",
+            pb, self._canvas(np.float32), ts_px, n_tiles, "pallas",
             tuple(fallback),
         )
 

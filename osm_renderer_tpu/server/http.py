@@ -77,7 +77,18 @@ class TileService:
         self.osm_ids = osm_ids
         self.backend = backend
         self.png_level = png_level
-        self.labeler = Labeler(icon_base_path=stylesheet_dir) if enable_labels else None
+        # Label-layer cache mirrors the chunk-stream cache (off under
+        # the osm_ids debug filter; the CPU backend uses the exact
+        # per-glyph path like the reference).
+        self.labeler = (
+            Labeler(
+                icon_base_path=stylesheet_dir,
+                use_atlas=backend == "device",
+                label_cache_tiles=0 if (osm_ids or backend != "device") else 512,
+            )
+            if enable_labels
+            else None
+        )
         self.perf_stats = perfstats.PerfStats()
         self._perf_lock = threading.Lock()
         self._local = threading.local()
@@ -97,13 +108,17 @@ class TileService:
                 self.devices = self.devices[:1]
             else:
                 # The Pallas kernel needs a real TPU; elsewhere (tests,
-                # CPU-only hosts) it runs in interpret mode.
+                # CPU-only hosts) it runs in interpret mode.  The chunk
+                # cache amortizes host assembly across repeated tile
+                # requests (disabled under the osm_ids debug filter,
+                # which changes tile content).
                 self.batch_renderer = BatchRenderer(
                     styler,
                     backend="pallas",
                     interpret=jax.default_backend() != "tpu",
                     stylesheet_dir=stylesheet_dir,
                     tile_bucket=True,
+                    chunk_cache_tiles=0 if osm_ids else 512,
                 )
         else:
             self.batch_renderer = None
@@ -200,8 +215,24 @@ class TileService:
 
         for scale, group in by_scale.items():
             t0 = _time.perf_counter()
+            # Entity fetch is skipped when both the chunk-stream cache
+            # and (if labels are on) the label-layer cache hit.
+            def _need_entities(t: Tile) -> bool:
+                if self.batch_renderer is None:
+                    return True
+                if not self.batch_renderer.has_cached_chunks(t, scale):
+                    return True
+                return self.labeler is not None and not self.labeler.has_cached_layer(
+                    t, 256 * scale
+                )
+
             tiles_entities = [
-                (self.reader.get_entities_in_tile_with_neighbors(t, self.osm_ids), t)
+                (
+                    self.reader.get_entities_in_tile_with_neighbors(t, self.osm_ids)
+                    if _need_entities(t)
+                    else None,
+                    t,
+                )
                 for _, t in group
             ]
             ent_dt = _time.perf_counter() - t0
@@ -227,6 +258,10 @@ class TileService:
                 perfstats.add_span("Device render (batch share)", dev_dt / n)
                 with perfstats.measure("Compose and encode"):
                     if gi in needs_cpu or rgb is None:
+                        if entities is None:
+                            entities = self.reader.get_entities_in_tile_with_neighbors(
+                                t, self.osm_ids
+                            )
                         img = self._cpu_drawer().draw_to_pixels(
                             entities, t, scale, self.styler
                         )

@@ -97,7 +97,10 @@ area[natural=water], way[natural=water] { fill-color: #b5d0d0; z-index: 2; }
         styler, backend="pallas", interpret=True, stylesheet_dir=str(icon_dir)
     )
 
-    tiles = _tiles_around_fixture(16)[:2]
+    # All 4 tiles around the fixture: some contain no in-window fill
+    # coverage (their span chunks are dropped entirely), one carries the
+    # icon-filled building.
+    tiles = _tiles_around_fixture(16)
     tiles_entities = [
         (reader.get_entities_in_tile_with_neighbors(t), t) for t in tiles
     ]

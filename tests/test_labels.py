@@ -15,7 +15,7 @@ from osm_renderer_tpu.geodata.reader import GeodataReader
 from osm_renderer_tpu.mapcss.parser import parse_file
 from osm_renderer_tpu.mapcss.styler import Styler
 
-from tests.conftest import REPO_ROOT, reference_path
+from tests.conftest import REPO_ROOT
 
 STYLESHEET_DIR = os.path.join(REPO_ROOT, "assets", "stylesheets")
 
@@ -75,12 +75,21 @@ def test_device_label_compositing_matches_cpu(tmp_path, styler):
     tile = Tile(16, t18.x >> 2, t18.y >> 2)
     entities = reader.get_entities_in_tile_with_neighbors(tile)
     cpu = CpuDrawer(labeler=Labeler())
-    dev = DeviceDrawer(labeler=Labeler())
+    # Exact per-glyph path: tight tolerance.
+    dev = DeviceDrawer(labeler=Labeler(use_atlas=False))
     want = cpu.draw_to_pixels(entities, tile, 1, styler)
     got = dev.render_tiles([(entities, tile)], 1, styler)[0]
     diff = np.abs(want.astype(int) - got.astype(int))
     assert diff.max() <= 2
     assert (diff > 1).mean() < 0.001
+    # Glyph-atlas serving path: positions quantized to 1/(2*PHASE_Q) px
+    # (draw/labels/atlas.py), so only AA boundary pixels may deviate, by
+    # a bounded amount; interiors are identical.
+    dev_atlas = DeviceDrawer(labeler=Labeler(use_atlas=True))
+    got_a = dev_atlas.render_tiles([(entities, tile)], 1, styler)[0]
+    diff_a = np.abs(want.astype(int) - got_a.astype(int))
+    assert (diff_a > 8).mean() < 0.001
+    assert diff_a.max() <= 96  # AA edge pixels only
 
 
 def test_collision_all_or_nothing(city, styler):
@@ -110,9 +119,9 @@ def test_glyph_shapes_nonempty():
 
 
 def test_icon_cache():
-    symbols = reference_path("tests", "mapcss", "symbols")
-    if not os.path.isdir(symbols):
-        pytest.skip("reference symbols unavailable")
+    symbols = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "fixtures", "mapcss", "symbols"
+    )
     from osm_renderer_tpu.draw.labels.icons import IconCache
 
     names = [n for n in sorted(os.listdir(symbols)) if n.endswith(".png") or n.endswith(".svg")]
@@ -129,9 +138,9 @@ def test_icon_cache():
 
 
 def test_icon_label_blit(city, styler):
-    symbols = reference_path("tests", "mapcss", "symbols")
-    if not os.path.isdir(symbols):
-        pytest.skip("reference symbols unavailable")
+    symbols = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "fixtures", "mapcss", "symbols"
+    )
     from osm_renderer_tpu.draw.labels.icons import IconCache
 
     cache = IconCache(symbols)
@@ -149,9 +158,9 @@ def test_icon_label_blit(city, styler):
 
 def test_fill_image(city):
     """Tiled icon fills (fill.rs:36-40): icon sampled at (x % w, y % h)."""
-    symbols = reference_path("tests", "mapcss", "symbols")
-    if not os.path.isdir(symbols):
-        pytest.skip("reference symbols unavailable")
+    symbols = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "fixtures", "mapcss", "symbols"
+    )
     import numpy as np
 
     from osm_renderer_tpu.draw.labels.icons import IconCache
@@ -214,3 +223,62 @@ def test_icon_cache_decodes_real_symbol_pngs():
         assert (icon.rgba[..., :3] <= a[..., None] + 1e-12).all()
         ok += 1
     assert ok >= 15
+
+
+def test_atlas_label_layer_matches_exact(city, styler):
+    """Glyph-atlas compositor vs the exact scanline path over real
+    tiles: same committed labels (collision decisions identical), AA
+    boundary pixels within the quantization bound, interiors exact."""
+    from osm_renderer_tpu.core.tile import Tile as _Tile
+
+    tiles = [_center_tile(city, z) for z in (16, 17)]
+    exact = Labeler(use_atlas=False)
+    fast = Labeler(use_atlas=True)
+    base = np.full((256, 256, 3), 240, np.uint8)
+    for tile in tiles:
+        entities = city.get_entities_in_tile_with_neighbors(tile)
+        a = exact.composite_labels(base, entities, tile, 1.0, styler)
+        b = fast.composite_labels(base, entities, tile, 1.0, styler)
+        d = np.abs(a.astype(int) - b.astype(int))
+        # Any big diff means a different collision DECISION, not AA.
+        assert (d > 96).sum() == 0, (tile, d.max())
+        assert (d > 8).mean() < 2e-3, tile
+
+
+def test_atlas_collision_all_or_nothing(city, styler):
+    """Atlas path: re-labeling the same scene must commit nothing new
+    (earlier successful labels win), mirroring the oracle rule."""
+    from osm_renderer_tpu.draw.labels.atlas import GlyphAtlas, LabelLayer
+    from osm_renderer_tpu.mapcss.styler import TextPosition
+    from osm_renderer_tpu.geodata.reader import Way
+
+    tile = _center_tile(city, 17)
+    entities = city.get_entities_in_tile_with_neighbors(tile)
+    labeler = Labeler(use_atlas=True)
+    once = labeler._label_layer_atlas(entities, tile, 1.0, styler, 256).copy()
+    assert once[..., 3].max() > 0
+
+    # Same labels staged twice into ONE layer: second round all rejected.
+    from osm_renderer_tpu.draw.labels.atlas import LabelLayer as LL
+
+    layer = LL(256)
+    atlas = labeler._atlas
+    for _round in range(2):
+        styled_areas = styler.style_areas(
+            entities.ways, entities.multipolygons, tile.zoom, True
+        )
+        styled_nodes = styler.style_entities(entities.nodes, tile.zoom, True)
+        for entity, style in styled_areas:
+            default_pos = (
+                TextPosition.LINE if isinstance(entity, Way) else TextPosition.CENTER
+            )
+            labeler._label_entity_atlas(
+                entity, style, tile, 1.0, default_pos, layer, atlas
+            )
+        for entity, style in styled_nodes:
+            labeler._label_entity_atlas(
+                entity, style, tile, 1.0, TextPosition.CENTER, layer, atlas
+            )
+        if _round == 0:
+            first = layer.export_center().copy()
+    assert np.array_equal(first, layer.export_center())

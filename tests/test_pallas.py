@@ -138,7 +138,7 @@ def test_pallas_2x_canvas():
 
     want = oracle_render(prims_oracle, ts_scale=2)
     profiles = P.ProfileTable()
-    stream = P.stream_tile_packed(prims_dev, profiles, RP.CH)
+    stream = P.stream_tile_packed(prims_dev, profiles, RP.CH, size=512)
     pb = RP.build_pallas_batch([stream], profiles, 512)
     pb = RP.PallasBatch(*(jnp.asarray(x) for x in pb))
     canvas = jnp.array([c / 255.0 for c in CANVAS], dtype=jnp.float32)
@@ -174,7 +174,7 @@ def test_dashed_round_cap_chain_rule():
         ]
         want = oracle_render(prims_oracle, ts_scale=2)
         profiles = P.ProfileTable()
-        stream = P.stream_tile_packed(prims_dev, profiles, RP.CH)
+        stream = P.stream_tile_packed(prims_dev, profiles, RP.CH, size=512)
         pb = RP.build_pallas_batch([stream], profiles, 512)
         pb = RP.PallasBatch(*(jnp.asarray(x) for x in pb))
         canvas = jnp.array([c / 255.0 for c in CANVAS], dtype=jnp.float32)
@@ -245,9 +245,9 @@ def test_icon_fill_matches_oracle(tmp_path):
 
 
 def test_oversize_fill_layer_matches_oracle(tmp_path):
-    """Fills with more edges than one chunk (> CH) render via a
-    host-rasterized premultiplied layer (KIND_LAYER) at the right paint
-    position; output must still match the sequential oracle."""
+    """Fills with more edges than one chunk (> CH) render via scanline
+    span chunks split across the stream (spans are independent, unlike
+    edges); output must still match the sequential oracle."""
     from PIL import Image
 
     from osm_renderer_tpu.draw.labels.icons import IconCache
@@ -297,8 +297,12 @@ def test_oversize_fill_layer_matches_oracle(tmp_path):
     patterns = P.PatternTable(cache, 256)
     stream = P.stream_tile_packed(prims_dev, profiles, RP.CH, patterns)
     assert not stream.has_icon_fills
-    assert stream.chunk_kind.count(RP.KIND_LAYER) == 2
+    # Oversize fills stay on the device span path — no host layers.
+    assert stream.chunk_kind.count(RP.KIND_LAYER) == 0
+    assert RP.KIND_FILL_IMAGE in stream.chunk_kind
     pb = RP.build_pallas_batch([stream], profiles, 256, patterns)
+    # The big stars' spans overflow one chunk and split.
+    assert np.asarray(pb.kind).tolist().count(RP.KIND_FILL) >= 2
     pb = RP.PallasBatch(*(jnp.asarray(x) for x in pb))
     canvas = jnp.array([c / 255.0 for c in CANVAS], dtype=jnp.float32)
     got = np.asarray(RP.render_batch_pallas(pb, canvas, 256, 1, True))[0]
@@ -388,3 +392,33 @@ def test_pallas_fuzz_scenes(seed):
     diff = np.abs(want.astype(int) - got.astype(int))
     assert diff.max() <= 1
     assert (diff > 0).mean() < 2e-3
+
+
+def test_wide_round_capped_dash_routes_to_exact_layer():
+    """Round-capped strokes wider than the walk-chain exactness bound
+    (CHAIN_EXACT_HALF_WIDTH) must take the exact f64 host-layer path
+    and still match the oracle byte-for-byte."""
+    from osm_renderer_tpu.draw.primitives import CHAIN_EXACT_HALF_WIDTH
+
+    w = 2.0 * (CHAIN_EXACT_HALF_WIDTH + 3.0)  # hw = 10 > bound
+    pairs = np.array([[30, 40, 220, 180]], dtype=np.int64)
+    prims_oracle = [
+        {"kind": "stroke", "pairs": pairs, "color": (20, 60, 200),
+         "opacity": 1.0, "width": w, "dashes": [18.0, 9.0],
+         "cap": LINE_CAP_ROUND, "use_caps_for_dashes": True}
+    ]
+    prims_dev = [
+        P.make_stroke_prim(pairs, w, (20, 60, 200), 1.0, [18.0, 9.0],
+                           LINE_CAP_ROUND, True)
+    ]
+    want = oracle_render(prims_oracle)
+    profiles = P.ProfileTable()
+    patterns = P.PatternTable(None, 256)
+    stream = P.stream_tile_packed(prims_dev, profiles, RP.CH, patterns)
+    assert RP.KIND_LAYER in stream.chunk_kind  # routed off the kernel
+    pb = RP.build_pallas_batch([stream], profiles, 256, patterns)
+    pb = RP.PallasBatch(*(jnp.asarray(x) for x in pb))
+    canvas = jnp.array([c / 255.0 for c in CANVAS], dtype=jnp.float32)
+    got = np.asarray(RP.render_batch_pallas(pb, canvas, 256, 1, True))[0]
+    diff = np.abs(want.astype(int) - got.astype(int))
+    assert diff.max() <= 1
