@@ -165,11 +165,17 @@ class TileService:
             prepared = self.batch_renderer.prepare(tiles_entities, scale)
             prep_dt = _time.perf_counter() - t_prep0
             needs_cpu = set(getattr(prepared, "cpu_fallback_tiles", ()))
-            return (
-                np.array(self.batch_renderer.render_prepared(prepared)),
-                needs_cpu,
-                prep_dt,
-            )
+            # Separate device execution (dispatch -> ready) from the
+            # device->host readback: genuinely different resources
+            # (chip vs interconnect), reported as distinct spans.
+            t0 = _time.perf_counter()
+            out = self.batch_renderer.render_prepared(prepared)
+            out.block_until_ready()
+            exec_dt0 = _time.perf_counter() - t0
+            t0 = _time.perf_counter()
+            rgb = np.asarray(out)
+            d2h_dt = _time.perf_counter() - t0
+            return rgb, needs_cpu, prep_dt, exec_dt0, d2h_dt
 
         shards = [list(range(d, n_tiles, len(devices))) for d in range(len(devices))]
         shards = [(dev, idxs) for dev, idxs in zip(devices, shards) if idxs]
@@ -189,14 +195,19 @@ class TileService:
         results = [
             (idxs, self.batch_renderer.render_prepared(p)) for idxs, p in staged
         ]
+        import time as _t2
+        t0 = _t2.perf_counter()
         jax.block_until_ready([r for _, r in results])
+        exec_dt = _t2.perf_counter() - t0
+        t0 = _t2.perf_counter()
         ts = 256 * scale
         rgb = np.empty((n_tiles, ts, ts, 3), dtype=np.uint8)
         for idxs, arr in results:
             a = np.asarray(arr)
             for j, i in enumerate(idxs):
                 rgb[i] = a[j]
-        return rgb, needs_cpu, prep_dt
+        d2h_dt = _t2.perf_counter() - t0
+        return rgb, needs_cpu, prep_dt, exec_dt, d2h_dt
 
     def render_tiles_device(self, requests: List[Tuple[Tile, int]]) -> List[bytes]:
         """Batched device render; one dispatch per scale group.
@@ -238,24 +249,28 @@ class TileService:
             ent_dt = _time.perf_counter() - t0
             t0 = _time.perf_counter()
             try:
-                rgb, needs_cpu, prep_dt = self._render_group_device(
-                    tiles_entities, scale, t0
+                rgb, needs_cpu, prep_dt, exec_dt, d2h_dt = (
+                    self._render_group_device(tiles_entities, scale, t0)
                 )
-                dev_dt = _time.perf_counter() - t0 - prep_dt
             except ValueError:
                 prep_dt = _time.perf_counter() - t0
-                dev_dt = 0.0
+                exec_dt = d2h_dt = None
                 needs_cpu = set(range(len(group)))
                 rgb = None
             n = len(group)
             for gi, ((i, t), (entities, _)) in enumerate(zip(group, tiles_entities)):
-                # Per-tile perf accounting: batched phases are attributed
-                # as equal shares (reference records per-tile spans;
-                # /perf_stats keeps the same per-zoom mean semantics).
+                # Per-tile perf accounting: one fused kernel renders the
+                # whole batch, so device phases are attributed as equal
+                # shares — but measured per phase (execute = dispatch ->
+                # block_until_ready on the device array; readback =
+                # device->host transfer), not as one wall-clock lump.
                 perfstats.start_tile(t.zoom)
                 perfstats.add_span("Get tile entities (batch share)", ent_dt / n)
                 perfstats.add_span("Prepare device batch (batch share)", prep_dt / n)
-                perfstats.add_span("Device render (batch share)", dev_dt / n)
+                if exec_dt is not None and d2h_dt is not None:
+                    perfstats.add_span("Device execute (batch share)", exec_dt / n)
+                    perfstats.add_span("Device readback (batch share)", d2h_dt / n)
+
                 with perfstats.measure("Compose and encode"):
                     if gi in needs_cpu or rgb is None:
                         if entities is None:

@@ -146,3 +146,39 @@ def test_postprocess_node_refs():
     assert postprocess_node_refs([1, 2, 2, 1]) == [1, 2, 2]
     assert postprocess_node_refs([1, 2, 3, 2, 1]) == [1, 2, 3]
     assert postprocess_node_refs([1, 2, 3, 1]) == [1, 2, 3, 1]
+
+
+def test_antimeridian_neighbor_fetch_no_wraparound(tmp_path):
+    """Neighbor fetch at the antimeridian: the reference computes the
+    x-1 neighbor of column 0 via u32 wraparound (`reader.rs:66-73`),
+    which lands outside the stored z18 tile space and so finds nothing;
+    this implementation clamps at 0 with the same observable result.
+    Entities across the antimeridian must NOT leak into the 3x3
+    neighborhood, and edge queries must not error."""
+    west = "<node id='1' lat='10.0' lon='-179.99999'><tag k='amenity' v='cafe'/></node>"
+    east = "<node id='2' lat='10.0' lon='179.99999'><tag k='amenity' v='pub'/></node>"
+    osm = tmp_path / "am.osm"
+    osm.write_text(
+        f"<?xml version='1.0' encoding='UTF-8'?><osm version='0.6'>{west}{east}</osm>"
+    )
+    bin_path = str(tmp_path / "am.bin")
+    import_osm(str(osm), bin_path)
+    reader = GeodataReader.load(bin_path)
+
+    from osm_renderer_tpu.core.tile import MAX_ZOOM, coords_to_max_zoom_tile
+
+    zoom = 10
+    shift = MAX_ZOOM - zoom
+    t_west = coords_to_max_zoom_tile(10.0, -179.99999)
+    t_east = coords_to_max_zoom_tile(10.0, 179.99999)
+    tw = Tile(zoom, t_west.x >> shift, t_west.y >> shift)
+    te = Tile(zoom, t_east.x >> shift, t_east.y >> shift)
+    assert tw.x == 0 and te.x == (1 << zoom) - 1
+
+    got_w = reader.get_entities_in_tile_with_neighbors(tw)
+    ids_w = {n.global_id for n in got_w.nodes}
+    assert ids_w == {1}, ids_w  # west node only; no wraparound to the east
+
+    got_e = reader.get_entities_in_tile_with_neighbors(te)
+    ids_e = {n.global_id for n in got_e.nodes}
+    assert ids_e == {2}, ids_e
