@@ -123,6 +123,26 @@ def _push_away_from(p, other, by: float) -> Tuple[int, int]:
     )
 
 
+def _cull_view(segs, travs, outer, hw: float, view_px: int):
+    """Drop segments whose bbox (with the kernel's paint margin) cannot
+    touch the [0, view_px) canvas.  Painted pixels of a segment lie
+    within ceil(hw)+1 of its endpoint bbox (feather reach hw+0.5, round
+    caps <= hw), so this is output-invariant; neighbor-tile geometry
+    routinely leaves >50% of a polyline out of view.  The oracle/CPU
+    path renders from `raw_pairs` and is unaffected."""
+    m = int(np.ceil(hw)) + 3
+    x1, y1, x2, y2 = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+    keep = (
+        (np.minimum(x1, x2) - m < view_px)
+        & (np.maximum(x1, x2) + m >= 0)
+        & (np.minimum(y1, y2) - m < view_px)
+        & (np.maximum(y1, y2) + m >= 0)
+    )
+    if keep.all():
+        return segs, travs, outer
+    return segs[keep], travs[keep], outer[keep]
+
+
 def make_stroke_prim(
     pairs: np.ndarray,
     width: float,
@@ -131,6 +151,7 @@ def make_stroke_prim(
     dashes: Optional[Sequence[float]],
     cap: int,
     use_caps_for_dashes: bool,
+    view_px: Optional[int] = None,
 ) -> StrokePrim:
     """Expand a polyline into body + outer-cap segments with arc-length
     phases (line.rs:9-61)."""
@@ -173,12 +194,17 @@ def make_stroke_prim(
         segs_out = segs_arr
         travs_out = travs_arr
         outer_out = np.zeros(nb, dtype=bool)
+    segs_out = segs_out.reshape(-1, 4)
+    if view_px is not None:
+        segs_out, travs_out, outer_out = _cull_view(
+            segs_out, travs_out, outer_out, hw, view_px
+        )
     return StrokePrim(
         kind="stroke",
         color=color,
         opacity=opacity,
         half_width=hw,
-        segs=segs_out.reshape(-1, 4),
+        segs=segs_out,
         traveled=travs_out,
         outer=outer_out,
         dashes=tuple(dashes) if dashes is not None else None,
@@ -188,7 +214,7 @@ def make_stroke_prim(
     )
 
 
-def make_stroke_prims_batch(requests) -> List[StrokePrim]:
+def make_stroke_prims_batch(requests, view_px: Optional[int] = None) -> List[StrokePrim]:
     """Vectorized `make_stroke_prim` over many polylines (the host
     assembly hot path): one concatenated diff/sqrt pass, per-row 2D
     cumsum for the arc-length phases (identical left-to-right addition
@@ -206,13 +232,13 @@ def make_stroke_prims_batch(requests) -> List[StrokePrim]:
     lens = np.fromiter((p.shape[0] for p in pairs_list), np.int64, n_req)
     total = int(lens.sum())
     if total == 0:
-        return [make_stroke_prim(*r) for r in requests]
+        return [make_stroke_prim(*r, view_px=view_px) for r in requests]
     if n_req > 1 and n_req * int(lens.max()) > 4_000_000:
         # One huge polyline would blow up the padded cumsum matrix;
         # split (order-preserving — results are per-request).
         mid = n_req // 2
-        return make_stroke_prims_batch(requests[:mid]) + make_stroke_prims_batch(
-            requests[mid:]
+        return make_stroke_prims_batch(requests[:mid], view_px) + make_stroke_prims_batch(
+            requests[mid:], view_px
         )
     allp = np.concatenate([p for p in pairs_list if p.shape[0]], axis=0)
     offs = np.zeros(n_req + 1, np.int64)
@@ -270,13 +296,18 @@ def make_stroke_prims_batch(requests) -> List[StrokePrim]:
             segs_out = segs_arr
             travs_out = travs_arr
             outer_out = np.zeros(nb, dtype=bool)
+        segs_out = segs_out.reshape(-1, 4)
+        if view_px is not None:
+            segs_out, travs_out, outer_out = _cull_view(
+                segs_out, travs_out, outer_out, hw, view_px
+            )
         out.append(
             StrokePrim(
                 kind="stroke",
                 color=color,
                 opacity=opacity,
                 half_width=hw,
-                segs=segs_out.reshape(-1, 4),
+                segs=segs_out,
                 traveled=travs_out,
                 outer=outer_out,
                 dashes=tuple(dashes) if dashes is not None else None,
@@ -402,7 +433,7 @@ def assemble_tile_prims(
                     styler.use_caps_for_dashes,
                 )
             )
-    prims.extend(make_stroke_prims_batch(stroke_reqs))
+    prims.extend(make_stroke_prims_batch(stroke_reqs, view_px=int(round(256 * scale))))
 
     return prims
 
