@@ -53,6 +53,12 @@ CH = 128          # geometry slots per chunk (= TPU lane width)
 RB = 32           # rows per stroke processing block
 RB_F = 32         # rows per fill/blend processing block
 DS = 4            # dash-profile rows per profile
+GROUP = 1         # chunks per grid step.  >1 amortizes per-step DMA
+                  # issues (tiles pad to a multiple of GROUP; at most
+                  # one pattern index per step) but measured neutral on
+                  # this hardware — the step floor is bandwidth-bound,
+                  # not issue-bound — while quadrupling Mosaic compile
+                  # time, so it stays at 1.
 
 KIND_PAD = 0
 KIND_FILL = 1
@@ -292,9 +298,57 @@ def build_tile_chunks(stream, ts: int) -> TileChunks:
                             else KIND_STROKE_SOLID
                         )
 
+    return _pad_group(
+        TileChunks(
+            geom, trav, sprof, aux, kind, cnt, last, y0, nb,
+            prim_y0, prim_nb, color, opacity, hw, pat,
+        )
+    )
+
+
+def _group_align_indices(pat: np.ndarray, group: int) -> List[int]:
+    """Order-preserving chunk index list (with -1 pads) whose length is
+    a multiple of `group` and where each group-block contains at most
+    one distinct pattern index >= 0 (the kernel fetches one pattern
+    block per grid step)."""
+    idx: List[int] = []
+    cur = -1
+    for i, p in enumerate(pat.tolist()):
+        if len(idx) % group == 0:
+            cur = -1
+        if p >= 0:
+            if cur >= 0 and p != cur:
+                while len(idx) % group:
+                    idx.append(-1)
+                cur = -1
+            if cur < 0:
+                cur = p
+        idx.append(i)
+    while len(idx) % group:
+        idx.append(-1)
+    return idx
+
+
+def _pad_group(tc: TileChunks, group: int = GROUP) -> TileChunks:
+    """Pad a tile's chunk list to a multiple of GROUP with PAD chunks
+    (and pattern-align it) so grid steps never straddle tiles."""
+    idx = _group_align_indices(tc.pat, group)
+    if len(idx) == tc.kind.shape[0]:
+        return tc
+    take = np.array([i if i >= 0 else 0 for i in idx], dtype=np.int64)
+    pad_row = np.array([i < 0 for i in idx], dtype=bool)
+
+    def gather(a, pad_value=0):
+        out = a[take].copy()
+        out[pad_row] = pad_value
+        return out
+
     return TileChunks(
-        geom, trav, sprof, aux, kind, cnt, last, y0, nb,
-        prim_y0, prim_nb, color, opacity, hw, pat,
+        gather(tc.geom), gather(tc.trav), gather(tc.sprof), gather(tc.aux),
+        gather(tc.kind), gather(tc.cnt), gather(tc.last), gather(tc.y0),
+        gather(tc.nb), gather(tc.prim_y0), gather(tc.prim_nb),
+        gather(tc.color), gather(tc.opacity), gather(tc.hw),
+        gather(tc.pat, -1),
     )
 
 
@@ -309,7 +363,9 @@ def concat_pallas_batch(
     T = len(tile_chunks)
     counts = [c.kind.shape[0] for c in tile_chunks]
     total = sum(counts)
-    Ctot = next_bucket(max(total, 8), 8)
+    # Per-tile counts are GROUP-aligned (_pad_group); the global bucket
+    # must stay a multiple of GROUP so trailing pads form whole steps.
+    Ctot = -(-next_bucket(max(total, 8), 8) // GROUP) * GROUP
     pad = Ctot - total
 
     tile_id = np.repeat(np.arange(T, dtype=np.int32), counts)
@@ -397,15 +453,17 @@ def make_render_kernel(ts: int):
         prim_y0_s, prim_nb_s,
         color_r_s, color_g_s, color_b_s, opacity_s, hw_s,
         prof_s, prof_total_s, canvas_s, pat_s,
+        step_tile_s, step_pat_s, tile_last_s,
         # tensor inputs (VMEM blocks)
-        geom_ref,      # (1, 4, CH) int32
-        trav_ref,      # (1, 1, CH) f32
-        sprof_ref,     # (1, 1, CH) int32
-        aux_ref,       # (1, 4, CH) f32
+        geom_ref,      # (GROUP, 4, CH) int32
+        trav_ref,      # (GROUP, 1, CH) f32
+        sprof_ref,     # (GROUP, 1, CH) int32
+        aux_ref,       # (GROUP, 4, CH) f32
         pat_ref,       # (1, 4, ts, ts) f32 tiled premultiplied fill icon
         # outputs
-        out_ref,       # (1, 4, ts, ts) f32
+        out_ref,       # (1, 4, ts, ts) u8 (finalized on each tile's last chunk)
         # scratch
+        acc_ref,       # (4, ts, ts) f32 premultiplied RGBA accumulator
         pending_ref,   # (ts, ts) f32
         geom_smem,     # SMEM (4, CH) int32
         trav_smem,     # SMEM (1, CH) f32
@@ -415,596 +473,655 @@ def make_render_kernel(ts: int):
     ):
         tc = pl.program_id(0)
 
-        @pl.when(first_s[tc] == 1)
-        def _init():
-            cr = canvas_s[0]
-            cg = canvas_s[1]
-            cb = canvas_s[2]
-            out_ref[0, 0] = jnp.full((ts, ts), cr, jnp.float32)
-            out_ref[0, 1] = jnp.full((ts, ts), cg, jnp.float32)
-            out_ref[0, 2] = jnp.full((ts, ts), cb, jnp.float32)
-            out_ref[0, 3] = jnp.ones((ts, ts), jnp.float32)
-            pending_ref[...] = jnp.zeros((ts, ts), jnp.float32)
+        def chunk_body(gi, _):
+            ch = tc * GROUP + gi
 
-        kind = kind_s[tc]
-        cnt = cnt_s[tc]
-        is_stroke = (kind >= KIND_STROKE) & (kind <= KIND_STROKE_SOLID_WIDE)
+            @pl.when(first_s[ch] == 1)
+            def _init():
+                cr = canvas_s[0]
+                cg = canvas_s[1]
+                cb = canvas_s[2]
+                acc_ref[0] = jnp.full((ts, ts), cr, jnp.float32)
+                acc_ref[1] = jnp.full((ts, ts), cg, jnp.float32)
+                acc_ref[2] = jnp.full((ts, ts), cb, jnp.float32)
+                acc_ref[3] = jnp.ones((ts, ts), jnp.float32)
+                pending_ref[...] = jnp.zeros((ts, ts), jnp.float32)
 
-        # Stage the chunk's geometry into SMEM (strokes only — the
-        # scalar-driven segment loop needs per-lane scalar loads, which
-        # Mosaic can't do from VMEM; fills read geometry vectorized).
-        @pl.when(is_stroke)
-        def _stage_geom():
-            cp0 = pltpu.make_async_copy(geom_ref.at[0], geom_smem, dma_sems.at[0])
-            cp0.start()
-            cp0.wait()
+            kind = kind_s[ch]
+            cnt = cnt_s[ch]
+            is_stroke = (kind >= KIND_STROKE) & (kind <= KIND_STROKE_SOLID_WIDE)
 
-        @pl.when(is_stroke)
-        def _stage_aux():
-            cp3 = pltpu.make_async_copy(aux_ref.at[0], aux_smem, dma_sems.at[3])
-            cp3.start()
-            cp3.wait()
+            # Stage the chunk's geometry into SMEM (strokes only — the
+            # scalar-driven segment loop needs per-lane scalar loads, which
+            # Mosaic can't do from VMEM; fills read geometry vectorized).
+            @pl.when(is_stroke)
+            def _stage_geom():
+                cp0 = pltpu.make_async_copy(geom_ref.at[gi], geom_smem, dma_sems.at[0])
+                cp0.start()
+                cp0.wait()
 
-        @pl.when(kind == KIND_STROKE)
-        def _stage_stroke_aux():
-            cp1 = pltpu.make_async_copy(trav_ref.at[0], trav_smem, dma_sems.at[1])
-            cp2 = pltpu.make_async_copy(sprof_ref.at[0], sprof_smem, dma_sems.at[2])
-            cp1.start(); cp2.start()
-            cp1.wait(); cp2.wait()
-        nb = nb_s[tc]
-        y0 = y0_s[tc]
-        opacity = opacity_s[tc]
-        hw = hw_s[tc]
+            @pl.when(is_stroke)
+            def _stage_aux():
+                cp3 = pltpu.make_async_copy(aux_ref.at[gi], aux_smem, dma_sems.at[3])
+                cp3.start()
+                cp3.wait()
 
-        xs_half = lax.broadcasted_iota(jnp.int32, (RB, 128), 1)
-        rows_half = lax.broadcasted_iota(jnp.int32, (RB, 128), 0)
-        n_halves = ts // 128
+            @pl.when(kind == KIND_STROKE)
+            def _stage_stroke_aux():
+                cp1 = pltpu.make_async_copy(trav_ref.at[gi], trav_smem, dma_sems.at[1])
+                cp2 = pltpu.make_async_copy(sprof_ref.at[gi], sprof_smem, dma_sems.at[2])
+                cp1.start(); cp2.start()
+                cp1.wait(); cp2.wait()
+            nb = nb_s[ch]
+            y0 = y0_s[ch]
+            opacity = opacity_s[ch]
+            hw = hw_s[ch]
 
-        # ------------------------- fills -------------------------
-        # Host-extracted scanline spans (draw/spans.py); the kernel just
-        # paints them with a coverage matmul on the MXU per 32-row
-        # block: covered = (U @ W) > 0 with U[r,s] = (y_s == r) and
-        # W[s,x] = (xlo_s <= x <= xhi_s).  0/1 bf16 operands with f32
-        # accumulation (sums <= CH=128) are exact, so fill membership is
-        # byte-identical to the reference's scanline fill.
-        @pl.when((kind == KIND_FILL) | (kind == KIND_FILL_IMAGE))
-        def _fill():
-            y_l = geom_ref[0, 0, :].reshape(1, CH)
-            xlo_l = geom_ref[0, 1, :].reshape(1, CH)
-            xhi_l = geom_ref[0, 2, :].reshape(1, CH)
-            # Span x-bounds to sublanes (one relayout per chunk,
-            # amortized over the row blocks).
-            xlo_c = jnp.transpose(xlo_l).reshape(CH, 1)
-            xhi_c = jnp.transpose(xhi_l).reshape(CH, 1)
-            xs_w = lax.broadcasted_iota(jnp.int32, (CH, ts), 1)
-            W = ((xs_w >= xlo_c) & (xs_w <= xhi_c)).astype(jnp.bfloat16)
+            xs_half = lax.broadcasted_iota(jnp.int32, (RB, 128), 1)
+            rows_half = lax.broadcasted_iota(jnp.int32, (RB, 128), 0)
+            n_halves = ts // 128
 
-            def row_block(blk, _):
-                r0 = (y0 + blk) * RB_F
-                rows_col = r0 + lax.broadcasted_iota(jnp.int32, (RB_F, 1), 0)
-                U = (rows_col == y_l).astype(jnp.bfloat16)
-                C = lax.dot_general(
-                    U, W, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                alpha = jnp.where(C > 0.5, opacity, 0.0)
-                cur = pending_ref[pl.ds(r0, RB_F), :]
-                pending_ref[pl.ds(r0, RB_F), :] = jnp.fmax(cur, alpha)
-                return 0
+            # ------------------------- fills -------------------------
+            # Host-extracted scanline spans (draw/spans.py); the kernel just
+            # paints them with a coverage matmul on the MXU per 32-row
+            # block: covered = (U @ W) > 0 with U[r,s] = (y_s == r) and
+            # W[s,x] = (xlo_s <= x <= xhi_s).  0/1 bf16 operands with f32
+            # accumulation (sums <= CH=128) are exact, so fill membership is
+            # byte-identical to the reference's scanline fill.
+            @pl.when((kind == KIND_FILL) | (kind == KIND_FILL_IMAGE))
+            def _fill():
+                y_l = geom_ref[gi, 0, :].reshape(1, CH)
+                xlo_l = geom_ref[gi, 1, :].reshape(1, CH)
+                xhi_l = geom_ref[gi, 2, :].reshape(1, CH)
+                # Span x-bounds to sublanes (one relayout per chunk,
+                # amortized over the row blocks).
+                xlo_c = jnp.transpose(xlo_l).reshape(CH, 1)
+                xhi_c = jnp.transpose(xhi_l).reshape(CH, 1)
+                xs_w = lax.broadcasted_iota(jnp.int32, (CH, ts), 1)
+                W = ((xs_w >= xlo_c) & (xs_w <= xhi_c)).astype(jnp.bfloat16)
 
-            lax.fori_loop(0, nb, row_block, 0)
+                def row_block(blk, _):
+                    r0 = (y0 + blk) * RB_F
+                    rows_col = r0 + lax.broadcasted_iota(jnp.int32, (RB_F, 1), 0)
+                    U = (rows_col == y_l).astype(jnp.bfloat16)
+                    C = lax.dot_general(
+                        U, W, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    alpha = jnp.where(C > 0.5, opacity, 0.0)
+                    cur = pending_ref[pl.ds(r0, RB_F), :]
+                    pending_ref[pl.ds(r0, RB_F), :] = jnp.fmax(cur, alpha)
+                    return 0
 
-        # ------------------------- strokes -------------------------
-        def stroke_impl(solid: bool, wide: bool = False):
-            def seg_step(sg, _):
-                p1x = geom_smem[0, sg]
-                p1y = geom_smem[1, sg]
-                p2x = geom_smem[2, sg]
-                p2y = geom_smem[3, sg]
+                lax.fori_loop(0, nb, row_block, 0)
 
-                dxs = jnp.abs(p2x - p1x)
-                dys = jnp.abs(p2y - p1y)
-                swap = dxs > dys
-                mn0 = jnp.where(swap, p1y, p1x)
-                mx0 = jnp.where(swap, p1x, p1y)
-                mn_d = jnp.where(swap, dys, dxs)
-                mx_d = jnp.maximum(jnp.where(swap, dxs, dys), 1)
-                x_inc = jnp.where(p1x <= p2x, 1, -1)
-                y_inc = jnp.where(p1y <= p2y, 1, -1)
-                mn_i = jnp.where(swap, y_inc, x_inc)
-                mx_i = jnp.where(swap, x_inc, y_inc)
-                two_mx = 2 * mx_d
-                two_mx_f = two_mx.astype(jnp.float32)
-                nc = p2x * p1y - p2y * p1x
-                sdx = p2x - p1x
-                sdy = p2y - p1y
-                inv_denom = aux_smem[0, sg]
+            # ------------------------- strokes -------------------------
+            def stroke_impl(solid: bool, wide: bool = False):
+                def seg_step(sg, _):
+                    p1x = geom_smem[0, sg]
+                    p1y = geom_smem[1, sg]
+                    p2x = geom_smem[2, sg]
+                    p2y = geom_smem[3, sg]
 
-                if solid:
-                    feather_to = jnp.fmax(hw + 0.5, 1.0)
-                    om_pos = jnp.fmin(2.0 * hw, 1.0) > 0.0
+                    dxs = jnp.abs(p2x - p1x)
+                    dys = jnp.abs(p2y - p1y)
+                    swap = dxs > dys
+                    mn0 = jnp.where(swap, p1y, p1x)
+                    mx0 = jnp.where(swap, p1x, p1y)
+                    mn_d = jnp.where(swap, dys, dxs)
+                    mx_d = jnp.maximum(jnp.where(swap, dxs, dys), 1)
+                    x_inc = jnp.where(p1x <= p2x, 1, -1)
+                    y_inc = jnp.where(p1y <= p2y, 1, -1)
+                    mn_i = jnp.where(swap, y_inc, x_inc)
+                    mx_i = jnp.where(swap, x_inc, y_inc)
+                    two_mx = 2 * mx_d
+                    two_mx_f = two_mx.astype(jnp.float32)
+                    nc = p2x * p1y - p2y * p1x
+                    sdx = p2x - p1x
+                    sdy = p2y - p1y
+                    inv_denom = aux_smem[0, sg]
 
-                    def stroke_opacity(cd, sd):
-                        cd_op = _feather(cd, hw)
-                        return cd_op, cd_op > 0.0
+                    if solid:
+                        feather_to = jnp.fmax(hw + 0.5, 1.0)
+                        om_pos = jnp.fmin(2.0 * hw, 1.0) > 0.0
 
-                    def alive_at(s_mn, s_mx):
-                        s_x = jnp.where(swap, s_mx, s_mn)
-                        s_y = jnp.where(swap, s_mn, s_mx)
-                        raw_s = nc + sdy * s_x - sdx * s_y
-                        cd_s = jnp.abs(raw_s.astype(jnp.float32)) * inv_denom
-                        return (cd_s < feather_to) & om_pos
-                else:
-                    trav = trav_smem[0, sg]
-                    pidx = sprof_smem[0, sg]
-                    base = pidx * (DS * 8)
-                    prow = [
-                        [prof_s[base + i * 8 + k] for k in range(8)]
-                        for i in range(DS)
-                    ]
-                    prof_total = prof_total_s[pidx]
+                        def stroke_opacity(cd, sd):
+                            cd_op = _feather(cd, hw)
+                            return cd_op, cd_op > 0.0
 
-                    def stroke_opacity(cd, sd):
-                        dist = trav + sd
-                        dist = jnp.where(
-                            prof_total > 0.0,
-                            dist - jnp.floor(dist / prof_total) * prof_total,
-                            dist,
-                        )
-                        sd_op = jnp.zeros_like(cd)
-                        cap_dist = jnp.full_like(cd, jnp.inf)
-                        any_rows = False
+                        def alive_at(s_mn, s_mx):
+                            s_x = jnp.where(swap, s_mx, s_mn)
+                            s_y = jnp.where(swap, s_mn, s_mx)
+                            raw_s = nc + sdy * s_x - sdx * s_y
+                            cd_s = jnp.abs(raw_s.astype(jnp.float32)) * inv_denom
+                            return (cd_s < feather_to) & om_pos
+                    else:
+                        trav = trav_smem[0, sg]
+                        pidx = sprof_smem[0, sg]
+                        base = pidx * (DS * 8)
+                        prow = [
+                            [prof_s[base + i * 8 + k] for k in range(8)]
+                            for i in range(DS)
+                        ]
+                        prof_total = prof_total_s[pidx]
+
+                        def stroke_opacity(cd, sd):
+                            dist = trav + sd
+                            dist = jnp.where(
+                                prof_total > 0.0,
+                                dist - jnp.floor(dist / prof_total) * prof_total,
+                                dist,
+                            )
+                            sd_op = jnp.zeros_like(cd)
+                            cap_dist = jnp.full_like(cd, jnp.inf)
+                            any_rows = False
+                            for i in range(DS):
+                                s_from, s_to, e_from, e_to, mul, has_orig, oa, ob = prow[i]
+                                in_range = (dist >= s_from) & (dist <= e_to)
+                                basev = jnp.where(
+                                    dist <= s_to,
+                                    (dist - s_from) / (s_to - s_from),
+                                    jnp.where(dist < e_from, 1.0, (e_to - dist) / (e_to - e_from)),
+                                )
+                                sd_op = jnp.fmax(sd_op, jnp.where(in_range, mul * basev, 0.0))
+                                cap_d = jnp.where(
+                                    dist < oa, oa - dist, jnp.where(dist <= ob, 0.0, dist - ob)
+                                )
+                                cap_dist = jnp.fmin(
+                                    cap_dist,
+                                    jnp.where(in_range & (has_orig > 0.0), cap_d, jnp.inf),
+                                )
+                                any_rows = jnp.logical_or(any_rows, s_from < jnp.inf)
+                            sd_op = jnp.where(any_rows, sd_op, 1.0)
+                            cap_dist = jnp.where(jnp.isinf(cap_dist), 0.0, cap_dist)
+                            hlw = jnp.sqrt(hw * hw - cap_dist * cap_dist)
+                            cd_op = _feather(cd, hlw)
+                            return jnp.fmin(sd_op, cd_op), cd_op > 0.0
+
+                        def alive_at(s_mn, s_mx):
+                            s_x = jnp.where(swap, s_mx, s_mn)
+                            s_y = jnp.where(swap, s_mn, s_mx)
+                            raw_s = nc + sdy * s_x - sdx * s_y
+                            cd_s = jnp.abs(raw_s.astype(jnp.float32)) * inv_denom
+                            # start distance = |(p - p1) . d| / |d| — exact
+                            # int32 dot under the coordinate bound (the
+                            # reference's sqrt(long^2 - cd^2) chain loses
+                            # ~0.05 px in f32 at long distances, line.rs:120).
+                            dot_s = (s_x - p1x) * sdx + (s_y - p1y) * sdy
+                            sd_s = jnp.abs(dot_s.astype(jnp.float32)) * inv_denom
+                            _, alive = stroke_opacity(cd_s, sd_s)
+                            return alive
+
+                        # Round caps on dashes shrink the effective half-width
+                        # along the perpendicular, so the walk's first-dead-
+                        # pixel cutoff needs the full chain check (see
+                        # coverage_np.py); for other profiles in_line is
+                        # monotone and owner-start aliveness is exact.
+                        any_orig = False
                         for i in range(DS):
-                            s_from, s_to, e_from, e_to, mul, has_orig, oa, ob = prow[i]
-                            in_range = (dist >= s_from) & (dist <= e_to)
-                            basev = jnp.where(
-                                dist <= s_to,
-                                (dist - s_from) / (s_to - s_from),
-                                jnp.where(dist < e_from, 1.0, (e_to - dist) / (e_to - e_from)),
+                            any_orig = jnp.logical_or(
+                                any_orig,
+                                (prow[i][0] < jnp.float32(1e30)) & (prow[i][5] > 0.0),
                             )
-                            sd_op = jnp.fmax(sd_op, jnp.where(in_range, mul * basev, 0.0))
-                            cap_d = jnp.where(
-                                dist < oa, oa - dist, jnp.where(dist <= ob, 0.0, dist - ob)
-                            )
-                            cap_dist = jnp.fmin(
-                                cap_dist,
-                                jnp.where(in_range & (has_orig > 0.0), cap_d, jnp.inf),
-                            )
-                            any_rows = jnp.logical_or(any_rows, s_from < jnp.inf)
-                        sd_op = jnp.where(any_rows, sd_op, 1.0)
-                        cap_dist = jnp.where(jnp.isinf(cap_dist), 0.0, cap_dist)
-                        hlw = jnp.sqrt(hw * hw - cap_dist * cap_dist)
-                        cd_op = _feather(cd, hlw)
-                        return jnp.fmin(sd_op, cd_op), cd_op > 0.0
 
-                    def alive_at(s_mn, s_mx):
-                        s_x = jnp.where(swap, s_mx, s_mn)
-                        s_y = jnp.where(swap, s_mn, s_mx)
-                        raw_s = nc + sdy * s_x - sdx * s_y
-                        cd_s = jnp.abs(raw_s.astype(jnp.float32)) * inv_denom
-                        # start distance = |(p - p1) . d| / |d| — exact
-                        # int32 dot under the coordinate bound (the
-                        # reference's sqrt(long^2 - cd^2) chain loses
-                        # ~0.05 px in f32 at long distances, line.rs:120).
-                        dot_s = (s_x - p1x) * sdx + (s_y - p1y) * sdy
-                        sd_s = jnp.abs(dot_s.astype(jnp.float32)) * inv_denom
-                        _, alive = stroke_opacity(cd_s, sd_s)
-                        return alive
+                    ratio = aux_smem[1, sg]
+                    K = mx_d
+                    hK = aux_smem[2, sg].astype(jnp.int32)
 
-                    # Round caps on dashes shrink the effective half-width
-                    # along the perpendicular, so the walk's first-dead-
-                    # pixel cutoff needs the full chain check (see
-                    # coverage_np.py); for other profiles in_line is
-                    # monotone and owner-start aliveness is exact.
-                    any_orig = False
-                    for i in range(DS):
-                        any_orig = jnp.logical_or(
-                            any_orig,
-                            (prow[i][0] < jnp.float32(1e30)) & (prow[i][5] > 0.0),
-                        )
+                    ylo = jnp.maximum(
+                        jnp.minimum(p1y, p2y) - (jnp.ceil(hw).astype(jnp.int32) + 2), 0
+                    )
+                    yhi = jnp.minimum(
+                        jnp.maximum(p1y, p2y) + (jnp.ceil(hw).astype(jnp.int32) + 2), ts - 1
+                    )
+                    blk0 = ylo // RB
+                    nbs = jnp.where(
+                        (p1x == p2x) & (p1y == p2y), 0, (yhi - blk0 * RB) // RB + 1
+                    )
 
-                ratio = aux_smem[1, sg]
-                K = mx_d
-                hK = aux_smem[2, sg].astype(jnp.int32)
+                    margin_x = jnp.ceil(hw).astype(jnp.int32) + 2
+                    sxlo = jnp.minimum(p1x, p2x) - margin_x
+                    sxhi = jnp.maximum(p1x, p2x) + margin_x
 
-                ylo = jnp.maximum(
-                    jnp.minimum(p1y, p2y) - (jnp.ceil(hw).astype(jnp.int32) + 2), 0
-                )
-                yhi = jnp.minimum(
-                    jnp.maximum(p1y, p2y) + (jnp.ceil(hw).astype(jnp.int32) + 2), ts - 1
-                )
-                blk0 = ylo // RB
-                nbs = jnp.where(
-                    (p1x == p2x) & (p1y == p2y), 0, (yhi - blk0 * RB) // RB + 1
-                )
+                    def row_block(b, _):
+                        r0 = (blk0 + b) * RB
 
-                margin_x = jnp.ceil(hw).astype(jnp.int32) + 2
-                sxlo = jnp.minimum(p1x, p2x) - margin_x
-                sxhi = jnp.maximum(p1x, p2x) + margin_x
+                        for half in range(n_halves):
+                            col0 = half * 128
 
-                def row_block(b, _):
-                    r0 = (blk0 + b) * RB
+                            @pl.when((sxlo < col0 + 128) & (sxhi >= col0))
+                            def _do_half(col0=col0):
+                                def _general_impl(col0=col0):
+                                    ys = r0 + rows_half
+                                    xsv = col0 + xs_half
 
-                    for half in range(n_halves):
-                        col0 = half * 128
+                                    raw = nc + sdy * xsv - sdx * ys
+                                    cd = jnp.abs(raw.astype(jnp.float32)) * inv_denom
+                                    if solid:
+                                        sd = None
+                                    else:
+                                        # Exact int32 dot form of the start
+                                        # distance (see alive_at).
+                                        dot = (xsv - p1x) * sdx + (ys - p1y) * sdy
+                                        sd = jnp.abs(dot.astype(jnp.float32)) * inv_denom
+                                    op, in_line = stroke_opacity(cd, sd)
 
-                        @pl.when((sxlo < col0 + 128) & (sxhi >= col0))
-                        def _do_half(col0=col0):
-                            ys = r0 + rows_half
-                            xsv = col0 + xs_half
+                                    MN = jnp.where(swap, ys, xsv)
+                                    MX = jnp.where(swap, xsv, ys)
+                                    n0 = (MN - mn0) * mn_i
+                                    m0 = (MX - mx0) * mx_i
+                                    A = 2 * mn_d * n0 + two_mx * m0 + (mx_d - 1)
+                                    T_band = _floor_div_f(A, two_mx_f, two_mx)
+                                    r_band = A - T_band * two_mx
+                                    edge_band = r_band == (two_mx - 1)
 
-                            raw = nc + sdy * xsv - sdx * ys
-                            cd = jnp.abs(raw.astype(jnp.float32)) * inv_denom
-                            if solid:
-                                sd = None
-                            else:
-                                # Exact int32 dot form of the start
-                                # distance (see alive_at).
-                                dot = (xsv - p1x) * sdx + (ys - p1y) * sdy
-                                sd = jnp.abs(dot.astype(jnp.float32)) * inv_denom
-                            op, in_line = stroke_opacity(cd, sd)
+                                    if wide:
+                                        ownerT_ok = (A >= 0) & (T_band <= hK)
+                                        ownerN_ok = (A >= -1) & (T_band + 1 <= hK)
+                                        visited = in_line & (
+                                            (edge_band & ownerT_ok & ownerN_ok)
+                                            | (~edge_band & ownerT_ok)
+                                        )
+                                        alpha = jnp.where(visited, opacity * op, 0.0)
+                                        cur = pending_ref[pl.ds(r0, RB), col0 : col0 + 128]
+                                        pending_ref[pl.ds(r0, RB), col0 : col0 + 128] = jnp.fmax(cur, alpha)
 
-                            MN = jnp.where(swap, ys, xsv)
-                            MX = jnp.where(swap, xsv, ys)
-                            n0 = (MN - mn0) * mn_i
-                            m0 = (MX - mx0) * mx_i
-                            A = 2 * mn_d * n0 + two_mx * m0 + (mx_d - 1)
-                            T_band = _floor_div_f(A, two_mx_f, two_mx)
-                            r_band = A - T_band * two_mx
-                            edge_band = r_band == (two_mx - 1)
+                                        # Boundary-band edge pixels (exactly one
+                                        # owner in range) need the real owner test;
+                                        # they only occur at segment ends on a
+                                        # 1-in-2mx column.
+                                        needs_exact = (
+                                            in_line & edge_band & (ownerT_ok ^ ownerN_ok)
+                                        )
 
-                            if wide:
-                                ownerT_ok = (A >= 0) & (T_band <= hK)
-                                ownerN_ok = (A >= -1) & (T_band + 1 <= hK)
-                                visited = in_line & (
-                                    (edge_band & ownerT_ok & ownerN_ok)
-                                    | (~edge_band & ownerT_ok)
-                                )
-                                alpha = jnp.where(visited, opacity * op, 0.0)
-                                cur = pending_ref[pl.ds(r0, RB), col0 : col0 + 128]
-                                pending_ref[pl.ds(r0, RB), col0 : col0 + 128] = jnp.fmax(cur, alpha)
+                                        @pl.when(jnp.any(needs_exact))
+                                        def _exact_boundary():
+                                            bc = jnp.clip(T_band, 0, hK)
+                                            k = jnp.clip(
+                                                (bc.astype(jnp.float32) * ratio).astype(jnp.int32), 0, K
+                                            )
+                                            two_mn = 2 * mn_d
+                                            c, rc = _divmod_f(two_mn * k + mx_d - 1, two_mx_f, two_mx)
+                                            g, rg = _divmod_f(two_mn * c + mx_d - 1, two_mx_f, two_mx)
 
-                                # Boundary-band edge pixels (exactly one
-                                # owner in range) need the real owner test;
-                                # they only occur at segment ends on a
-                                # 1-in-2mx column.
-                                needs_exact = (
-                                    in_line & edge_band & (ownerT_ok ^ ownerN_ok)
-                                )
+                                            def step_up(k, c, rc, g, rg):
+                                                rc2 = rc + two_mn
+                                                carry = rc2 >= two_mx
+                                                rc2 = jnp.where(carry, rc2 - two_mx, rc2)
+                                                rg2 = jnp.where(carry, rg + two_mn, rg)
+                                                gcarry = rg2 >= two_mx
+                                                rg2 = jnp.where(gcarry, rg2 - two_mx, rg2)
+                                                return (
+                                                    k + 1,
+                                                    jnp.where(carry, c + 1, c),
+                                                    rc2,
+                                                    jnp.where(carry & gcarry, g + 1, g),
+                                                    jnp.where(carry, rg2, rg),
+                                                )
 
-                                @pl.when(jnp.any(needs_exact))
-                                def _exact_boundary():
+                                            def step_down(k, c, rc, g, rg):
+                                                rc2 = rc - two_mn
+                                                borrow = rc2 < 0
+                                                rc2 = jnp.where(borrow, rc2 + two_mx, rc2)
+                                                rg2 = jnp.where(borrow, rg - two_mn, rg)
+                                                gborrow = rg2 < 0
+                                                rg2 = jnp.where(gborrow, rg2 + two_mx, rg2)
+                                                return (
+                                                    k - 1,
+                                                    jnp.where(borrow, c - 1, c),
+                                                    rc2,
+                                                    jnp.where(borrow & gborrow, g - 1, g),
+                                                    jnp.where(borrow, rg2, rg),
+                                                )
+
+                                            state = (k, c, rc, g, rg)
+                                            for _i in range(1):
+                                                down = (state[0] > 0) & (state[0] + state[3] > bc)
+                                                nxt = step_down(*state)
+                                                state = tuple(
+                                                    jnp.where(down, n, o) for n, o in zip(nxt, state)
+                                                )
+                                            for _i in range(1):
+                                                nxt = step_up(*state)
+                                                up = (state[0] < K) & (nxt[0] + nxt[3] <= bc)
+                                                state = tuple(
+                                                    jnp.where(up, n, o) for n, o in zip(nxt, state)
+                                                )
+                                            k1, c1, rc1, g1, rg1 = state
+                                            is_gap = (k1 + g1) != bc
+                                            c_sel = jnp.where(is_gap, c1 + 1, c1)
+                                            s_mn_T = mn0 + mn_i * c_sel
+                                            dn_T = (MN - s_mn_T) * mn_i
+
+                                            bc2 = jnp.clip(T_band + 1, 0, hK)
+                                            nxt = step_up(k1, c1, rc1, g1, rg1)
+                                            take2 = (k1 < K) & (nxt[0] + nxt[3] <= bc2)
+                                            k2 = jnp.where(take2, nxt[0], k1)
+                                            c2 = jnp.where(take2, nxt[1], c1)
+                                            g2 = jnp.where(take2, nxt[3], g1)
+                                            is_gap2 = (k2 + g2) != bc2
+                                            c_sel2 = jnp.where(is_gap2, c2 + 1, c2)
+                                            s_mn_N = mn0 + mn_i * c_sel2
+                                            dn_N = (MN - s_mn_N) * mn_i
+
+                                            add = needs_exact & (
+                                                (ownerT_ok & (dn_T >= 0))
+                                                | (~ownerT_ok & (dn_N <= 0))
+                                            )
+                                            alpha2 = jnp.where(add, opacity * op, 0.0)
+                                            cur2 = pending_ref[pl.ds(r0, RB), col0 : col0 + 128]
+                                            pending_ref[pl.ds(r0, RB), col0 : col0 + 128] = jnp.fmax(
+                                                cur2, alpha2
+                                            )
+
+                                        return
+
                                     bc = jnp.clip(T_band, 0, hK)
-                                    k = jnp.clip(
-                                        (bc.astype(jnp.float32) * ratio).astype(jnp.int32), 0, K
-                                    )
+                                    k = jnp.clip((bc.astype(jnp.float32) * ratio).astype(jnp.int32), 0, K)
                                     two_mn = 2 * mn_d
                                     c, rc = _divmod_f(two_mn * k + mx_d - 1, two_mx_f, two_mx)
                                     g, rg = _divmod_f(two_mn * c + mx_d - 1, two_mx_f, two_mx)
 
                                     def step_up(k, c, rc, g, rg):
-                                        rc2 = rc + two_mn
-                                        carry = rc2 >= two_mx
-                                        rc2 = jnp.where(carry, rc2 - two_mx, rc2)
+                                        rc = rc + two_mn
+                                        carry = rc >= two_mx
+                                        rc = jnp.where(carry, rc - two_mx, rc)
                                         rg2 = jnp.where(carry, rg + two_mn, rg)
                                         gcarry = rg2 >= two_mx
                                         rg2 = jnp.where(gcarry, rg2 - two_mx, rg2)
                                         return (
                                             k + 1,
                                             jnp.where(carry, c + 1, c),
-                                            rc2,
+                                            rc,
                                             jnp.where(carry & gcarry, g + 1, g),
                                             jnp.where(carry, rg2, rg),
                                         )
 
                                     def step_down(k, c, rc, g, rg):
-                                        rc2 = rc - two_mn
-                                        borrow = rc2 < 0
-                                        rc2 = jnp.where(borrow, rc2 + two_mx, rc2)
+                                        rc = rc - two_mn
+                                        borrow = rc < 0
+                                        rc = jnp.where(borrow, rc + two_mx, rc)
                                         rg2 = jnp.where(borrow, rg - two_mn, rg)
                                         gborrow = rg2 < 0
                                         rg2 = jnp.where(gborrow, rg2 + two_mx, rg2)
                                         return (
                                             k - 1,
                                             jnp.where(borrow, c - 1, c),
-                                            rc2,
+                                            rc,
                                             jnp.where(borrow & gborrow, g - 1, g),
                                             jnp.where(borrow, rg2, rg),
                                         )
 
+                                    # |k_est - k_owner| <= 1: verified exhaustively for
+                                    # mx <= 700 (all mn) and by dense random sweep up
+                                    # to the coordinate bound (tools + tests/test_spans),
+                                    # so one correction step each way suffices.
                                     state = (k, c, rc, g, rg)
-                                    for _i in range(2):
+                                    for _i in range(1):
                                         down = (state[0] > 0) & (state[0] + state[3] > bc)
                                         nxt = step_down(*state)
-                                        state = tuple(
-                                            jnp.where(down, n, o) for n, o in zip(nxt, state)
-                                        )
-                                    for _i in range(2):
+                                        state = tuple(jnp.where(down, n, o) for n, o in zip(nxt, state))
+                                    for _i in range(1):
                                         nxt = step_up(*state)
                                         up = (state[0] < K) & (nxt[0] + nxt[3] <= bc)
-                                        state = tuple(
-                                            jnp.where(up, n, o) for n, o in zip(nxt, state)
-                                        )
-                                    k1, c1, rc1, g1, rg1 = state
-                                    is_gap = (k1 + g1) != bc
-                                    c_sel = jnp.where(is_gap, c1 + 1, c1)
+                                        state = tuple(jnp.where(up, n, o) for n, o in zip(nxt, state))
+                                    k, c, rc, g, rg = state
+                                    h_k = k + g
+                                    is_gap = h_k != bc
+                                    c_sel = jnp.where(is_gap, c + 1, c)
                                     s_mn_T = mn0 + mn_i * c_sel
+                                    s_mx_T = mx0 + mx_i * k
+
+                                    in_slab = (A >= 0) & (T_band <= hK)
                                     dn_T = (MN - s_mn_T) * mn_i
 
-                                    bc2 = jnp.clip(T_band + 1, 0, hK)
-                                    nxt = step_up(k1, c1, rc1, g1, rg1)
-                                    take2 = (k1 < K) & (nxt[0] + nxt[3] <= bc2)
-                                    k2 = jnp.where(take2, nxt[0], k1)
-                                    c2 = jnp.where(take2, nxt[1], c1)
-                                    g2 = jnp.where(take2, nxt[3], g1)
-                                    is_gap2 = (k2 + g2) != bc2
-                                    c_sel2 = jnp.where(is_gap2, c2 + 1, c2)
-                                    s_mn_N = mn0 + mn_i * c_sel2
-                                    dn_N = (MN - s_mn_N) * mn_i
+                                    # The walk stops each perpendicular at its FIRST
+                                    # not-in-line pixel; round caps on dashes make
+                                    # in_line non-monotone along the perpendicular,
+                                    # so every intermediate perp pixel must be alive
+                                    # too.  Their closed-form positions (validated
+                                    # exhaustively against the walk, coverage_np.py):
+                                    # step j of branch mul sits at minor
+                                    # s_mn + mul*mn_i*j, major s_mx - mul*mx_i*C(j),
+                                    # C(j) = max(0, ceil((mul*pe + 2j*mn - mx)/2mx)),
+                                    # pe = 2c*mn - 2mx*max(0, ceil((2c*mn - mx)/2mx)).
+                                    JMAX_CHAIN = 12
 
-                                    add = needs_exact & (
-                                        (ownerT_ok & (dn_T >= 0))
-                                        | (~ownerT_ok & (dn_N <= 0))
-                                    )
-                                    alpha2 = jnp.where(add, opacity * op, 0.0)
-                                    cur2 = pending_ref[pl.ds(r0, RB), col0 : col0 + 128]
-                                    pending_ref[pl.ds(r0, RB), col0 : col0 + 128] = jnp.fmax(
-                                        cur2, alpha2
-                                    )
-
-                                return
-
-                            bc = jnp.clip(T_band, 0, hK)
-                            k = jnp.clip((bc.astype(jnp.float32) * ratio).astype(jnp.int32), 0, K)
-                            two_mn = 2 * mn_d
-                            c, rc = _divmod_f(two_mn * k + mx_d - 1, two_mx_f, two_mx)
-                            g, rg = _divmod_f(two_mn * c + mx_d - 1, two_mx_f, two_mx)
-
-                            def step_up(k, c, rc, g, rg):
-                                rc = rc + two_mn
-                                carry = rc >= two_mx
-                                rc = jnp.where(carry, rc - two_mx, rc)
-                                rg2 = jnp.where(carry, rg + two_mn, rg)
-                                gcarry = rg2 >= two_mx
-                                rg2 = jnp.where(gcarry, rg2 - two_mx, rg2)
-                                return (
-                                    k + 1,
-                                    jnp.where(carry, c + 1, c),
-                                    rc,
-                                    jnp.where(carry & gcarry, g + 1, g),
-                                    jnp.where(carry, rg2, rg),
-                                )
-
-                            def step_down(k, c, rc, g, rg):
-                                rc = rc - two_mn
-                                borrow = rc < 0
-                                rc = jnp.where(borrow, rc + two_mx, rc)
-                                rg2 = jnp.where(borrow, rg - two_mn, rg)
-                                gborrow = rg2 < 0
-                                rg2 = jnp.where(gborrow, rg2 + two_mx, rg2)
-                                return (
-                                    k - 1,
-                                    jnp.where(borrow, c - 1, c),
-                                    rc,
-                                    jnp.where(borrow & gborrow, g - 1, g),
-                                    jnp.where(borrow, rg2, rg),
-                                )
-
-                            # Empirically |k_est - k_owner| <= 2 over the
-                            # full (mn, mx) operating range.
-                            state = (k, c, rc, g, rg)
-                            for _i in range(2):
-                                down = (state[0] > 0) & (state[0] + state[3] > bc)
-                                nxt = step_down(*state)
-                                state = tuple(jnp.where(down, n, o) for n, o in zip(nxt, state))
-                            for _i in range(2):
-                                nxt = step_up(*state)
-                                up = (state[0] < K) & (nxt[0] + nxt[3] <= bc)
-                                state = tuple(jnp.where(up, n, o) for n, o in zip(nxt, state))
-                            k, c, rc, g, rg = state
-                            h_k = k + g
-                            is_gap = h_k != bc
-                            c_sel = jnp.where(is_gap, c + 1, c)
-                            s_mn_T = mn0 + mn_i * c_sel
-                            s_mx_T = mx0 + mx_i * k
-
-                            in_slab = (A >= 0) & (T_band <= hK)
-                            dn_T = (MN - s_mn_T) * mn_i
-
-                            # The walk stops each perpendicular at its FIRST
-                            # not-in-line pixel; round caps on dashes make
-                            # in_line non-monotone along the perpendicular,
-                            # so every intermediate perp pixel must be alive
-                            # too.  Their closed-form positions (validated
-                            # exhaustively against the walk, coverage_np.py):
-                            # step j of branch mul sits at minor
-                            # s_mn + mul*mn_i*j, major s_mx - mul*mx_i*C(j),
-                            # C(j) = max(0, ceil((mul*pe + 2j*mn - mx)/2mx)),
-                            # pe = 2c*mn - 2mx*max(0, ceil((2c*mn - mx)/2mx)).
-                            JMAX_CHAIN = 12
-
-                            def chain_alive(s_mn_v, s_mx_v, c_sel_v, mul_v, jv):
-                                tcm = 2 * c_sel_v * mn_d
-                                G = jnp.maximum(
-                                    0,
-                                    _floor_div_f(
-                                        tcm - mx_d + two_mx - 1, two_mx_f, two_mx
-                                    ),
-                                )
-                                e0 = mul_v * (tcm - two_mx * G)
-                                ok = jv < jnp.int32(1 << 30)
-                                for jp in range(1, JMAX_CHAIN):
-                                    Cjp = jnp.maximum(
-                                        0,
-                                        _floor_div_f(
-                                            e0 + 2 * jp * mn_d - mx_d + two_mx - 1,
-                                            two_mx_f,
-                                            two_mx,
-                                        ),
-                                    )
-                                    minor = s_mn_v + mul_v * mn_i * jp
-                                    major = s_mx_v - mul_v * mx_i * Cjp
-                                    ok = ok & (alive_at(minor, major) | (jp >= jv))
-                                return ok
-
-                            def emit_visited(chain_on):
-                                ok_T = in_slab & alive_at(s_mn_T, s_mx_T)
-                                if chain_on:
-                                    mul_T = jnp.where(dn_T >= 0, 1, -1)
-                                    ok_T = ok_T & chain_alive(
-                                        s_mn_T, s_mx_T, c_sel, mul_T, jnp.abs(dn_T)
-                                    )
-                                ok_Tf = ok_T & ((~edge_band) | (dn_T >= 0))
-                                visited = in_line & ok_Tf
-                                alpha = jnp.where(visited, opacity * op, 0.0)
-
-                                cur = pending_ref[pl.ds(r0, RB), col0 : col0 + 128]
-                                pending_ref[pl.ds(r0, RB), col0 : col0 + 128] = jnp.fmax(cur, alpha)
-
-                                # Band-edge pixels (1 column in 2*mx) may belong
-                                # to band T+1 via its mul=-1 branch; evaluate
-                                # that owner only when such pixels exist here.
-                                @pl.when(jnp.any(edge_band & in_line & ~visited))
-                                def _edge_band_owner():
-                                    bc2 = jnp.clip(T_band + 1, 0, hK)
-                                    nxt = step_up(k, c, rc, g, rg)
-                                    take2 = (k < K) & (nxt[0] + nxt[3] <= bc2)
-                                    k2 = jnp.where(take2, nxt[0], k)
-                                    c2 = jnp.where(take2, nxt[1], c)
-                                    g2 = jnp.where(take2, nxt[3], g)
-                                    is_gap2 = (k2 + g2) != bc2
-                                    c_sel2 = jnp.where(is_gap2, c2 + 1, c2)
-                                    s_mn_N = mn0 + mn_i * c_sel2
-                                    s_mx_N = mx0 + mx_i * k2
-                                    dn_N = (MN - s_mn_N) * mn_i
-                                    ok_N = (
-                                        edge_band
-                                        & (A + 1 >= 0)
-                                        & (T_band + 1 <= hK)
-                                        & (dn_N <= 0)
-                                        & alive_at(s_mn_N, s_mx_N)
-                                    )
-                                    if chain_on:
-                                        ok_N = ok_N & chain_alive(
-                                            s_mn_N, s_mx_N, c_sel2, -1, -dn_N
+                                    def chain_alive(s_mn_v, s_mx_v, c_sel_v, mul_v, jv):
+                                        tcm = 2 * c_sel_v * mn_d
+                                        G = jnp.maximum(
+                                            0,
+                                            _floor_div_f(
+                                                tcm - mx_d + two_mx - 1, two_mx_f, two_mx
+                                            ),
                                         )
-                                    alpha2 = jnp.where(in_line & ok_N, opacity * op, 0.0)
-                                    cur2 = pending_ref[pl.ds(r0, RB), col0 : col0 + 128]
-                                    pending_ref[pl.ds(r0, RB), col0 : col0 + 128] = jnp.fmax(cur2, alpha2)
+                                        e0 = mul_v * (tcm - two_mx * G)
+                                        ok = jv < jnp.int32(1 << 30)
+                                        for jp in range(1, JMAX_CHAIN):
+                                            Cjp = jnp.maximum(
+                                                0,
+                                                _floor_div_f(
+                                                    e0 + 2 * jp * mn_d - mx_d + two_mx - 1,
+                                                    two_mx_f,
+                                                    two_mx,
+                                                ),
+                                            )
+                                            minor = s_mn_v + mul_v * mn_i * jp
+                                            major = s_mx_v - mul_v * mx_i * Cjp
+                                            ok = ok & (alive_at(minor, major) | (jp >= jv))
+                                        return ok
 
-                            if solid:
-                                emit_visited(False)
-                            else:
-                                # Per-segment runtime gate: the chain only
-                                # matters for profiles with round caps.
-                                @pl.when(~any_orig)
-                                def _plain():
-                                    emit_visited(False)
+                                    def emit_visited(chain_on):
+                                        ok_T = in_slab & alive_at(s_mn_T, s_mx_T)
+                                        if chain_on:
+                                            mul_T = jnp.where(dn_T >= 0, 1, -1)
+                                            ok_T = ok_T & chain_alive(
+                                                s_mn_T, s_mx_T, c_sel, mul_T, jnp.abs(dn_T)
+                                            )
+                                        ok_Tf = ok_T & ((~edge_band) | (dn_T >= 0))
+                                        visited = in_line & ok_Tf
+                                        alpha = jnp.where(visited, opacity * op, 0.0)
 
-                                @pl.when(any_orig)
-                                def _with_chain():
-                                    emit_visited(True)
+                                        cur = pending_ref[pl.ds(r0, RB), col0 : col0 + 128]
+                                        pending_ref[pl.ds(r0, RB), col0 : col0 + 128] = jnp.fmax(cur, alpha)
 
+                                        # Band-edge pixels (1 column in 2*mx) may belong
+                                        # to band T+1 via its mul=-1 branch; evaluate
+                                        # that owner only when such pixels exist here.
+                                        @pl.when(jnp.any(edge_band & in_line & ~visited))
+                                        def _edge_band_owner():
+                                            bc2 = jnp.clip(T_band + 1, 0, hK)
+                                            nxt = step_up(k, c, rc, g, rg)
+                                            take2 = (k < K) & (nxt[0] + nxt[3] <= bc2)
+                                            k2 = jnp.where(take2, nxt[0], k)
+                                            c2 = jnp.where(take2, nxt[1], c)
+                                            g2 = jnp.where(take2, nxt[3], g)
+                                            is_gap2 = (k2 + g2) != bc2
+                                            c_sel2 = jnp.where(is_gap2, c2 + 1, c2)
+                                            s_mn_N = mn0 + mn_i * c_sel2
+                                            s_mx_N = mx0 + mx_i * k2
+                                            dn_N = (MN - s_mn_N) * mn_i
+                                            ok_N = (
+                                                edge_band
+                                                & (A + 1 >= 0)
+                                                & (T_band + 1 <= hK)
+                                                & (dn_N <= 0)
+                                                & alive_at(s_mn_N, s_mx_N)
+                                            )
+                                            if chain_on:
+                                                ok_N = ok_N & chain_alive(
+                                                    s_mn_N, s_mx_N, c_sel2, -1, -dn_N
+                                                )
+                                            alpha2 = jnp.where(in_line & ok_N, opacity * op, 0.0)
+                                            cur2 = pending_ref[pl.ds(r0, RB), col0 : col0 + 128]
+                                            pending_ref[pl.ds(r0, RB), col0 : col0 + 128] = jnp.fmax(cur2, alpha2)
+
+                                    if solid:
+                                        emit_visited(False)
+                                    else:
+                                        # Per-segment runtime gate: the chain only
+                                        # matters for profiles with round caps.
+                                        @pl.when(~any_orig)
+                                        def _plain():
+                                            emit_visited(False)
+
+                                        @pl.when(any_orig)
+                                        def _with_chain():
+                                            emit_visited(True)
+
+                                if solid:
+                                    # Axis-aligned segments (mn_d == 0) collapse the whole
+                                    # ownership model: band T = m0 is its own perpendicular
+                                    # (c_k = g_k = 0, h(k) = k), there are no gap or edge
+                                    # bands (r_band = mx-1 != 2mx-1), and every owner start
+                                    # lies on the line (cd = 0, always alive), so
+                                    # visited = in_line & (0 <= m0 <= mx).  ~6x fewer vector
+                                    # ops on the dominant city-grid geometry.
+                                    @pl.when(mn_d == 0)
+                                    def _axis_aligned(col0=col0):
+                                        ys = r0 + rows_half
+                                        xsv = col0 + xs_half
+                                        raw = nc + sdy * xsv - sdx * ys
+                                        cd = jnp.abs(raw.astype(jnp.float32)) * inv_denom
+                                        op, in_line = stroke_opacity(cd, None)
+                                        MX = jnp.where(swap, xsv, ys)
+                                        m0v = (MX - mx0) * mx_i
+                                        visited = in_line & (m0v >= 0) & (m0v <= K)
+                                        alpha = jnp.where(visited, opacity * op, 0.0)
+                                        cur = pending_ref[pl.ds(r0, RB), col0 : col0 + 128]
+                                        pending_ref[pl.ds(r0, RB), col0 : col0 + 128] = jnp.fmax(cur, alpha)
+
+                                    pl.when(mn_d != 0)(_general_impl)
+                                else:
+                                    _general_impl()
+
+                        return 0
+
+                    lax.fori_loop(0, nbs, row_block, 0)
                     return 0
 
-                lax.fori_loop(0, nbs, row_block, 0)
-                return 0
+                lax.fori_loop(0, cnt, seg_step, 0)
 
-            lax.fori_loop(0, cnt, seg_step, 0)
+            @pl.when(kind == KIND_STROKE)
+            def _stroke():
+                stroke_impl(False)
 
-        @pl.when(kind == KIND_STROKE)
-        def _stroke():
-            stroke_impl(False)
+            @pl.when(kind == KIND_STROKE_SOLID)
+            def _stroke_solid():
+                stroke_impl(True)
 
-        @pl.when(kind == KIND_STROKE_SOLID)
-        def _stroke_solid():
-            stroke_impl(True)
+            @pl.when(kind == KIND_STROKE_SOLID_WIDE)
+            def _stroke_solid_wide():
+                stroke_impl(True, wide=True)
 
-        @pl.when(kind == KIND_STROKE_SOLID_WIDE)
-        def _stroke_solid_wide():
-            stroke_impl(True, wide=True)
+            # ------------------------- blend -------------------------
+            @pl.when(last_s[ch] == 1)
+            def _blend():
+                cr = color_r_s[ch]
+                cg = color_g_s[ch]
+                cb = color_b_s[ch]
+                p0 = prim_y0_s[ch]
+                pn = prim_nb_s[ch]
 
-        # ------------------------- blend -------------------------
-        @pl.when(last_s[tc] == 1)
-        def _blend():
-            cr = color_r_s[tc]
-            cg = color_g_s[tc]
-            cb = color_b_s[tc]
-            p0 = prim_y0_s[tc]
-            pn = prim_nb_s[tc]
+                @pl.when(pat_s[ch] < 0)
+                def _blend_color():
+                    def blend_block(b, _):
+                        r0 = (p0 + b) * RB_F
+                        a = pending_ref[pl.ds(r0, RB_F), :]
+                        keep = 1.0 - a
+                        acc_ref[0, pl.ds(r0, RB_F), :] = a * cr + keep * acc_ref[0, pl.ds(r0, RB_F), :]
+                        acc_ref[1, pl.ds(r0, RB_F), :] = a * cg + keep * acc_ref[1, pl.ds(r0, RB_F), :]
+                        acc_ref[2, pl.ds(r0, RB_F), :] = a * cb + keep * acc_ref[2, pl.ds(r0, RB_F), :]
+                        acc_ref[3, pl.ds(r0, RB_F), :] = a + keep * acc_ref[3, pl.ds(r0, RB_F), :]
+                        pending_ref[pl.ds(r0, RB_F), :] = jnp.zeros((RB_F, ts), jnp.float32)
+                        return 0
 
-            @pl.when(pat_s[tc] < 0)
-            def _blend_color():
-                def blend_block(b, _):
-                    r0 = (p0 + b) * RB_F
-                    a = pending_ref[pl.ds(r0, RB_F), :]
-                    keep = 1.0 - a
-                    out_ref[0, 0, pl.ds(r0, RB_F), :] = a * cr + keep * out_ref[0, 0, pl.ds(r0, RB_F), :]
-                    out_ref[0, 1, pl.ds(r0, RB_F), :] = a * cg + keep * out_ref[0, 1, pl.ds(r0, RB_F), :]
-                    out_ref[0, 2, pl.ds(r0, RB_F), :] = a * cb + keep * out_ref[0, 2, pl.ds(r0, RB_F), :]
-                    out_ref[0, 3, pl.ds(r0, RB_F), :] = a + keep * out_ref[0, 3, pl.ds(r0, RB_F), :]
-                    pending_ref[pl.ds(r0, RB_F), :] = jnp.zeros((RB_F, ts), jnp.float32)
+                    lax.fori_loop(0, pn, blend_block, 0)
+
+                @pl.when((pat_s[ch] >= 0) & (kind == KIND_LAYER))
+                def _blend_layer():
+                    # Host-rasterized premultiplied layer (oversize fills,
+                    # computed exactly in f64 by ops/coverage_np.py): plain
+                    # src-over of the pattern block, no pending mask.
+                    def blend_block(b, _):
+                        r0 = (p0 + b) * RB_F
+                        pa = pat_ref[0, 3, pl.ds(r0, RB_F), :]
+                        keep = 1.0 - pa
+                        acc_ref[0, pl.ds(r0, RB_F), :] = (
+                            pat_ref[0, 0, pl.ds(r0, RB_F), :]
+                            + keep * acc_ref[0, pl.ds(r0, RB_F), :]
+                        )
+                        acc_ref[1, pl.ds(r0, RB_F), :] = (
+                            pat_ref[0, 1, pl.ds(r0, RB_F), :]
+                            + keep * acc_ref[1, pl.ds(r0, RB_F), :]
+                        )
+                        acc_ref[2, pl.ds(r0, RB_F), :] = (
+                            pat_ref[0, 2, pl.ds(r0, RB_F), :]
+                            + keep * acc_ref[2, pl.ds(r0, RB_F), :]
+                        )
+                        acc_ref[3, pl.ds(r0, RB_F), :] = (
+                            pa + keep * acc_ref[3, pl.ds(r0, RB_F), :]
+                        )
+                        return 0
+
+                    lax.fori_loop(0, pn, blend_block, 0)
+
+                @pl.when((pat_s[ch] >= 0) & (kind != KIND_LAYER))
+                def _blend_pattern():
+                    # Tiled fill-image generation (fill.rs:36-40 semantics):
+                    # the per-pixel source is the premultiplied icon sample;
+                    # fill opacity is ignored, exactly like the reference.
+                    def blend_block(b, _):
+                        r0 = (p0 + b) * RB_F
+                        mask = pending_ref[pl.ds(r0, RB_F), :]
+                        pa = pat_ref[0, 3, pl.ds(r0, RB_F), :]
+                        keep = 1.0 - mask * pa
+                        acc_ref[0, pl.ds(r0, RB_F), :] = (
+                            mask * pat_ref[0, 0, pl.ds(r0, RB_F), :]
+                            + keep * acc_ref[0, pl.ds(r0, RB_F), :]
+                        )
+                        acc_ref[1, pl.ds(r0, RB_F), :] = (
+                            mask * pat_ref[0, 1, pl.ds(r0, RB_F), :]
+                            + keep * acc_ref[1, pl.ds(r0, RB_F), :]
+                        )
+                        acc_ref[2, pl.ds(r0, RB_F), :] = (
+                            mask * pat_ref[0, 2, pl.ds(r0, RB_F), :]
+                            + keep * acc_ref[2, pl.ds(r0, RB_F), :]
+                        )
+                        acc_ref[3, pl.ds(r0, RB_F), :] = (
+                            mask * pa + keep * acc_ref[3, pl.ds(r0, RB_F), :]
+                        )
+                        pending_ref[pl.ds(r0, RB_F), :] = jnp.zeros((RB_F, ts), jnp.float32)
+                        return 0
+
+                    lax.fori_loop(0, pn, blend_block, 0)
+
+            # On the tile's final chunk, finalize the f32 accumulator to
+            # the u8 output block (same math the XLA epilogue used; doing
+            # it in-kernel drops ~60 MB of f32 HBM round-trips per batch).
+            @pl.when(tile_last_s[ch] == 1)
+            def _finalize():
+                def fin_block(fb, _):
+                    r0 = fb * RB_F
+                    a = acc_ref[3, pl.ds(r0, RB_F), :]
+                    mul = jnp.where(a == 0.0, 0.0, 1.0 / a)
+                    for c in range(3):
+                        v = 255.0 * acc_ref[c, pl.ds(r0, RB_F), :] * mul
+                        v = jnp.where(jnp.isnan(v), 0.0, jnp.clip(v, 0.0, 255.0))
+                        # Mosaic has no f32->u8 cast; go through i32.
+                        out_ref[0, c, pl.ds(r0, RB_F), :] = (
+                            jnp.trunc(v).astype(jnp.int32).astype(jnp.uint8)
+                        )
+                    out_ref[0, 3, pl.ds(r0, RB_F), :] = jnp.full(
+                        (RB_F, ts), 255, jnp.uint8
+                    )
                     return 0
 
-                lax.fori_loop(0, pn, blend_block, 0)
+                lax.fori_loop(0, ts // RB_F, fin_block, 0)
 
-            @pl.when((pat_s[tc] >= 0) & (kind == KIND_LAYER))
-            def _blend_layer():
-                # Host-rasterized premultiplied layer (oversize fills,
-                # computed exactly in f64 by ops/coverage_np.py): plain
-                # src-over of the pattern block, no pending mask.
-                def blend_block(b, _):
-                    r0 = (p0 + b) * RB_F
-                    pa = pat_ref[0, 3, pl.ds(r0, RB_F), :]
-                    keep = 1.0 - pa
-                    out_ref[0, 0, pl.ds(r0, RB_F), :] = (
-                        pat_ref[0, 0, pl.ds(r0, RB_F), :]
-                        + keep * out_ref[0, 0, pl.ds(r0, RB_F), :]
-                    )
-                    out_ref[0, 1, pl.ds(r0, RB_F), :] = (
-                        pat_ref[0, 1, pl.ds(r0, RB_F), :]
-                        + keep * out_ref[0, 1, pl.ds(r0, RB_F), :]
-                    )
-                    out_ref[0, 2, pl.ds(r0, RB_F), :] = (
-                        pat_ref[0, 2, pl.ds(r0, RB_F), :]
-                        + keep * out_ref[0, 2, pl.ds(r0, RB_F), :]
-                    )
-                    out_ref[0, 3, pl.ds(r0, RB_F), :] = (
-                        pa + keep * out_ref[0, 3, pl.ds(r0, RB_F), :]
-                    )
-                    return 0
+            return 0
 
-                lax.fori_loop(0, pn, blend_block, 0)
-
-            @pl.when((pat_s[tc] >= 0) & (kind != KIND_LAYER))
-            def _blend_pattern():
-                # Tiled fill-image generation (fill.rs:36-40 semantics):
-                # the per-pixel source is the premultiplied icon sample;
-                # fill opacity is ignored, exactly like the reference.
-                def blend_block(b, _):
-                    r0 = (p0 + b) * RB_F
-                    mask = pending_ref[pl.ds(r0, RB_F), :]
-                    pa = pat_ref[0, 3, pl.ds(r0, RB_F), :]
-                    keep = 1.0 - mask * pa
-                    out_ref[0, 0, pl.ds(r0, RB_F), :] = (
-                        mask * pat_ref[0, 0, pl.ds(r0, RB_F), :]
-                        + keep * out_ref[0, 0, pl.ds(r0, RB_F), :]
-                    )
-                    out_ref[0, 1, pl.ds(r0, RB_F), :] = (
-                        mask * pat_ref[0, 1, pl.ds(r0, RB_F), :]
-                        + keep * out_ref[0, 1, pl.ds(r0, RB_F), :]
-                    )
-                    out_ref[0, 2, pl.ds(r0, RB_F), :] = (
-                        mask * pat_ref[0, 2, pl.ds(r0, RB_F), :]
-                        + keep * out_ref[0, 2, pl.ds(r0, RB_F), :]
-                    )
-                    out_ref[0, 3, pl.ds(r0, RB_F), :] = (
-                        mask * pa + keep * out_ref[0, 3, pl.ds(r0, RB_F), :]
-                    )
-                    pending_ref[pl.ds(r0, RB_F), :] = jnp.zeros((RB_F, ts), jnp.float32)
-                    return 0
-
-                lax.fori_loop(0, pn, blend_block, 0)
+        lax.fori_loop(0, GROUP, chunk_body, 0)
 
     return kernel
 
@@ -1023,26 +1140,41 @@ def render_batch_pallas(batch_arrays, canvas_rgb, ts: int, n_tiles: int, interpr
 
     kernel = make_render_kernel(ts)
 
+    # Grid steps process GROUP chunks each (concat_pallas_batch pads so
+    # Ctot % GROUP == 0, no step straddles tiles, and at most one
+    # pattern index occurs per step).
+    assert Ctot % GROUP == 0, f"chunk total {Ctot} not a multiple of {GROUP}"
+    n_steps = Ctot // GROUP
+    step_tile = b.tile_id.reshape(n_steps, GROUP)[:, 0]
+    step_pat = jnp.max(b.pat.reshape(n_steps, GROUP), axis=1)
+    tile_last = jnp.concatenate(
+        [
+            (b.tile_id[1:] != b.tile_id[:-1]).astype(jnp.int32),
+            jnp.ones((1,), jnp.int32),
+        ]
+    )
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=18,
-        grid=(Ctot,),
+        num_scalar_prefetch=21,
+        grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec((1, 4, CH), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, 1, CH), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, 1, CH), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, 4, CH), lambda i, *_: (i, 0, 0)),
-            # Fill-image pattern block, routed by the chunk's pattern
-            # index (clamped: plain chunks keep block 0 resident, so the
-            # pipeline only refetches around icon-fill chunks).
+            pl.BlockSpec((GROUP, 4, CH), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((GROUP, 1, CH), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((GROUP, 1, CH), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((GROUP, 4, CH), lambda i, *_: (i, 0, 0)),
+            # Fill-image pattern block, routed by the step's (unique)
+            # pattern index (clamped: plain steps keep block 0 resident,
+            # so the pipeline only refetches around icon-fill chunks).
             pl.BlockSpec(
                 (1, 4, ts, ts),
-                lambda i, *s: (jnp.maximum(s[17][i], 0), 0, 0, 0),
+                lambda i, *s: (jnp.maximum(s[19][i], 0), 0, 0, 0),
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 4, ts, ts), lambda i, tile_s, *_: (tile_s[i], 0, 0, 0)
+            (1, 4, ts, ts), lambda i, *s: (s[18][i], 0, 0, 0)
         ),
         scratch_shapes=[
+            pltpu.VMEM((4, ts, ts), jnp.float32),
             pltpu.VMEM((ts, ts), jnp.float32),
             pltpu.SMEM((4, CH), jnp.int32),
             pltpu.SMEM((1, CH), jnp.float32),
@@ -1055,7 +1187,7 @@ def render_batch_pallas(batch_arrays, canvas_rgb, ts: int, n_tiles: int, interpr
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, 4, ts, ts), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T, 4, ts, ts), jnp.uint8),
         interpret=interpret,
     )(
         b.tile_id, b.first, b.kind, b.cnt, b.last, b.y0, b.nb,
@@ -1063,11 +1195,10 @@ def render_batch_pallas(batch_arrays, canvas_rgb, ts: int, n_tiles: int, interpr
         f32(b.color[:, 0]), f32(b.color[:, 1]), f32(b.color[:, 2]),
         f32(b.opacity), f32(b.hw),
         prof_flat, prof_total, canvas, b.pat,
+        step_tile, step_pat, tile_last,
         b.geom, b.traveled, b.seg_prof, b.seg_aux, b.patterns,
     )
 
-    a = out[:, 3]
-    mul = jnp.where(a == 0.0, 0.0, 1.0 / a)
-    rgb = 255.0 * out[:, :3] * mul[:, None]
-    rgb = jnp.where(jnp.isnan(rgb), 0.0, jnp.clip(rgb, 0.0, 255.0))
-    return jnp.trunc(rgb).astype(jnp.uint8).transpose(0, 2, 3, 1)
+    # Premultiply-divide + u8 happen in-kernel (_finalize); only the
+    # planar -> interleaved transpose remains here.
+    return out[:, :3].transpose(0, 2, 3, 1)

@@ -65,3 +65,36 @@ def test_fill_spans_simple_rect():
     assert np.array_equal(spans, walk)
     assert spans.shape[0] > 0
     assert (spans[:, 1] == 2).all() and (spans[:, 2] == 12).all()
+
+
+def test_staircase_owner_estimate_within_one():
+    """The kernel inverts the walk staircase h(k) = k + g(k) from the
+    f32 estimate k ~= T * mx^2/(mx^2+mn^2) with ONE correction step each
+    way (render_pallas.py).  Pin |k_est - k_owner| <= 1 over an
+    exhaustive small range and a random sweep up to the coordinate
+    bound."""
+    import numpy as np
+
+    def worst_err(pairs):
+        worst = 0
+        for mn, mx in pairs:
+            k = np.arange(0, mx + 1, dtype=np.int64)
+            c = (2 * k * mn + mx - 1) // (2 * mx)
+            g = (2 * c * mn + mx - 1) // (2 * mx)
+            h = k + g
+            T = np.arange(0, int(h[-1]) + 1, dtype=np.int64)
+            k_true = np.searchsorted(h, T, side="right") - 1
+            ratio = np.float32(mx * mx) / np.float32(mx * mx + mn * mn)
+            k_est = np.clip((T.astype(np.float32) * ratio).astype(np.int64), 0, mx)
+            worst = max(worst, int(np.abs(k_est - k_true).max()))
+        return worst
+
+    exhaustive = [(mn, mx) for mx in range(1, 200) for mn in range(0, mx + 1)]
+    assert worst_err(exhaustive) <= 1
+
+    rng = np.random.default_rng(3)
+    rand_pairs = []
+    for mx in rng.integers(200, 24001, 150):
+        for mn in rng.integers(0, int(mx) + 1, 8):
+            rand_pairs.append((int(mn), int(mx)))
+    assert worst_err(rand_pairs) <= 1
