@@ -94,6 +94,8 @@ class PallasBatch(NamedTuple):
     profile_total: np.ndarray  # (NP,) f32
     pat: np.ndarray         # (Ctot,) int32  pattern index (-1 = plain color)
     patterns: np.ndarray    # (NPat, 4, ts, ts) f32 premultiplied tiled icons
+    items: np.ndarray       # (Ctot, 1, IT) i32 solid-stroke work items
+    isec: np.ndarray        # (Ctot, 8) i32 cumulative item-section ends
 
 
 def _f32_bits(x: np.ndarray) -> np.ndarray:
@@ -179,10 +181,129 @@ class TileChunks(NamedTuple):
     opacity: np.ndarray   # (c,) f32
     hw: np.ndarray        # (c,) f32
     pat: np.ndarray       # (c,) int32
+    items: np.ndarray     # (c, 1, IT) i32 solid-stroke work items (-1 pad)
+    isec: np.ndarray      # (c, 8) i32 cumulative item-section ends
 
     @property
     def nbytes(self) -> int:
         return sum(a.nbytes for a in self)
+
+
+RB_I = 8        # rows per stroke work-item window
+IT_CAP = 2048   # max work items per chunk (SMEM staging bound); chunks
+                # exceeding it are split (same generation, last on tail)
+
+
+def _stroke_item_counts(g: np.ndarray, c_hw: float, ts: int) -> np.ndarray:
+    """Per-segment work-item count (8-row blocks x active column
+    halves), matching _stroke_items' emission exactly."""
+    n = g.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    gi = g.astype(np.int64)
+    x1, y1, x2, y2 = gi[:, 0], gi[:, 1], gi[:, 2], gi[:, 3]
+    m = int(np.ceil(c_hw)) + 2
+    nondeg = ~((x1 == x2) & (y1 == y2))
+    ylo = np.clip(np.minimum(y1, y2) - m, 0, ts - 1)
+    yhi = np.clip(np.maximum(y1, y2) + m, 0, ts - 1)
+    nblk = np.where(nondeg, yhi // RB_I - ylo // RB_I + 1, 0)
+    sxlo = np.minimum(x1, x2) - m
+    sxhi = np.maximum(x1, x2) + m
+    halves = np.zeros(n, dtype=np.int64)
+    for h in range(ts // 128):
+        c0 = h * 128
+        halves += ((sxlo < c0 + 128) & (sxhi >= c0)).astype(np.int64)
+    return nblk * halves
+
+
+def _stroke_items(g: np.ndarray, c_hw: float, ts: int):
+    """Work items for a solid stroke chunk.
+
+    An item is one (segment, 8-row block, 128-column half) window that
+    the segment's paint margin can touch, packed as `sg | (r8 << 8)`.
+    Items are grouped into sections by (path, half) — axis-aligned
+    segments (mn = 0, cheap closed form) in section slots [0, n_halves),
+    general segments in slots [4, 4 + n_halves) — and each section is
+    padded with -1 to a multiple of 4: the kernel evaluates 4 items per
+    (32, 128) vector tile with per-8-row-group parameters.
+
+    Returns (items int32 (IT,), isec int32 (8,) cumulative section
+    ends)."""
+    n = g.shape[0]
+    n_halves = ts // 128
+    assert n_halves <= 4, "item path supports ts <= 512"
+    isec = np.zeros(8, dtype=np.int32)
+    if n == 0:
+        return np.zeros(0, dtype=np.int32), isec
+    gi = g.astype(np.int64)
+    x1, y1, x2, y2 = gi[:, 0], gi[:, 1], gi[:, 2], gi[:, 3]
+    m = int(np.ceil(c_hw)) + 2
+    nondeg = ~((x1 == x2) & (y1 == y2))
+    ylo = np.clip(np.minimum(y1, y2) - m, 0, ts - 1)
+    yhi = np.clip(np.maximum(y1, y2) + m, 0, ts - 1)
+    b0 = ylo // RB_I
+    nblk = np.where(nondeg, yhi // RB_I - b0 + 1, 0)
+    tot = int(nblk.sum())
+    if tot == 0:
+        return np.zeros(0, dtype=np.int32), isec
+    sg_rep = np.repeat(np.arange(n, dtype=np.int64), nblk)
+    starts = np.repeat(b0, nblk)
+    offs = np.concatenate(([0], np.cumsum(nblk)[:-1]))
+    pos = np.arange(tot, dtype=np.int64) - np.repeat(offs, nblk)
+    words = (sg_rep | ((starts + pos) << 8)).astype(np.int32)
+
+    axis = ((x1 == x2) | (y1 == y2))[sg_rep]
+    sxlo = (np.minimum(x1, x2) - m)[sg_rep]
+    sxhi = (np.maximum(x1, x2) + m)[sg_rep]
+
+    parts = []
+    end = 0
+    for slot_base, path_axis in ((0, True), (4, False)):
+        for h in range(n_halves):
+            c0 = h * 128
+            mask = (axis == path_axis) & (sxlo < c0 + 128) & (sxhi >= c0)
+            sec = words[mask]
+            pad = (-len(sec)) % 4
+            if pad:
+                sec = np.concatenate([sec, np.full(pad, -1, dtype=np.int32)])
+            parts.append(sec)
+            end += len(sec)
+            isec[slot_base + h] = end
+        # empty high slots keep the running end so [start, end) is empty
+        for h in range(n_halves, 4):
+            isec[slot_base + h] = end
+    return np.concatenate(parts), isec
+
+
+def _split_big_stroke_chunks(chunks, ts: int):
+    """Split solid stroke chunks whose work-item total exceeds IT_CAP
+    into several chunks of the same generation (last only on the
+    tail)."""
+    out = []
+    for tup in chunks:
+        k, g, trav, prof, last = tup[:5]
+        meta = tup[5:]
+        c_hw = meta[2]
+        if k != KIND_STROKE or g.shape[0] == 0 or np.any(np.asarray(prof)[: g.shape[0]]):
+            out.append(tup)
+            continue
+        counts = _stroke_item_counts(g, c_hw, ts)
+        if counts.sum() <= IT_CAP:
+            out.append(tup)
+            continue
+        cum = np.cumsum(counts)
+        start = 0
+        while start < g.shape[0]:
+            base = cum[start - 1] if start else 0
+            endi = int(np.searchsorted(cum, base + IT_CAP, side="right"))
+            endi = max(endi, start + 1)
+            is_tail = endi >= g.shape[0]
+            out.append(
+                (k, g[start:endi], trav[start:endi], prof[start:endi],
+                 last if is_tail else False) + meta
+            )
+            start = endi
+    return out
 
 
 def build_tile_chunks(stream, ts: int) -> TileChunks:
@@ -192,6 +313,8 @@ def build_tile_chunks(stream, ts: int) -> TileChunks:
     An empty stream still yields one PAD chunk so the tile's canvas is
     initialized."""
     chunks = _convert_tile_chunks(stream, ts)
+    if ts <= 512:
+        chunks = _split_big_stroke_chunks(chunks, ts)
     n_chunks = max(len(chunks), 1)
 
     geom = np.zeros((n_chunks, 4, CH), dtype=np.int32)
@@ -209,6 +332,8 @@ def build_tile_chunks(stream, ts: int) -> TileChunks:
     opacity = np.zeros((n_chunks,), dtype=np.float32)
     hw = np.zeros((n_chunks,), dtype=np.float32)
     pat = np.full((n_chunks,), -1, dtype=np.int32)
+    item_lists: dict = {}
+    isec = np.zeros((n_chunks, 8), dtype=np.int32)
 
     if chunks:
         chunk_meta = []
@@ -287,21 +412,31 @@ def build_tile_chunks(stream, ts: int) -> TileChunks:
                     cK = (2 * mx * mn + mx - 1) // (2 * mx)
                     gK = (2 * cK * mn + mx - 1) // (2 * mx)
                     aux[o, 2, :n] = (mx + gK).astype(np.float32)
-                    if not np.any(np.asarray(c_prof)[:n]):
-                        # Wide solid strokes (hw >= 1.25) can skip the
-                        # perpendicular-owner aliveness machinery
-                        # entirely: every owner start is provably
-                        # in-line.
+                    if not np.any(np.asarray(c_prof)[:n]) and ts <= 512:
+                        # Solid strokes take the work-item path (4
+                        # packed (8, 128) windows per vector tile);
+                        # wide ones (hw >= 1.25) additionally skip the
+                        # perpendicular-owner aliveness machinery:
+                        # every owner start is provably in-line.
                         kind[o] = (
                             KIND_STROKE_SOLID_WIDE
                             if c_hw >= 1.25
                             else KIND_STROKE_SOLID
                         )
+                        it, sec = _stroke_items(g, c_hw, ts)
+                        item_lists[o] = it
+                        isec[o] = sec
+
+    it_tile = max([len(v) for v in item_lists.values()] + [4])
+    it_tile = -(-it_tile // 4) * 4
+    items = np.full((n_chunks, 1, it_tile), -1, dtype=np.int32)
+    for o, v in item_lists.items():
+        items[o, 0, : len(v)] = v
 
     return _pad_group(
         TileChunks(
             geom, trav, sprof, aux, kind, cnt, last, y0, nb,
-            prim_y0, prim_nb, color, opacity, hw, pat,
+            prim_y0, prim_nb, color, opacity, hw, pat, items, isec,
         )
     )
 
@@ -348,7 +483,7 @@ def _pad_group(tc: TileChunks, group: int = GROUP) -> TileChunks:
         gather(tc.kind), gather(tc.cnt), gather(tc.last), gather(tc.y0),
         gather(tc.nb), gather(tc.prim_y0), gather(tc.prim_nb),
         gather(tc.color), gather(tc.opacity), gather(tc.hw),
-        gather(tc.pat, -1),
+        gather(tc.pat, -1), gather(tc.items, -1), gather(tc.isec),
     )
 
 
@@ -384,6 +519,24 @@ def concat_pallas_batch(
             out = np.pad(out, widths, constant_values=pad_value)
         return out
 
+    # Work items: per-tile IT widths differ; right-pad every tile's
+    # items to the batch maximum, 128-aligned (Mosaic lane tiling),
+    # dead items are -1.
+    IT = max(c.items.shape[2] for c in tile_chunks)
+    IT = -(-IT // 128) * 128
+    item_parts = [
+        c.items
+        if c.items.shape[2] == IT
+        else np.pad(
+            c.items, ((0, 0), (0, 0), (0, IT - c.items.shape[2])),
+            constant_values=-1,
+        )
+        for c in tile_chunks
+    ]
+    items = np.concatenate(item_parts, axis=0)
+    if pad:
+        items = np.pad(items, ((0, pad), (0, 0), (0, 0)), constant_values=-1)
+
     prof_rows, prof_totals = profiles.arrays(np.float32)
     if patterns is not None and patterns.tiles:
         pat_arr = patterns.array()
@@ -395,6 +548,7 @@ def concat_pallas_batch(
         cat("kind"), cat("cnt"), cat("last"), cat("y0"), cat("nb"),
         cat("prim_y0"), cat("prim_nb"), cat("color"), cat("opacity"),
         cat("hw"), prof_rows, prof_totals, cat("pat", -1), pat_arr,
+        items, cat("isec"),
     )
 
 
@@ -453,13 +607,14 @@ def make_render_kernel(ts: int):
         prim_y0_s, prim_nb_s,
         color_r_s, color_g_s, color_b_s, opacity_s, hw_s,
         prof_s, prof_total_s, canvas_s, pat_s,
-        step_tile_s, step_pat_s, tile_last_s,
+        step_tile_s, step_pat_s, tile_last_s, isec_s,
         # tensor inputs (VMEM blocks)
         geom_ref,      # (GROUP, 4, CH) int32
         trav_ref,      # (GROUP, 1, CH) f32
         sprof_ref,     # (GROUP, 1, CH) int32
         aux_ref,       # (GROUP, 4, CH) f32
         pat_ref,       # (1, 4, ts, ts) f32 tiled premultiplied fill icon
+        items_ref,     # (GROUP, 1, IT) int32 solid-stroke work items
         # outputs
         out_ref,       # (1, 4, ts, ts) u8 (finalized on each tile's last chunk)
         # scratch
@@ -469,7 +624,8 @@ def make_render_kernel(ts: int):
         trav_smem,     # SMEM (1, CH) f32
         sprof_smem,    # SMEM (1, CH) int32
         aux_smem,      # SMEM (4, CH) f32
-        dma_sems,      # DMA semaphores (4,)
+        items_smem,    # SMEM (1, IT) int32
+        dma_sems,      # DMA semaphores (5,)
     ):
         tc = pl.program_id(0)
 
@@ -519,6 +675,8 @@ def make_render_kernel(ts: int):
 
             xs_half = lax.broadcasted_iota(jnp.int32, (RB, 128), 1)
             rows_half = lax.broadcasted_iota(jnp.int32, (RB, 128), 0)
+            sub_col = lax.broadcasted_iota(jnp.int32, (32, 1), 0)
+            lane_col = lax.broadcasted_iota(jnp.int32, (32, 128), 1)
             n_halves = ts // 128
 
             # ------------------------- fills -------------------------
@@ -1002,17 +1160,276 @@ def make_render_kernel(ts: int):
 
                 lax.fori_loop(0, cnt, seg_step, 0)
 
+            # --------------- solid strokes: work-item path ---------------
+            # Host-precomputed items (_stroke_items): each is one
+            # (segment, 8-row block, 128-col half) window.  The kernel
+            # evaluates FOUR items per (32, 128) vector tile — item j
+            # occupies sublanes 8j..8j+7 with its own per-row-group
+            # parameters — which cuts the (32, 128)-per-segment waste of
+            # the row-block path ~4x on thin strokes.
+            def stroke_items_impl(wide: bool):
+                cpi = pltpu.make_async_copy(
+                    items_ref.at[gi], items_smem, dma_sems.at[4]
+                )
+                cpi.start()
+                cpi.wait()
+
+                feather_to = jnp.fmax(hw + 0.5, 1.0)
+                om_pos = jnp.fmin(2.0 * hw, 1.0) > 0.0
+                grp_sel = sub_col >> 3       # (32, 1): item index 0..3
+                row_in = sub_col & 7
+
+                def vec4(a, b, c, d):
+                    return jnp.where(
+                        grp_sel == 0, a,
+                        jnp.where(grp_sel == 1, b, jnp.where(grp_sel == 2, c, d)),
+                    )
+
+                def eval_group(base, col0, general):
+                    ws, r0s = [], []
+                    p1xs, p1ys, p2xs, p2ys, invs, rats, hKs = ([] for _ in range(7))
+                    for j in range(4):
+                        w = items_smem[0, base + j]
+                        wv = jnp.maximum(w, 0)
+                        sg = wv & 127
+                        r0 = ((wv >> 8) & 63) * RB_I
+                        ws.append(w)
+                        r0s.append(r0)
+                        p1xs.append(geom_smem[0, sg])
+                        p1ys.append(geom_smem[1, sg])
+                        p2xs.append(geom_smem[2, sg])
+                        p2ys.append(geom_smem[3, sg])
+                        invs.append(aux_smem[0, sg])
+                        rats.append(aux_smem[1, sg])
+                        hKs.append(aux_smem[2, sg])
+
+                    live = vec4(*[(w >= 0).astype(jnp.int32) for w in ws]) > 0
+                    p1x = vec4(*p1xs); p1y = vec4(*p1ys)
+                    p2x = vec4(*p2xs); p2y = vec4(*p2ys)
+                    inv_denom = vec4(*invs)
+                    ratio = vec4(*rats)
+                    hK = vec4(*hKs).astype(jnp.int32)
+                    r0_v = vec4(*r0s)
+
+                    dxs = jnp.abs(p2x - p1x)
+                    dys = jnp.abs(p2y - p1y)
+                    swap = dxs > dys
+                    mn0 = jnp.where(swap, p1y, p1x)
+                    mx0 = jnp.where(swap, p1x, p1y)
+                    mn_d = jnp.where(swap, dys, dxs)
+                    mx_d = jnp.maximum(jnp.where(swap, dxs, dys), 1)
+                    x_inc = jnp.where(p1x <= p2x, 1, -1)
+                    y_inc = jnp.where(p1y <= p2y, 1, -1)
+                    mn_i = jnp.where(swap, y_inc, x_inc)
+                    mx_i = jnp.where(swap, x_inc, y_inc)
+                    two_mx = 2 * mx_d
+                    two_mx_f = two_mx.astype(jnp.float32)
+                    two_mn = 2 * mn_d
+                    nc = p2x * p1y - p2y * p1x
+                    sdx = p2x - p1x
+                    sdy = p2y - p1y
+                    K = mx_d
+
+                    ys = r0_v + row_in                       # (32, 1)
+                    xsv = col0 + lane_col                    # (32, 128)
+                    raw = nc + sdy * xsv - sdx * ys
+                    cd = jnp.abs(raw.astype(jnp.float32)) * inv_denom
+                    op = _feather(cd, hw)
+                    in_line = (op > 0.0) & live
+                    MN = jnp.where(swap, ys + 0 * xsv, xsv)
+                    MX = jnp.where(swap, xsv, ys + 0 * xsv)
+
+                    if not general:
+                        m0 = (MX - mx0) * mx_i
+                        visited = in_line & (m0 >= 0) & (m0 <= K)
+                        alpha = jnp.where(visited, opacity * op, 0.0)
+                        for j in range(4):
+                            blk = alpha[j * 8 : (j + 1) * 8, :]
+                            cur = pending_ref[pl.ds(r0s[j], RB_I), col0 : col0 + 128]
+                            pending_ref[pl.ds(r0s[j], RB_I), col0 : col0 + 128] = (
+                                jnp.fmax(cur, blk)
+                            )
+                        return
+
+                    n0 = (MN - mn0) * mn_i
+                    m0 = (MX - mx0) * mx_i
+                    A = two_mn * n0 + two_mx * m0 + (mx_d - 1)
+                    T_band = _floor_div_f(A, two_mx_f, two_mx)
+                    r_band = A - T_band * two_mx
+                    edge_band = r_band == (two_mx - 1)
+
+                    def alive_at(s_mn, s_mx):
+                        s_x = jnp.where(swap, s_mx, s_mn)
+                        s_y = jnp.where(swap, s_mn, s_mx)
+                        raw_s = nc + sdy * s_x - sdx * s_y
+                        cd_s = jnp.abs(raw_s.astype(jnp.float32)) * inv_denom
+                        return (cd_s < feather_to) & om_pos
+
+                    def step_up(k, c, rc, g, rg):
+                        rc = rc + two_mn
+                        carry = rc >= two_mx
+                        rc = jnp.where(carry, rc - two_mx, rc)
+                        rg2 = jnp.where(carry, rg + two_mn, rg)
+                        gcarry = rg2 >= two_mx
+                        rg2 = jnp.where(gcarry, rg2 - two_mx, rg2)
+                        return (
+                            k + 1,
+                            jnp.where(carry, c + 1, c),
+                            rc,
+                            jnp.where(carry & gcarry, g + 1, g),
+                            jnp.where(carry, rg2, rg),
+                        )
+
+                    def step_down(k, c, rc, g, rg):
+                        rc = rc - two_mn
+                        borrow = rc < 0
+                        rc = jnp.where(borrow, rc + two_mx, rc)
+                        rg2 = jnp.where(borrow, rg - two_mn, rg)
+                        gborrow = rg2 < 0
+                        rg2 = jnp.where(gborrow, rg2 + two_mx, rg2)
+                        return (
+                            k - 1,
+                            jnp.where(borrow, c - 1, c),
+                            rc,
+                            jnp.where(borrow & gborrow, g - 1, g),
+                            jnp.where(borrow, rg2, rg),
+                        )
+
+                    def invert(bc):
+                        k = jnp.clip(
+                            (bc.astype(jnp.float32) * ratio).astype(jnp.int32), 0, K
+                        )
+                        c, rc = _divmod_f(two_mn * k + mx_d - 1, two_mx_f, two_mx)
+                        g, rg = _divmod_f(two_mn * c + mx_d - 1, two_mx_f, two_mx)
+                        state = (k, c, rc, g, rg)
+                        down = (state[0] > 0) & (state[0] + state[3] > bc)
+                        nxt = step_down(*state)
+                        state = tuple(
+                            jnp.where(down, n, o) for n, o in zip(nxt, state)
+                        )
+                        nxt = step_up(*state)
+                        up = (state[0] < K) & (nxt[0] + nxt[3] <= bc)
+                        state = tuple(
+                            jnp.where(up, n, o) for n, o in zip(nxt, state)
+                        )
+                        return state
+
+                    def emit(add_mask):
+                        alpha = jnp.where(add_mask, opacity * op, 0.0)
+                        for j in range(4):
+                            blk = alpha[j * 8 : (j + 1) * 8, :]
+                            cur = pending_ref[pl.ds(r0s[j], RB_I), col0 : col0 + 128]
+                            pending_ref[pl.ds(r0s[j], RB_I), col0 : col0 + 128] = (
+                                jnp.fmax(cur, blk)
+                            )
+
+                    if wide:
+                        ownerT_ok = (A >= 0) & (T_band <= hK)
+                        ownerN_ok = (A >= -1) & (T_band + 1 <= hK)
+                        visited = in_line & (
+                            (edge_band & ownerT_ok & ownerN_ok)
+                            | (~edge_band & ownerT_ok)
+                        )
+                        emit(visited)
+
+                        needs_exact = (
+                            in_line & edge_band & (ownerT_ok ^ ownerN_ok)
+                        )
+
+                        @pl.when(jnp.any(needs_exact))
+                        def _exact_boundary():
+                            bc = jnp.clip(T_band, 0, hK)
+                            k1, c1, rc1, g1, rg1 = invert(bc)
+                            is_gap = (k1 + g1) != bc
+                            c_sel = jnp.where(is_gap, c1 + 1, c1)
+                            s_mn_T = mn0 + mn_i * c_sel
+                            dn_T = (MN - s_mn_T) * mn_i
+
+                            bc2 = jnp.clip(T_band + 1, 0, hK)
+                            nxt = step_up(k1, c1, rc1, g1, rg1)
+                            take2 = (k1 < K) & (nxt[0] + nxt[3] <= bc2)
+                            k2 = jnp.where(take2, nxt[0], k1)
+                            c2 = jnp.where(take2, nxt[1], c1)
+                            g2 = jnp.where(take2, nxt[3], g1)
+                            is_gap2 = (k2 + g2) != bc2
+                            c_sel2 = jnp.where(is_gap2, c2 + 1, c2)
+                            s_mn_N = mn0 + mn_i * c_sel2
+                            dn_N = (MN - s_mn_N) * mn_i
+
+                            add = needs_exact & (
+                                (ownerT_ok & (dn_T >= 0))
+                                | (~ownerT_ok & (dn_N <= 0))
+                            )
+                            emit(add)
+
+                        return
+
+                    # thin general path: full dead-start machinery
+                    bc = jnp.clip(T_band, 0, hK)
+                    k, c, rc, g, rg = invert(bc)
+                    h_k = k + g
+                    is_gap = h_k != bc
+                    c_sel = jnp.where(is_gap, c + 1, c)
+                    s_mn_T = mn0 + mn_i * c_sel
+                    s_mx_T = mx0 + mx_i * k
+                    in_slab = (A >= 0) & (T_band <= hK)
+                    dn_T = (MN - s_mn_T) * mn_i
+                    ok_T = in_slab & alive_at(s_mn_T, s_mx_T)
+                    ok_Tf = ok_T & ((~edge_band) | (dn_T >= 0))
+                    visited = in_line & ok_Tf
+                    emit(visited)
+
+                    @pl.when(jnp.any(edge_band & in_line & ~visited))
+                    def _edge_band_owner():
+                        bc2 = jnp.clip(T_band + 1, 0, hK)
+                        nxt = step_up(k, c, rc, g, rg)
+                        take2 = (k < K) & (nxt[0] + nxt[3] <= bc2)
+                        k2 = jnp.where(take2, nxt[0], k)
+                        c2 = jnp.where(take2, nxt[1], c)
+                        g2 = jnp.where(take2, nxt[3], g)
+                        is_gap2 = (k2 + g2) != bc2
+                        c_sel2 = jnp.where(is_gap2, c2 + 1, c2)
+                        s_mn_N = mn0 + mn_i * c_sel2
+                        s_mx_N = mx0 + mx_i * k2
+                        dn_N = (MN - s_mn_N) * mn_i
+                        ok_N = (
+                            edge_band
+                            & (A + 1 >= 0)
+                            & (T_band + 1 <= hK)
+                            & (dn_N <= 0)
+                            & alive_at(s_mn_N, s_mx_N)
+                        )
+                        emit(in_line & ok_N)
+
+                def do_section(slot, col0, general):
+                    if slot > 0:
+                        start = isec_s[ch * 8 + slot - 1]
+                    else:
+                        start = jnp.int32(0)
+                    end = isec_s[ch * 8 + slot]
+                    n_grp = (end - start) >> 2
+
+                    def grp(gidx, _):
+                        eval_group(start + gidx * 4, col0, general)
+                        return 0
+
+                    lax.fori_loop(0, n_grp, grp, 0)
+
+                for half in range(n_halves):
+                    do_section(half, half * 128, False)
+                    do_section(4 + half, half * 128, True)
+
             @pl.when(kind == KIND_STROKE)
             def _stroke():
                 stroke_impl(False)
 
             @pl.when(kind == KIND_STROKE_SOLID)
             def _stroke_solid():
-                stroke_impl(True)
+                stroke_items_impl(False)
 
             @pl.when(kind == KIND_STROKE_SOLID_WIDE)
             def _stroke_solid_wide():
-                stroke_impl(True, wide=True)
+                stroke_items_impl(True)
 
             # ------------------------- blend -------------------------
             @pl.when(last_s[ch] == 1)
@@ -1154,8 +1571,9 @@ def render_batch_pallas(batch_arrays, canvas_rgb, ts: int, n_tiles: int, interpr
         ]
     )
 
+    IT = b.items.shape[2]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=21,
+        num_scalar_prefetch=22,
         grid=(n_steps,),
         in_specs=[
             pl.BlockSpec((GROUP, 4, CH), lambda i, *_: (i, 0, 0)),
@@ -1169,6 +1587,7 @@ def render_batch_pallas(batch_arrays, canvas_rgb, ts: int, n_tiles: int, interpr
                 (1, 4, ts, ts),
                 lambda i, *s: (jnp.maximum(s[19][i], 0), 0, 0, 0),
             ),
+            pl.BlockSpec((GROUP, 1, IT), lambda i, *_: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
             (1, 4, ts, ts), lambda i, *s: (s[18][i], 0, 0, 0)
@@ -1180,7 +1599,8 @@ def render_batch_pallas(batch_arrays, canvas_rgb, ts: int, n_tiles: int, interpr
             pltpu.SMEM((1, CH), jnp.float32),
             pltpu.SMEM((1, CH), jnp.int32),
             pltpu.SMEM((4, CH), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SMEM((1, IT), jnp.int32),
+            pltpu.SemaphoreType.DMA((5,)),
         ],
     )
 
@@ -1195,8 +1615,8 @@ def render_batch_pallas(batch_arrays, canvas_rgb, ts: int, n_tiles: int, interpr
         f32(b.color[:, 0]), f32(b.color[:, 1]), f32(b.color[:, 2]),
         f32(b.opacity), f32(b.hw),
         prof_flat, prof_total, canvas, b.pat,
-        step_tile, step_pat, tile_last,
-        b.geom, b.traveled, b.seg_prof, b.seg_aux, b.patterns,
+        step_tile, step_pat, tile_last, b.isec.reshape(-1),
+        b.geom, b.traveled, b.seg_prof, b.seg_aux, b.patterns, b.items,
     )
 
     # Premultiply-divide + u8 happen in-kernel (_finalize); only the

@@ -232,10 +232,10 @@ class BatchRenderer:
             else:
                 pat_dev = jnp.asarray(pb.patterns)
                 self._patterns_dev[scale] = (ver, pat_dev)
-        pb = RP.PallasBatch(
-            *(jnp.asarray(a) for a in pb[:-1]),
-            pat_dev if pat_dev is not None else jnp.asarray(pb.patterns),
-        )
+        if pat_dev is not None:
+            # Already-resident device array; jnp.asarray below is a no-op.
+            pb = pb._replace(patterns=pat_dev)
+        pb = RP.PallasBatch(*(jnp.asarray(a) for a in pb))
         return PreparedBatch(
             pb, self._canvas(np.float32), ts_px, n_tiles, "pallas",
             tuple(fallback),

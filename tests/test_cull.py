@@ -119,3 +119,46 @@ def test_cull_keeps_crossing_segment():
     assert p.segs.shape[0] == 0
     # raw_pairs stays whole for the oracle path.
     assert p.raw_pairs.shape[0] == 1
+
+
+def test_stroke_items_cover_paint_windows():
+    """Work items (ops/render_pallas._stroke_items) must cover every
+    (8-row, 128-col) window a segment's paint margin can touch, carry
+    valid packed fields, keep sections 4-aligned, and agree with
+    _stroke_item_counts (the chunk-split budget)."""
+    import numpy as np
+
+    from osm_renderer_tpu.ops.render_pallas import (
+        RB_I,
+        _stroke_item_counts,
+        _stroke_items,
+    )
+
+    rng = np.random.default_rng(5)
+    ts = 256
+    for _ in range(50):
+        n = int(rng.integers(1, 60))
+        g = rng.integers(-300, ts + 300, (n, 4)).astype(np.int64)
+        if rng.random() < 0.5:
+            # force some axis-aligned segments
+            g[: n // 2, 2] = g[: n // 2, 0]
+        hw = float(rng.choice([0.25, 0.5, 1.0, 3.0]))
+        items, isec = _stroke_items(g, hw, ts)
+        counts = _stroke_item_counts(g, hw, ts)
+        live = items[items >= 0]
+        assert len(live) == counts.sum()
+        assert (isec[1:] >= isec[:-1]).all() if len(isec) > 1 else True
+        assert isec[7] == len(items)
+        # every section boundary is 4-aligned
+        assert all(int(v) % 4 == 0 for v in isec)
+        # decode and verify each live item window intersects its
+        # segment's margin bbox
+        m = int(np.ceil(hw)) + 2
+        sg = live & 127
+        r8 = (live >> 8) & 63
+        x1, y1, x2, y2 = g[sg, 0], g[sg, 1], g[sg, 2], g[sg, 3]
+        ylo = np.clip(np.minimum(y1, y2) - m, 0, ts - 1)
+        yhi = np.clip(np.maximum(y1, y2) + m, 0, ts - 1)
+        assert ((r8 * RB_I <= yhi) & (r8 * RB_I + RB_I - 1 >= ylo // RB_I * RB_I)).all()
+        nondeg = ~((x1 == x2) & (y1 == y2))
+        assert nondeg.all()
