@@ -608,6 +608,7 @@ def make_render_kernel(ts: int):
         color_r_s, color_g_s, color_b_s, opacity_s, hw_s,
         prof_s, prof_total_s, canvas_s, pat_s,
         step_tile_s, step_pat_s, tile_last_s, isec_s,
+        step_dash_s, step_stroke_s, step_solid_s,
         # tensor inputs (VMEM blocks)
         geom_ref,      # (GROUP, 4, CH) int32
         trav_ref,      # (GROUP, 1, CH) f32
@@ -651,16 +652,11 @@ def make_render_kernel(ts: int):
             # scalar-driven segment loop needs per-lane scalar loads, which
             # Mosaic can't do from VMEM; fills read geometry vectorized).
             @pl.when(is_stroke)
-            def _stage_geom():
+            def _stage_geom_aux():
                 cp0 = pltpu.make_async_copy(geom_ref.at[gi], geom_smem, dma_sems.at[0])
-                cp0.start()
-                cp0.wait()
-
-            @pl.when(is_stroke)
-            def _stage_aux():
                 cp3 = pltpu.make_async_copy(aux_ref.at[gi], aux_smem, dma_sems.at[3])
-                cp3.start()
-                cp3.wait()
+                cp0.start(); cp3.start()
+                cp0.wait(); cp3.wait()
 
             @pl.when(kind == KIND_STROKE)
             def _stage_stroke_aux():
@@ -714,6 +710,12 @@ def make_render_kernel(ts: int):
                 lax.fori_loop(0, nb, row_block, 0)
 
             # ------------------------- strokes -------------------------
+            # Per-segment row-block path.  Since the work-item path took
+            # over solid strokes, this is traced only for KIND_STROKE
+            # (dash profiles; needs trav/sprof and the walk-chain rule),
+            # always with solid=False — the solid branches are kept as
+            # the reference formulation of the model the item path
+            # vectorizes.
             def stroke_impl(solid: bool, wide: bool = False):
                 def seg_step(sg, _):
                     p1x = geom_smem[0, sg]
@@ -1570,16 +1572,38 @@ def render_batch_pallas(batch_arrays, canvas_rgb, ts: int, n_tiles: int, interpr
             jnp.ones((1,), jnp.int32),
         ]
     )
+    kind_step = b.kind.reshape(n_steps, GROUP)
+    step_dash = jnp.any(kind_step == KIND_STROKE, axis=1).astype(jnp.int32)
+    step_stroke = jnp.any(
+        (kind_step >= KIND_STROKE) & (kind_step <= KIND_STROKE_SOLID_WIDE), axis=1
+    ).astype(jnp.int32)
+    step_solid = jnp.any(
+        (kind_step == KIND_STROKE_SOLID) | (kind_step == KIND_STROKE_SOLID_WIDE),
+        axis=1,
+    ).astype(jnp.int32)
 
     IT = b.items.shape[2]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=22,
+        num_scalar_prefetch=25,
         grid=(n_steps,),
         in_specs=[
+            # Inputs a step's chunks never read keep their previous
+            # block index (no DMA): trav/seg_prof stream only around
+            # dashed chunks, aux around strokes, items around solid
+            # strokes.  s[22..24] are the step_dash/stroke/solid masks.
             pl.BlockSpec((GROUP, 4, CH), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((GROUP, 1, CH), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((GROUP, 1, CH), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((GROUP, 4, CH), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec(
+                (GROUP, 1, CH),
+                lambda i, *s: (jnp.where(s[22][i] == 1, i, 0), 0, 0),
+            ),
+            pl.BlockSpec(
+                (GROUP, 1, CH),
+                lambda i, *s: (jnp.where(s[22][i] == 1, i, 0), 0, 0),
+            ),
+            pl.BlockSpec(
+                (GROUP, 4, CH),
+                lambda i, *s: (jnp.where(s[23][i] == 1, i, 0), 0, 0),
+            ),
             # Fill-image pattern block, routed by the step's (unique)
             # pattern index (clamped: plain steps keep block 0 resident,
             # so the pipeline only refetches around icon-fill chunks).
@@ -1587,7 +1611,10 @@ def render_batch_pallas(batch_arrays, canvas_rgb, ts: int, n_tiles: int, interpr
                 (1, 4, ts, ts),
                 lambda i, *s: (jnp.maximum(s[19][i], 0), 0, 0, 0),
             ),
-            pl.BlockSpec((GROUP, 1, IT), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec(
+                (GROUP, 1, IT),
+                lambda i, *s: (jnp.where(s[24][i] == 1, i, 0), 0, 0),
+            ),
         ],
         out_specs=pl.BlockSpec(
             (1, 4, ts, ts), lambda i, *s: (s[18][i], 0, 0, 0)
@@ -1616,6 +1643,7 @@ def render_batch_pallas(batch_arrays, canvas_rgb, ts: int, n_tiles: int, interpr
         f32(b.opacity), f32(b.hw),
         prof_flat, prof_total, canvas, b.pat,
         step_tile, step_pat, tile_last, b.isec.reshape(-1),
+        step_dash, step_stroke, step_solid,
         b.geom, b.traveled, b.seg_prof, b.seg_aux, b.patterns, b.items,
     )
 

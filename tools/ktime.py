@@ -23,6 +23,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=16)
     ap.add_argument("--zoom", type=int, default=15)
+    ap.add_argument("--geodata", default="assets/fixtures/minicity.bin")
     args = ap.parse_args()
 
     import numpy as np
@@ -35,7 +36,7 @@ def main():
     from osm_renderer_tpu.mapcss.styler import Styler
     from osm_renderer_tpu.parallel.renderer import BatchRenderer
 
-    reader = GeodataReader.load("assets/fixtures/minicity.bin")
+    reader = GeodataReader.load(args.geodata)
     styler = Styler(parse_file("assets/stylesheets", "default.mapcss"), "josm")
 
     sh = 18 - args.zoom
