@@ -27,3 +27,16 @@ REFERENCE_DIR = os.environ.get("OSMR_REFERENCE_DIR", "/root/reference")
 
 def reference_path(*parts: str) -> str:
     return os.path.join(REFERENCE_DIR, *parts)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Mark the interpret-mode device-parity modules `slow` so the
+    per-commit loop can run `pytest -m "not slow"` (~2 min) and leave
+    the full parity sweep (~25 min: Mosaic interpret + e2e goldens) to
+    pre-merge runs.  No test is skipped by default."""
+    import pytest
+
+    slow_modules = {"test_pallas", "test_drawer_e2e", "test_parallel"}
+    for item in items:
+        if item.module.__name__.split(".")[-1] in slow_modules:
+            item.add_marker(pytest.mark.slow)
