@@ -145,7 +145,14 @@ class LabelLayer:
         self.color = np.zeros((n, n, 4), dtype=np.float64)
         self._staged: List[Tuple[slice, slice, np.ndarray, np.ndarray]] = []
 
-    def stage(self, x: int, y: int, rgba: np.ndarray, touched: np.ndarray) -> None:
+    def stage(
+        self,
+        x: int,
+        y: int,
+        rgba: np.ndarray,
+        touched: np.ndarray,
+        accumulate: bool = False,
+    ) -> None:
         """Stage a patch for the current label at tile-relative (x, y);
         out-of-canvas pixels are silently dropped (GlobalCoordsToIdx)."""
         n = 3 * self.ts
@@ -161,19 +168,46 @@ class LabelLayer:
                 slice(gx + sx0, gx + sx1),
                 rgba[sy0:sy1, sx0:sx1],
                 touched[sy0:sy1, sx0:sx1],
+                accumulate,
             )
         )
 
     def commit_label(self) -> bool:
         """Commit the staged label unless any touched pixel collides
-        with an earlier successful label."""
+        with an earlier successful label.
+
+        `accumulate` patches (text glyphs) SUM their premultiplied
+        coverage and are then clipped to alpha 1 — glyphs of one label
+        share a color, so this reproduces the exact path's shared
+        stripe map (`GlyphRasterizer`: min(sum, 1)) where rotated glyph
+        boxes overlap; non-accumulating patches (icons) overwrite."""
         staged, self._staged = self._staged, []
-        for ys, xs, _, touched in staged:
+        for ys, xs, _, touched, _ in staged:
             if np.any(self.occ[ys, xs] & touched):
                 return False
-        for ys, xs, rgba, touched in staged:
+        acc_boxes = []
+        for ys, xs, rgba, touched, acc in staged:
             self.occ[ys, xs] |= touched
-            self.color[ys, xs] = np.where(touched[..., None], rgba, self.color[ys, xs])
+            if acc:
+                self.color[ys, xs] += rgba
+                acc_boxes.append((ys, xs))
+            else:
+                self.color[ys, xs] = np.where(
+                    touched[..., None], rgba, self.color[ys, xs]
+                )
+        if acc_boxes:
+            y0 = min(b[0].start for b in acc_boxes)
+            y1 = max(b[0].stop for b in acc_boxes)
+            x0 = min(b[1].start for b in acc_boxes)
+            x1 = max(b[1].stop for b in acc_boxes)
+            region = self.color[y0:y1, x0:x1]
+            a = region[..., 3]
+            over = a > 1.0
+            if np.any(over):
+                # Collision keeps this label's pixels disjoint from all
+                # committed ones, so only its own sums can exceed 1.
+                f = np.where(over, 1.0 / np.maximum(a, 1e-12), 1.0)
+                region *= f[..., None]
         return True
 
     def abort_label(self) -> None:

@@ -11,6 +11,7 @@ Mirrors `labeler.rs` + the label part of `drawer.rs:221-262`:
 
 from __future__ import annotations
 
+import threading
 from collections import OrderedDict
 from typing import Optional
 
@@ -45,6 +46,7 @@ class Labeler:
         # clients re-request the same tiles constantly).
         self.label_cache_tiles = label_cache_tiles
         self._layer_cache = OrderedDict()
+        self._layer_lock = threading.RLock()  # server threads share this cache
 
     # -- per-entity --
 
@@ -155,7 +157,7 @@ class Labeler:
                     rgba[..., 1] = (g / 255.0) * patch
                     rgba[..., 2] = (b / 255.0) * patch
                     rgba[..., 3] = patch
-                    layer.stage(px, py, rgba, patch > 0.0)
+                    layer.stage(px, py, rgba, patch > 0.0, accumulate=True)
         layer.commit_label()
 
     def _label_layer_atlas(
@@ -184,7 +186,8 @@ class Labeler:
         return layer.export_center()
 
     def has_cached_layer(self, tile: Tile, ts: int) -> bool:
-        return (tile.zoom, tile.x, tile.y, ts) in self._layer_cache
+        with self._layer_lock:
+            return (tile.zoom, tile.x, tile.y, ts) in self._layer_cache
 
     def composite_labels(
         self, base_rgb: np.ndarray, entities, tile: Tile, scale: float, styler: Styler
@@ -201,15 +204,17 @@ class Labeler:
             key = (tile.zoom, tile.x, tile.y, ts)
             layer = None
             if self.label_cache_tiles:
-                layer = self._layer_cache.get(key)
-                if layer is not None:
-                    self._layer_cache.move_to_end(key)
+                with self._layer_lock:
+                    layer = self._layer_cache.get(key)
+                    if layer is not None:
+                        self._layer_cache.move_to_end(key)
             if layer is None:
                 layer = self._label_layer_atlas(entities, tile, scale, styler, ts)
                 if self.label_cache_tiles:
-                    self._layer_cache[key] = layer
-                    while len(self._layer_cache) > self.label_cache_tiles:
-                        self._layer_cache.popitem(last=False)
+                    with self._layer_lock:
+                        self._layer_cache[key] = layer
+                        while len(self._layer_cache) > self.label_cache_tiles:
+                            self._layer_cache.popitem(last=False)
         else:
             scale_i = ts // 256
             # Native tile buffers are expensive to allocate; reuse per

@@ -141,6 +141,19 @@ def pack_prims(prims: List[object], capacity: int) -> List[List[object]]:
             and p.half_width > CHAIN_EXACT_HALF_WIDTH
         ):
             p._coord_oob = True  # exact f64 host-layer path
+        if (
+            isinstance(p, StrokePrim)
+            and p.dashes
+            and p.raw_pairs is not None
+            and p.raw_pairs.size
+            and int(np.abs(p.raw_pairs).max()) >= FAST_COORD_BOUND
+        ):
+            # Dash phases depend on arc length over the WHOLE polyline;
+            # the view cull can leave only small-coordinate segments of
+            # a far-reaching way, whose f32 `traveled` would lose the
+            # byte-exactness the coordinate bound guards.  Route by the
+            # raw (pre-cull) extent, as before the cull existed.
+            p._coord_oob = True
     groups: List[List[object]] = []
     i = 0
     n = len(prims)

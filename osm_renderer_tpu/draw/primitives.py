@@ -527,9 +527,17 @@ class PatternTable:
         return len(self.tiles) - 1
 
     def array(self) -> np.ndarray:
+        """Stacked (N, 4, ts, ts) planes, cached per table version — a
+        persistent serving table would otherwise re-stack tens of MB on
+        every warm batch."""
         if not self.tiles:
             return np.zeros((1, 4, self.ts, self.ts), dtype=np.float32)
-        return np.stack(self.tiles)
+        cached = getattr(self, "_stack_cache", None)
+        if cached is not None and cached[0] == len(self.tiles):
+            return cached[1]
+        out = np.stack(self.tiles)
+        self._stack_cache = (len(self.tiles), out)
+        return out
 
 
 @dataclass

@@ -520,10 +520,13 @@ def concat_pallas_batch(
         return out
 
     # Work items: per-tile IT widths differ; right-pad every tile's
-    # items to the batch maximum, 128-aligned (Mosaic lane tiling),
-    # dead items are -1.
+    # items to the batch maximum.  Bucket to powers of two (min 256) so
+    # serving sees a handful of jit signatures, not one per distinct
+    # width — each Mosaic compile costs minutes on some hosts.  Padding
+    # beyond isec[7] is never read by the kernel, so wider buckets cost
+    # only the (DMA-ed, tiny) dead lanes.
     IT = max(c.items.shape[2] for c in tile_chunks)
-    IT = -(-IT // 128) * 128
+    IT = max(256, 1 << (IT - 1).bit_length())
     item_parts = [
         c.items
         if c.items.shape[2] == IT

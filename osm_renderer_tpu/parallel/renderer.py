@@ -12,6 +12,7 @@ communication; optionally the pixel-row axis can be sharded too
 
 from __future__ import annotations
 
+import threading
 from collections import OrderedDict
 from typing import List, NamedTuple, Optional, Sequence, Tuple
 
@@ -78,6 +79,9 @@ class BatchRenderer:
         # per scale while the cache is on.
         self.chunk_cache_tiles = chunk_cache_tiles
         self._chunk_cache: "OrderedDict" = OrderedDict()
+        # The server handles requests from multiple threads; OrderedDict
+        # mutation is not thread-safe.
+        self._cache_lock = threading.RLock()
         self._persist_tables: dict = {}   # scale -> (ProfileTable, PatternTable)
         self._patterns_dev: dict = {}     # scale -> (n_tiles_in_table, jax.Array)
         self._empty_chunks: dict = {}     # ts -> TileChunks (PAD-only)
@@ -161,12 +165,14 @@ class BatchRenderer:
         return got
 
     def has_cached_chunks(self, tile: Tile, scale: int) -> bool:
-        return (tile.zoom, tile.x, tile.y, scale) in self._chunk_cache
+        with self._cache_lock:
+            return (tile.zoom, tile.x, tile.y, scale) in self._chunk_cache
 
     def cache_clear(self) -> None:
-        self._chunk_cache.clear()
-        self._persist_tables.clear()
-        self._patterns_dev.clear()
+        with self._cache_lock:
+            self._chunk_cache.clear()
+            self._persist_tables.clear()
+            self._patterns_dev.clear()
 
     # Host-rasterized layers (out-of-bound prims) accumulate in a
     # persistent pattern table as their tiles churn through the cache;
@@ -184,9 +190,11 @@ class BatchRenderer:
         for idx, (entities, tile) in enumerate(tiles_entities):
             key = (tile.zoom, tile.x, tile.y, scale)
             if cache_on:
-                hit = self._chunk_cache.get(key)
+                with self._cache_lock:
+                    hit = self._chunk_cache.get(key)
+                    if hit is not None:
+                        self._chunk_cache.move_to_end(key)
                 if hit is not None:
-                    self._chunk_cache.move_to_end(key)
                     chunks, has_icon_fills = hit
                     if has_icon_fills:
                         fallback.append(idx)
@@ -201,11 +209,19 @@ class BatchRenderer:
             if stream.has_icon_fills:
                 fallback.append(idx)
             if cache_on:
-                self._chunk_cache[key] = (chunks, stream.has_icon_fills)
-                while len(self._chunk_cache) > self.chunk_cache_tiles:
-                    self._chunk_cache.popitem(last=False)
+                with self._cache_lock:
+                    self._chunk_cache[key] = (chunks, stream.has_icon_fills)
+                    while len(self._chunk_cache) > self.chunk_cache_tiles:
+                        self._chunk_cache.popitem(last=False)
                 if len(patterns.tiles) > self.MAX_PERSISTED_PATTERNS:
+                    # The rest of this batch keeps rendering with the
+                    # (still-consistent) local tables, but nothing more
+                    # may enter the cache: entries built against the
+                    # discarded tables would pair with the fresh
+                    # ProfileTable/PatternTable of the next batch and
+                    # dereference stale profile/pattern indices.
                     self.cache_clear()
+                    cache_on = False
             tile_chunks.append(chunks)
         n_tiles = len(tiles_entities)
         if self.tile_bucket:

@@ -195,18 +195,17 @@ class TileService:
         results = [
             (idxs, self.batch_renderer.render_prepared(p)) for idxs, p in staged
         ]
-        import time as _t2
-        t0 = _t2.perf_counter()
+        t0 = _time.perf_counter()
         jax.block_until_ready([r for _, r in results])
-        exec_dt = _t2.perf_counter() - t0
-        t0 = _t2.perf_counter()
+        exec_dt = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
         ts = 256 * scale
         rgb = np.empty((n_tiles, ts, ts, 3), dtype=np.uint8)
         for idxs, arr in results:
             a = np.asarray(arr)
             for j, i in enumerate(idxs):
                 rgb[i] = a[j]
-        d2h_dt = _t2.perf_counter() - t0
+        d2h_dt = _time.perf_counter() - t0
         return rgb, needs_cpu, prep_dt, exec_dt, d2h_dt
 
     def render_tiles_device(self, requests: List[Tuple[Tile, int]]) -> List[bytes]:
@@ -284,6 +283,18 @@ class TileService:
                     else:
                         img = rgb[gi]
                         if self.labeler is not None:
+                            if entities is None and not self.labeler.has_cached_layer(
+                                t, 256 * scale
+                            ):
+                                # The layer was evicted between the
+                                # _need_entities check and now (earlier
+                                # tiles of this batch inserted layers);
+                                # re-fetch rather than crash.
+                                entities = (
+                                    self.reader.get_entities_in_tile_with_neighbors(
+                                        t, self.osm_ids
+                                    )
+                                )
                             img = self.labeler.composite_labels(
                                 img, entities, t, float(scale), self.styler
                             )
