@@ -1369,7 +1369,13 @@ def make_render_kernel(ts: int):
 
                         return
 
-                    # thin general path: full dead-start machinery
+                    # thin general path: full dead-start machinery.
+                    # The band-edge pixels' alternative owner (band
+                    # T+1's backward branch) is folded into the main
+                    # mask: alpha is owner-independent, so
+                    # emit(ok_T | ok_N) == the two-pass fmax, one RMW
+                    # cheaper and without an any()-reduce branch (edge
+                    # columns occur in most short-segment groups).
                     bc = jnp.clip(T_band, 0, hK)
                     k, c, rc, g, rg = invert(bc)
                     h_k = k + g
@@ -1381,30 +1387,26 @@ def make_render_kernel(ts: int):
                     dn_T = (MN - s_mn_T) * mn_i
                     ok_T = in_slab & alive_at(s_mn_T, s_mx_T)
                     ok_Tf = ok_T & ((~edge_band) | (dn_T >= 0))
-                    visited = in_line & ok_Tf
-                    emit(visited)
 
-                    @pl.when(jnp.any(edge_band & in_line & ~visited))
-                    def _edge_band_owner():
-                        bc2 = jnp.clip(T_band + 1, 0, hK)
-                        nxt = step_up(k, c, rc, g, rg)
-                        take2 = (k < K) & (nxt[0] + nxt[3] <= bc2)
-                        k2 = jnp.where(take2, nxt[0], k)
-                        c2 = jnp.where(take2, nxt[1], c)
-                        g2 = jnp.where(take2, nxt[3], g)
-                        is_gap2 = (k2 + g2) != bc2
-                        c_sel2 = jnp.where(is_gap2, c2 + 1, c2)
-                        s_mn_N = mn0 + mn_i * c_sel2
-                        s_mx_N = mx0 + mx_i * k2
-                        dn_N = (MN - s_mn_N) * mn_i
-                        ok_N = (
-                            edge_band
-                            & (A + 1 >= 0)
-                            & (T_band + 1 <= hK)
-                            & (dn_N <= 0)
-                            & alive_at(s_mn_N, s_mx_N)
-                        )
-                        emit(in_line & ok_N)
+                    bc2 = jnp.clip(T_band + 1, 0, hK)
+                    nxt = step_up(k, c, rc, g, rg)
+                    take2 = (k < K) & (nxt[0] + nxt[3] <= bc2)
+                    k2 = jnp.where(take2, nxt[0], k)
+                    c2 = jnp.where(take2, nxt[1], c)
+                    g2 = jnp.where(take2, nxt[3], g)
+                    is_gap2 = (k2 + g2) != bc2
+                    c_sel2 = jnp.where(is_gap2, c2 + 1, c2)
+                    s_mn_N = mn0 + mn_i * c_sel2
+                    s_mx_N = mx0 + mx_i * k2
+                    dn_N = (MN - s_mn_N) * mn_i
+                    ok_N = (
+                        edge_band
+                        & (A + 1 >= 0)
+                        & (T_band + 1 <= hK)
+                        & (dn_N <= 0)
+                        & alive_at(s_mn_N, s_mx_N)
+                    )
+                    emit(in_line & (ok_Tf | ok_N))
 
                 def do_section(slot, col0, general):
                     if slot > 0:
