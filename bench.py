@@ -119,7 +119,7 @@ def main():
     prepared = dev.prepare(tiles_entities, scale=1)
     assembly_warm_dt = time.perf_counter() - t0
 
-    out = dev.render_prepared(prepared)  # compile + first run
+    out = dev.render_prepared_planar(prepared)  # compile + first run
     out.block_until_ready()
 
     # The device runtime may memoize executions with identical input
@@ -135,7 +135,7 @@ def main():
     jax.block_until_ready([p.batch.color for p in preps])
 
     t0 = time.perf_counter()
-    outs = [dev.render_prepared(p) for p in preps]
+    outs = [dev.render_prepared_planar(p) for p in preps]
     jax.block_until_ready(outs)
     dev_dt = (time.perf_counter() - t0) / reps
     dev_tps = n_tiles / dev_dt
@@ -151,7 +151,7 @@ def main():
     ]
     big_n = len(big_te)
     big_prep = dev.prepare(big_te, scale=1)
-    dev.render_prepared(big_prep).block_until_ready()
+    dev.render_prepared_planar(big_prep).block_until_ready()
     big_preps = []
     for i in range(reps):
         color = np.asarray(big_prep.batch.color) * (1.0 - 1e-4 * (i + 1))
@@ -162,15 +162,16 @@ def main():
         )
     jax.block_until_ready([p.batch.color for p in big_preps])
     t0 = time.perf_counter()
-    outs = [dev.render_prepared(p) for p in big_preps]
+    outs = [dev.render_prepared_planar(p) for p in big_preps]
     jax.block_until_ready(outs)
     big_dt = (time.perf_counter() - t0) / reps
     big_tps = big_n / big_dt
 
     # --- PNG encode (host, native libdeflate path) ---
     from osm_renderer_tpu.draw.png_writer import rgb_to_png
+    from osm_renderer_tpu.ops.render_pallas import planar_to_rgb
 
-    imgs = np.asarray(out)
+    imgs = planar_to_rgb(np.asarray(out))
     t0 = time.perf_counter()
     png_bytes = [rgb_to_png(imgs[i], 1) for i in range(n_tiles)]
     png_dt = time.perf_counter() - t0
@@ -182,8 +183,9 @@ def main():
     # batch N against the (async-dispatched) render of batch N+1, so
     # throughput is the max of the stages, not their sum.
     def e2e_pipelined(n_batches: int, fetch_entities: bool, labeler=None):
-        def encode(te, rendered):
-            rgb = np.asarray(rendered)
+        def encode(te, res):
+            # Compressed readback: only the RLE wire crosses the tunnel.
+            rgb = dev.fetch_rgb_rle(res)
             pngs = []
             for i, (ents, t) in enumerate(te):
                 img = rgb[i]
@@ -206,9 +208,9 @@ def main():
                 for t in tiles
             ]
             p = dev.prepare(te, scale=1)
-            r = dev.render_prepared(p)  # async dispatch
+            r = dev.render_prepared_rle(p)  # async dispatch
             try:
-                r.copy_to_host_async()
+                r.wire.copy_to_host_async()
             except Exception:
                 pass
             if inflight is not None:
@@ -217,6 +219,11 @@ def main():
         encode(*inflight)
         dt = time.perf_counter() - t0
         return n_batches * n_tiles / dt
+
+    # Pre-warm the RLE encode jit + adaptive wire cap so the cold e2e
+    # number measures serving work, not one-time compiles.
+    dev.fetch_rgb_rle(dev.render_prepared_rle(prepared))
+    dev.fetch_rgb_rle(dev.render_prepared_rle(prepared))
 
     # Cold: empty cache, full assembly per tile (one batch, no overlap).
     dev.cache_clear()
@@ -246,7 +253,7 @@ def main():
             zprep = dev.prepare(zte, 1)
         except ValueError:
             continue
-        zout = dev.render_prepared(zprep)
+        zout = dev.render_prepared_planar(zprep)
         zout.block_until_ready()
         zreps = 4
         zpreps = []
@@ -257,7 +264,7 @@ def main():
             )
         jax.block_until_ready([p.batch.color for p in zpreps])
         t0 = time.perf_counter()
-        zouts = [dev.render_prepared(p) for p in zpreps]
+        zouts = [dev.render_prepared_planar(p) for p in zpreps]
         jax.block_until_ready(zouts)
         zdt = (time.perf_counter() - t0) / zreps
         pyramid[f"z{zoom}"] = round(len(zte) / zdt, 1)

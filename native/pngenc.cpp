@@ -36,6 +36,57 @@ size_t write_chunk(uint8_t* out, const char tag[4], const uint8_t* payload,
 
 extern "C" {
 
+// Decode a device-produced run-length tile (ops/rle.py encoding:
+// packed 0x00RRGGBB values + per-run length-1, row-major over h*w
+// pixels) into an interleaved RGB8 buffer.  Returns 1 on success, 0 if
+// the runs don't cover exactly h*w pixels.
+int32_t osmr_rle_decode(const int32_t* vals, const int32_t* lens,
+                        int32_t n_runs, int32_t h, int32_t w,
+                        uint8_t* out_rgb) {
+  const int64_t total = int64_t(h) * w;
+  int64_t pos = 0;
+  for (int32_t r = 0; r < n_runs; ++r) {
+    const int64_t len = int64_t(lens[r]) + 1;
+    if (pos + len > total) return 0;
+    const uint32_t v = uint32_t(vals[r]);
+    const uint8_t c0 = uint8_t(v >> 16), c1 = uint8_t(v >> 8), c2 = uint8_t(v);
+    uint8_t* p = out_rgb + pos * 3;
+    for (int64_t i = 0; i < len; ++i) {
+      p[0] = c0;
+      p[1] = c1;
+      p[2] = c2;
+      p += 3;
+    }
+    pos += len;
+  }
+  return pos == total ? 1 : 0;
+}
+
+// Decode one tile's slice of the batch-wide packed RLE stream
+// (ops/rle.py encode_batch: one int32 per run, (len-1)<<24 | 0xRRGGBB,
+// run length <= 256).  Returns 1 on success, 0 if the runs don't cover
+// exactly h*w pixels.
+int32_t osmr_rle_decode_packed(const int32_t* packed, int32_t n_runs,
+                               int32_t h, int32_t w, uint8_t* out_rgb) {
+  const int64_t total = int64_t(h) * w;
+  int64_t pos = 0;
+  for (int32_t r = 0; r < n_runs; ++r) {
+    const uint32_t pv = uint32_t(packed[r]);
+    const int64_t len = int64_t(pv >> 24) + 1;
+    if (pos + len > total) return 0;
+    const uint8_t c0 = uint8_t(pv >> 16), c1 = uint8_t(pv >> 8), c2 = uint8_t(pv);
+    uint8_t* p = out_rgb + pos * 3;
+    for (int64_t i = 0; i < len; ++i) {
+      p[0] = c0;
+      p[1] = c1;
+      p[2] = c2;
+      p += 3;
+    }
+    pos += len;
+  }
+  return pos == total ? 1 : 0;
+}
+
 // rgb: h*w*3 bytes.  out must have capacity out_cap; returns the PNG
 // size, or 0 if out_cap was too small.
 size_t osmr_png_encode(const uint8_t* rgb, int32_t h, int32_t w,

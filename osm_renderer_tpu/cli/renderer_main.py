@@ -15,7 +15,7 @@ Extra (framework-specific, optional):
     [render]
     backend = cpu          ; or device
     precision = fast       ; or exact (device backend)
-    png-level = 6          ; deflate level (1 = max throughput, 6 = smaller tiles)
+    png-level = 1          ; deflate level (1 = max throughput [default, matches the benchmarked configuration], 6 = smaller tiles)
     labels = yes
 """
 
@@ -60,7 +60,7 @@ def main(argv=None) -> int:
 
     backend = config.get("render", "backend", fallback="cpu")
     precision = config.get("render", "precision", fallback="fast")
-    png_level = int(config.get("render", "png-level", fallback="6"))
+    png_level = int(config.get("render", "png-level", fallback="1"))
     labels = config.getboolean("render", "labels", fallback=True)
 
     from osm_renderer_tpu.mapcss.parser import parse_file

@@ -27,6 +27,7 @@ _REPO_ROOT = os.path.dirname(
 _NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libosmr_pngenc.so")
 _U8P = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
+_I32P = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
 
 _native = None
 _native_failed = False
@@ -55,6 +56,15 @@ def _get_native():
                 ctypes.c_char_p, ctypes.c_size_t,
             ]
             lib.osmr_png_encode.restype = ctypes.c_size_t
+            lib.osmr_rle_decode.argtypes = [
+                _I32P, _I32P, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, _U8P,
+            ]
+            lib.osmr_rle_decode.restype = ctypes.c_int32
+            lib.osmr_rle_decode_packed.argtypes = [
+                _I32P, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, _U8P,
+            ]
+            lib.osmr_rle_decode_packed.restype = ctypes.c_int32
             _native = lib
         except Exception:
             _native_failed = True
@@ -68,6 +78,59 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
         + payload
         + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
     )
+
+
+def rle_decode(
+    vals: np.ndarray, lens: np.ndarray, n_runs: int, h: int, w: int
+) -> np.ndarray:
+    """Device RLE (ops/rle.py) -> (h, w, 3) uint8.  Native C++ loop when
+    available, numpy fallback otherwise."""
+    vals = np.ascontiguousarray(vals[:n_runs], dtype=np.int32)
+    lens = np.ascontiguousarray(lens[:n_runs], dtype=np.int32)
+    lib = _get_native()
+    if lib is not None:
+        out = np.empty((h, w, 3), np.uint8)
+        if lib.osmr_rle_decode(vals, lens, int(n_runs), h, w, out):
+            return out
+        raise ValueError("RLE runs do not cover the tile")
+    lengths = lens.astype(np.int64) + 1
+    if lengths.sum() != h * w:
+        raise ValueError("RLE runs do not cover the tile")
+    flat = np.repeat(vals, lengths)
+    out = np.empty((h * w, 3), np.uint8)
+    out[:, 0] = (flat >> 16) & 0xFF
+    out[:, 1] = (flat >> 8) & 0xFF
+    out[:, 2] = flat & 0xFF
+    return out.reshape(h, w, 3)
+
+
+def rle_decode_packed(packed: np.ndarray, h: int, w: int) -> np.ndarray:
+    """One tile's slice of the batch-wide packed run stream
+    ((len-1)<<24 | rgb int32s, ops/rle.py encode_batch) -> (h, w, 3) u8."""
+    packed = np.ascontiguousarray(packed, dtype=np.int32)
+    lib = _get_native()
+    if lib is not None:
+        out = np.empty((h, w, 3), np.uint8)
+        if lib.osmr_rle_decode_packed(packed, packed.shape[0], h, w, out):
+            return out
+        raise ValueError("packed RLE runs do not cover the tile")
+    lens = ((packed >> 24) & 0xFF).astype(np.int64) + 1
+    if lens.sum() != h * w:
+        raise ValueError("packed RLE runs do not cover the tile")
+    flat = np.repeat(packed & 0xFFFFFF, lens)
+    out = np.empty((h * w, 3), np.uint8)
+    out[:, 0] = (flat >> 16) & 0xFF
+    out[:, 1] = (flat >> 8) & 0xFF
+    out[:, 2] = flat & 0xFF
+    return out.reshape(h, w, 3)
+
+
+def rle_to_png(
+    vals: np.ndarray, lens: np.ndarray, n_runs: int, h: int, w: int,
+    compress_level: int = 6,
+) -> bytes:
+    """Device RLE -> PNG bytes (decode + encode, both native when built)."""
+    return rgb_to_png(rle_decode(vals, lens, n_runs, h, w), compress_level)
 
 
 def rgb_to_png(rgb: np.ndarray, compress_level: int = 6) -> bytes:

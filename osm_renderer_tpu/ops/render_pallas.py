@@ -1550,19 +1550,53 @@ def make_render_kernel(ts: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("ts", "n_tiles", "interpret"))
+@functools.lru_cache(maxsize=64)
+def _render_jit(ts: int, T: int, interpret: bool):
+    """One cached jitted callable per (tile size, batch tiles, interpret).
+
+    The scalar-prefetch preamble, the pallas_call, and the planar u8
+    output compile into ONE executable; shape changes (chunk-total /
+    item-width buckets) retrace under jit and cache — buckets keep the
+    signature count small.
+    """
+    kernel = make_render_kernel(ts)
+
+    def run(b, canvas_rgb):
+        return _render_body(kernel, b, canvas_rgb, ts, T, interpret)
+
+    return jax.jit(run)
+
+
 def render_batch_pallas(batch_arrays, canvas_rgb, ts: int, n_tiles: int, interpret: bool = False):
     """batch_arrays: PallasBatch (jnp leaves). -> (T, ts, ts, 3) uint8."""
-    b = batch_arrays
+    out = render_batch_pallas_planar(batch_arrays, canvas_rgb, ts, n_tiles, interpret)
+    # Interleaved device-side view for compatibility; serving paths use
+    # the planar output + host transpose (planar u8 reads back ~2x
+    # faster over the tunnel than a (..., 3)-minor layout).
+    return out[:, :3].transpose(0, 2, 3, 1)
+
+
+def render_batch_pallas_planar(
+    batch_arrays, canvas_rgb, ts: int, n_tiles: int, interpret: bool = False
+):
+    """-> (T, 4, ts, ts) uint8 (planar; channel 3 is dead padding)."""
+    return _render_jit(ts, int(n_tiles), bool(interpret))(batch_arrays, canvas_rgb)
+
+
+def planar_to_rgb(planar: np.ndarray) -> np.ndarray:
+    """(T, 4, ts, ts) u8 host array -> contiguous (T, ts, ts, 3)."""
+    return np.ascontiguousarray(planar[:, :3].transpose(0, 2, 3, 1))
+
+
+
+
+def _render_body(kernel, b, canvas_rgb, ts: int, T: int, interpret: bool):
     Ctot = b.kind.shape[0]
-    T = n_tiles
 
     prof_flat = b.profiles.reshape(-1).astype(jnp.float32)
     prof_total = b.profile_total.astype(jnp.float32)
     canvas = canvas_rgb.astype(jnp.float32)
     f32 = lambda a: a.astype(jnp.float32)
-
-    kernel = make_render_kernel(ts)
 
     # Grid steps process GROUP chunks each (concat_pallas_batch pads so
     # Ctot % GROUP == 0, no step straddles tiles, and at most one
@@ -1652,6 +1686,6 @@ def render_batch_pallas(batch_arrays, canvas_rgb, ts: int, n_tiles: int, interpr
         b.geom, b.traveled, b.seg_prof, b.seg_aux, b.patterns, b.items,
     )
 
-    # Premultiply-divide + u8 happen in-kernel (_finalize); only the
-    # planar -> interleaved transpose remains here.
-    return out[:, :3].transpose(0, 2, 3, 1)
+    # Premultiply-divide + u8 happen in-kernel (_finalize); output stays
+    # planar (readback-layout friendly) — interleave on host if needed.
+    return out

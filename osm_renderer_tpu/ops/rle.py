@@ -1,0 +1,221 @@
+"""Device-side run-length encoding of rendered tile batches.
+
+Warm serving on a tunnel-attached host is readback-bound: the d2h link
+moves ~25-50 MB/s with ~30 ms fixed latency, so shipping raw 256x256x3
+tiles caps the whole server near 100 tiles/s no matter how fast the
+kernel is.  Map tiles are dominated by flat fills (background, water,
+building interiors), so a packed-RGB run-length encoding shrinks the
+transfer 5-20x.  The encode runs on-device as plain XLA (cumsum +
+vectorized binary search — no scatter, which TPUs serialize), fused
+into the same jit as the render kernel's output when used via
+`encode_planar`; the decode is a trivial host loop (native C++ via
+`draw/png_writer.rle_decode`, numpy fallback here).
+
+Encoding: per tile, row-major scan of packed 0x00RRGGBB pixels.
+  vals[t, r]  = packed color of run r            (int32)
+  lens[t, r]  = run length - 1                   (int32)
+  n_runs[t]   = number of runs (may exceed RCAP: tile then needs the
+                raw-readback fallback — the host checks).
+Runs beyond n_runs are zero-padded.  RCAP is a static shape: callers
+bucket it from cached per-tile run counts (serving) or use a default.
+
+Parity: the encoding is lossless (exact u8 round-trip) — verified in
+tests/test_rle.py against the raw planar output.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def pack_rgb(planar_u8: jax.Array) -> jax.Array:
+    """(T, 4, ts, ts) u8 -> (T, ts*ts) i32 packed 0x00RRGGBB, row-major."""
+    T = planar_u8.shape[0]
+    ts = planar_u8.shape[2]
+    p = planar_u8.astype(jnp.int32)
+    v = (p[:, 0] << 16) | (p[:, 1] << 8) | p[:, 2]
+    return v.reshape(T, ts * ts)
+
+
+def encode_packed(v: jax.Array, rcap: int):
+    """(T, N) i32 packed pixels -> (vals (T,rcap) i32, lens (T,rcap) i32,
+    n_runs (T,) i32).  lens holds length-1; padding is 0."""
+    T, N = v.shape
+    boundary = jnp.concatenate(
+        [jnp.ones((T, 1), jnp.int32), (v[:, 1:] != v[:, :-1]).astype(jnp.int32)],
+        axis=1,
+    )
+    rid = jnp.cumsum(boundary, axis=1) - 1  # (T, N) non-decreasing
+    n_runs = rid[:, -1] + 1
+    r = jnp.arange(rcap, dtype=jnp.int32)
+    # start[t, r] = first index with rid == r  (== N when r >= n_runs):
+    # vectorized binary search over the sorted rid rows.
+    starts = jax.vmap(
+        lambda row: jnp.searchsorted(row, r, side="left")
+    )(rid)
+    ends = jnp.concatenate(
+        [starts[:, 1:], jnp.full((T, 1), N, jnp.int32)], axis=1
+    )
+    live = r[None, :] < n_runs[:, None]
+    ends = jnp.where(live, ends, starts)  # dead runs -> len 0
+    vals = jnp.take_along_axis(v, jnp.minimum(starts, N - 1), axis=1)
+    vals = jnp.where(live, vals, 0)
+    lens = jnp.where(live, ends - starts - 1, 0)
+    return vals.astype(jnp.int32), lens.astype(jnp.int32), n_runs.astype(jnp.int32)
+
+
+def encode_planar(planar_u8: jax.Array, rcap: int):
+    """(T, 4, ts, ts) u8 -> (vals, lens, n_runs).  Pure jnp; jit-safe."""
+    return encode_packed(pack_rgb(planar_u8), rcap)
+
+
+@functools.lru_cache(maxsize=32)
+def _encode_jit(rcap: int):
+    return jax.jit(lambda p: encode_planar(p, rcap))
+
+
+def encode_device(planar_u8: jax.Array, rcap: int):
+    """Jitted device encode of an already-rendered planar batch."""
+    return _encode_jit(int(rcap))(planar_u8)
+
+
+def decode_numpy(vals: np.ndarray, lens: np.ndarray, n_runs: int, ts: int) -> np.ndarray:
+    """One tile: (rcap,) vals/lens + n_runs -> (ts, ts, 3) u8.
+
+    Reference decode for tests; serving uses the native C++ decode."""
+    n = int(n_runs)
+    lengths = lens[:n].astype(np.int64) + 1
+    ends = np.cumsum(lengths)
+    assert ends[-1] == ts * ts, f"runs cover {ends[-1]} != {ts*ts}"
+    flat = np.repeat(vals[:n], lengths)
+    rgb = np.empty((ts * ts, 3), np.uint8)
+    rgb[:, 0] = (flat >> 16) & 0xFF
+    rgb[:, 1] = (flat >> 8) & 0xFF
+    rgb[:, 2] = flat & 0xFF
+    return rgb.reshape(ts, ts, 3)
+
+
+def rcap_bucket(n: int, minimum: int = 1024) -> int:
+    """Static-shape bucket for run caps: pow2, floor `minimum`."""
+    return max(minimum, 1 << (max(n, 1) - 1).bit_length())
+
+
+# ---------------------------------------------------------------------------
+# Batch-wide packed encoding (the serving path).
+#
+# Per-tile run caps waste the transfer on the worst tile; the serving
+# encoder instead compacts ALL tiles' runs into one shared buffer whose
+# cap tracks the batch's *total* run count.  A boundary is forced every
+# BLOCK pixels so (a) every run length fits in 8 bits and one int32
+# carries a whole run ((len-1) << 24 | rgb), and (b) compaction is
+# two-level: a 256-lane sort per block (VPU-friendly) plus a binary
+# search over per-block offsets (a few-KB table), with no scatter and
+# no global 2M-element searches.
+# ---------------------------------------------------------------------------
+
+BLOCK = 256  # forced-boundary period; run length <= BLOCK fits the top byte
+
+
+def encode_batch(planar_u8: jax.Array, rtot: int):
+    """(T, 4, ts, ts) u8 -> (packed (rtot,) i32, n_runs_tile (T,) i32,
+    total_runs () i32).
+
+    packed[j] = (len_j - 1) << 24 | 0xRRGGBB for run j, runs ordered
+    tile-major then row-major; zeros past total_runs.  If
+    total_runs > rtot the packed content is truncated garbage — callers
+    must check and fall back to the raw planar readback."""
+    T = planar_u8.shape[0]
+    ts = planar_u8.shape[2]
+    N = ts * ts
+    TN = T * N
+    assert N % BLOCK == 0
+    v = pack_rgb(planar_u8).reshape(TN)
+    nb = TN // BLOCK
+    vb = v.reshape(nb, BLOCK)
+    lane = jnp.arange(BLOCK, dtype=jnp.int32)
+    prev = jnp.concatenate([vb[:, :1], vb[:, :-1]], axis=1)
+    boundary = (vb != prev) | (lane == 0)[None, :]
+    k_b = boundary.sum(axis=1).astype(jnp.int32)          # runs per block (>= 1)
+    csum = jnp.cumsum(k_b)
+    offsets = csum - k_b                                  # exclusive prefix
+    total_runs = csum[-1]
+
+    # Within-block compaction: boundary lanes sort to the front.
+    keys = jnp.where(boundary, lane, BLOCK + lane)
+    sorted_lanes = jax.lax.sort(keys, dimension=1)        # (nb, BLOCK)
+
+    j = jnp.arange(rtot, dtype=jnp.int32)
+    live = j < total_runs
+    # offsets is strictly increasing (k_b >= 1), so run j lives in block
+    # b with offsets[b] <= j < offsets[b] + k_b.
+    b = jnp.clip(jnp.searchsorted(offsets, j, side="right") - 1, 0, nb - 1)
+    within = jnp.clip(j - offsets[b], 0, BLOCK - 1)
+    lane_of = sorted_lanes[b, within]
+    start = jnp.where(live, b * BLOCK + lane_of, TN)
+    end = jnp.concatenate([start[1:], jnp.full((1,), TN, jnp.int32)])
+    end = jnp.where(live, jnp.minimum(end, (b + 1) * BLOCK), start)
+    length = jnp.where(live, end - start, 1)
+    vals = v[jnp.minimum(start, TN - 1)]
+    packed = jnp.where(live, ((length - 1) << 24) | (vals & 0xFFFFFF), 0)
+    n_runs_tile = k_b.reshape(T, N // BLOCK).sum(axis=1)
+    return packed, n_runs_tile, total_runs
+
+
+def encode_batch_wire(planar_u8: jax.Array, rtot: int) -> jax.Array:
+    """encode_batch flattened into ONE transfer-ready array:
+    [T, total_runs, n_runs_tile[0..T), packed[0..rtot)]  (i32).
+    A single d2h fetch avoids paying the tunnel's per-transfer latency
+    three times."""
+    packed, n_runs_tile, total_runs = encode_batch(planar_u8, rtot)
+    T = planar_u8.shape[0]
+    head = jnp.concatenate(
+        [
+            jnp.full((1,), T, jnp.int32),
+            total_runs[None].astype(jnp.int32),
+            n_runs_tile,
+        ]
+    )
+    return jnp.concatenate([head, packed])
+
+
+@functools.lru_cache(maxsize=64)
+def _encode_wire_jit(rtot: int):
+    return jax.jit(lambda p: encode_batch_wire(p, rtot))
+
+
+def encode_wire_device(planar_u8: jax.Array, rtot: int) -> jax.Array:
+    """Jitted wire encode of an already-rendered planar batch."""
+    return _encode_wire_jit(int(rtot))(planar_u8)
+
+
+def decode_wire_numpy(wire: np.ndarray, ts: int):
+    """Wire buffer -> (list of (ts, ts, 3) u8 tiles) or None on overflow.
+
+    Reference decode for tests; serving decodes per tile natively."""
+    T = int(wire[0])
+    total = int(wire[1])
+    n_runs = wire[2 : 2 + T]
+    packed = wire[2 + T :]
+    if total > packed.shape[0]:
+        return None
+    out = []
+    pos = 0
+    for t in range(T):
+        n = int(n_runs[t])
+        runs = packed[pos : pos + n]
+        pos += n
+        lens = ((runs >> 24) & 0xFF).astype(np.int64) + 1
+        vals = runs & 0xFFFFFF
+        flat = np.repeat(vals, lens)
+        assert flat.shape[0] == ts * ts
+        rgb = np.empty((ts * ts, 3), np.uint8)
+        rgb[:, 0] = (flat >> 16) & 0xFF
+        rgb[:, 1] = (flat >> 8) & 0xFF
+        rgb[:, 2] = flat & 0xFF
+        out.append(rgb.reshape(ts, ts, 3))
+    return out

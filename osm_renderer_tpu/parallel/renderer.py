@@ -31,6 +31,20 @@ from osm_renderer_tpu.ops.render_jnp import TileBatch, render_batch
 from osm_renderer_tpu.draw.primitives import FAST_COORD_BOUND  # noqa: F401 (re-export)
 
 
+class RleRendered(NamedTuple):
+    """A rendered batch with device-side RLE readback (warm-serving path).
+
+    `planar` stays device-resident; only the packed `wire` buffer
+    (ops/rle.py encode_batch_wire — one int32 per run, batch-wide)
+    crosses the slow tunnel d2h link.  If the batch's total run count
+    overflows the wire capacity, the caller falls back to fetching the
+    raw planar output."""
+    planar: jax.Array   # (T, 4, ts, ts) u8, device-resident
+    wire: jax.Array     # (2 + T + rtot,) i32
+    ts: int
+    rtot: int
+
+
 class PreparedBatch(NamedTuple):
     batch: object
     canvas_rgb: jax.Array
@@ -82,6 +96,7 @@ class BatchRenderer:
         # The server handles requests from multiple threads; OrderedDict
         # mutation is not thread-safe.
         self._cache_lock = threading.RLock()
+        self._rtot_by_key: dict = {}      # (ts, T) -> adaptive RLE wire cap
         self._persist_tables: dict = {}   # scale -> (ProfileTable, PatternTable)
         self._patterns_dev: dict = {}     # scale -> (n_tiles_in_table, jax.Array)
         self._empty_chunks: dict = {}     # ts -> TileChunks (PAD-only)
@@ -297,6 +312,80 @@ class BatchRenderer:
         self, tiles_entities: Sequence[Tuple[object, Tile]], scale: int = 1
     ) -> np.ndarray:
         return np.asarray(self.render_prepared(self.prepare(tiles_entities, scale)))
+
+    def render_prepared_planar(self, prepared: PreparedBatch) -> jax.Array:
+        """Pallas backend: (T, 4, ts, ts) u8 without the device-side
+        interleave (the kernel's native output layout)."""
+        assert prepared.precision == "pallas"
+        from osm_renderer_tpu.ops.render_pallas import render_batch_pallas_planar
+
+        return render_batch_pallas_planar(
+            prepared.batch, prepared.canvas_rgb, prepared.ts,
+            prepared.chunk, self.interpret,
+        )
+
+    def _pick_rtot(self, ts: int, T: int) -> int:
+        """Wire capacity (total runs) for a (tile-size, batch-size)
+        signature: adapted from the last observed total, generous cold
+        default (overflow costs one raw-planar batch fetch)."""
+        from osm_renderer_tpu.ops.render_pallas import next_bucket
+
+        got = self._rtot_by_key.get((ts, T))
+        if got is not None:
+            return got
+        return next_bucket(T * 12 * 1024, 4096)
+
+    def _note_total_runs(self, ts: int, T: int, total: int) -> None:
+        from osm_renderer_tpu.ops.render_pallas import next_bucket
+
+        self._rtot_by_key[(ts, T)] = next_bucket(
+            max(int(total * 1.25), T * 1024), 4096
+        )
+
+    def render_prepared_rle(
+        self, prepared: PreparedBatch, rtot: Optional[int] = None
+    ) -> RleRendered:
+        """Pallas backend only: render, then RLE-encode on device.
+
+        Two launches (render kernel, encode graph) — kept as separate
+        jits so adapting the wire capacity never re-triggers a Mosaic
+        kernel compile."""
+        assert prepared.precision == "pallas"
+        from osm_renderer_tpu.ops import rle as rle_mod
+
+        T = prepared.chunk  # n_tiles (pallas)
+        planar = self.render_prepared_planar(prepared)
+        cap = int(rtot) if rtot is not None else self._pick_rtot(prepared.ts, T)
+        wire = rle_mod.encode_wire_device(planar, cap)
+        return RleRendered(planar, wire, prepared.ts, cap)
+
+    def fetch_rgb_rle(self, res: RleRendered) -> np.ndarray:
+        """Host fetch + decode of the compressed readback ->
+        (T, ts, ts, 3) u8.  Falls back to the raw planar fetch when the
+        batch overflowed the wire capacity (and grows the next cap)."""
+        from osm_renderer_tpu.draw.png_writer import rle_decode_packed
+        from osm_renderer_tpu.ops.render_pallas import planar_to_rgb
+
+        wire = np.asarray(res.wire)
+        T = int(wire[0])
+        total = int(wire[1])
+        self._note_total_runs(res.ts, T, total)
+        if total > res.rtot:
+            return planar_to_rgb(np.asarray(res.planar))
+        n_runs = wire[2 : 2 + T]
+        packed = wire[2 + T :]
+        ts = res.ts
+        out = np.empty((T, ts, ts, 3), np.uint8)
+        pos = 0
+        for i in range(T):
+            n = int(n_runs[i])
+            out[i] = rle_decode_packed(packed[pos : pos + n], ts, ts)
+            pos += n
+        return out
+
+    def render_rgb(self, prepared: PreparedBatch) -> np.ndarray:
+        """Full batch to host RGB via the compressed readback."""
+        return self.fetch_rgb_rle(self.render_prepared_rle(prepared))
 
 
 def pad_batch_to(tiles: int, prepared: PreparedBatch) -> PreparedBatch:

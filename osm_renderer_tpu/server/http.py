@@ -70,7 +70,7 @@ class TileService:
         osm_ids: Optional[Set[int]] = None,
         enable_labels: bool = True,
         precision: str = "fast",
-        png_level: int = 6,
+        png_level: int = 1,
     ):
         self.reader = GeodataReader.load(geodata_file)
         self.styler = styler
@@ -168,6 +168,18 @@ class TileService:
             # Separate device execution (dispatch -> ready) from the
             # device->host readback: genuinely different resources
             # (chip vs interconnect), reported as distinct spans.
+            if prepared.precision == "pallas":
+                # Compressed readback: the d2h link is the serving
+                # bottleneck on tunnel-attached hosts, so tiles cross it
+                # run-length encoded (see RleRendered).
+                t0 = _time.perf_counter()
+                res = self.batch_renderer.render_prepared_rle(prepared)
+                res.wire.block_until_ready()
+                exec_dt0 = _time.perf_counter() - t0
+                t0 = _time.perf_counter()
+                rgb = self.batch_renderer.fetch_rgb_rle(res)
+                d2h_dt = _time.perf_counter() - t0
+                return rgb, needs_cpu, prep_dt, exec_dt0, d2h_dt
             t0 = _time.perf_counter()
             out = self.batch_renderer.render_prepared(prepared)
             out.block_until_ready()
@@ -193,18 +205,18 @@ class TileService:
             staged.append((idxs, prep._replace(batch=batch, canvas_rgb=canvas)))
         prep_dt = _time.perf_counter() - t_prep0
         results = [
-            (idxs, self.batch_renderer.render_prepared(p)) for idxs, p in staged
+            (idxs, self.batch_renderer.render_prepared_rle(p)) for idxs, p in staged
         ]
         t0 = _time.perf_counter()
-        jax.block_until_ready([r for _, r in results])
+        jax.block_until_ready([r.wire for _, r in results])
         exec_dt = _time.perf_counter() - t0
         t0 = _time.perf_counter()
         ts = 256 * scale
         rgb = np.empty((n_tiles, ts, ts, 3), dtype=np.uint8)
-        for idxs, arr in results:
-            a = np.asarray(arr)
+        for idxs, res in results:
+            shard_rgb = self.batch_renderer.fetch_rgb_rle(res)
             for j, i in enumerate(idxs):
-                rgb[i] = a[j]
+                rgb[i] = shard_rgb[j]
         d2h_dt = _time.perf_counter() - t0
         return rgb, needs_cpu, prep_dt, exec_dt, d2h_dt
 
