@@ -238,6 +238,64 @@ def main():
     e2e_labels_tps = e2e_pipelined(1, True, labeler)
     e2e_labels_warm_tps = e2e_pipelined(2, False, labeler)
 
+    # --- @2x device batch (BASELINE config 3: AA casings, dashes,
+    # holes at 512x512) ---
+    tiles2x = tiles[:16]
+    te2x = [(reader.get_entities_in_tile_with_neighbors(t), t) for t in tiles2x]
+    at2x_tps = None
+    try:
+        p2x = dev.prepare(te2x, scale=2)
+        dev.render_prepared_planar(p2x).block_until_ready()
+        p2xs = []
+        for i in range(8):
+            color = np.asarray(p2x.batch.color) * (1.0 - 1e-4 * (i + 1))
+            p2xs.append(
+                p2x._replace(batch=p2x.batch._replace(color=jnp.asarray(color)))
+            )
+        jax.block_until_ready([p.batch.color for p in p2xs])
+        t0 = time.perf_counter()
+        outs2x = [dev.render_prepared_planar(p) for p in p2xs]
+        jax.block_until_ready(outs2x)
+        at2x_tps = len(tiles2x) / ((time.perf_counter() - t0) / 8)
+    except Exception as e:
+        print(f"@2x bench skipped: {e}", file=sys.stderr)
+
+    # --- production stylesheet (osmosnimki-minimal, MAPS.ME type):
+    # warm serving with labels at reference rule density ---
+    prod_warm_tps = None
+    try:
+        prod_dir = "tests/fixtures/mapcss"
+        prod_styler = Styler(parse_file(prod_dir, "osmosnimki-minimal.mapcss"), "mapsme")
+        prod_dev = BatchRenderer(
+            prod_styler, backend="pallas", chunk_cache_tiles=256,
+            stylesheet_dir=prod_dir,
+        )
+        prod_labeler = Labeler(icon_base_path=prod_dir, label_cache_tiles=256)
+        prod_te = [
+            (reader.get_entities_in_tile_with_neighbors(t), t) for t in tiles
+        ]
+        prod_prep = prod_dev.prepare(prod_te, scale=1)
+        prod_dev.fetch_rgb_rle(prod_dev.render_prepared_rle(prod_prep))
+        for ents, t in prod_te:
+            if not prod_labeler.has_cached_layer(t, 256):
+                prod_labeler.composite_labels(
+                    np.zeros((256, 256, 3), np.uint8), ents, t, 1.0, prod_styler
+                )
+        t0 = time.perf_counter()
+        reps_p = 3
+        for _ in range(reps_p):
+            p = prod_dev.prepare([(None, t) for t in tiles], scale=1)
+            res = prod_dev.render_prepared_rle(p)
+            rgb = prod_dev.fetch_rgb_rle(res)
+            for i, (ents, t) in enumerate(prod_te):
+                img = prod_labeler.composite_labels(
+                    rgb[i], None, t, 1.0, prod_styler
+                )
+                rgb_to_png(img, 1)
+        prod_warm_tps = reps_p * n_tiles / (time.perf_counter() - t0)
+    except Exception as e:
+        print(f"production-stylesheet bench skipped: {e}", file=sys.stderr)
+
     # Secondary config: z12-z17 pyramid sweep over the whole extract
     # (BASELINE.json configs 2/5), one batch per zoom.
     pyramid = {}
@@ -285,6 +343,12 @@ def main():
             "assembly_cold_ms_per_batch": round(assembly_cold_dt * 1e3, 2),
             "assembly_warm_ms_per_batch": round(assembly_warm_dt * 1e3, 2),
             "png_encode_tiles_per_sec_1core": round(png_tps, 1),
+            "at2x_device_tiles_per_sec": (
+                round(at2x_tps, 1) if at2x_tps else None
+            ),
+            "prod_stylesheet_warm_labels_tiles_per_sec": (
+                round(prod_warm_tps, 1) if prod_warm_tps else None
+            ),
             "e2e_tiles_per_sec": {
                 "cold": round(e2e_cold_tps, 1),
                 "warm": round(e2e_warm_tps, 1),

@@ -1,0 +1,913 @@
+// Native tile assembler: styled primitives -> device-ready chunk arrays.
+//
+// The serving path's cold cost is per-primitive Python overhead (a z15
+// city tile has ~600 primitives; pair building, view culling, packing,
+// span extraction and work-item emission each cost a few numpy calls
+// per primitive).  This module is an exact C++ transcription of that
+// pipeline — draw/primitives.py (make_stroke_prim + cull),
+// draw/packing.py (pack_prims), draw/spans.py (fill_spans_multi), and
+// ops/render_pallas.py (build_tile_chunks incl. _stroke_items and
+// _split_big_stroke_chunks) — validated by exact chunk-array equality
+// tests against the Python path (tests/test_native_assembler.py).
+//
+// Reference provenance (semantics, not code): the reference renderer's
+// drawer passes (drawer.rs:60-131), scanline fill (fill.rs:16-104) and
+// stroke expansion (line.rs:9-61) define what these chunks must paint;
+// the packing/item machinery is this framework's own TPU-side design.
+//
+// Python keeps: styling, projection, profile/pattern tables, and the
+// rare host-rasterized layer path (out-of-bound or oversize prims) —
+// those requests are returned as placeholder chunks the caller
+// replaces.
+
+#include <algorithm>
+#include <array>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int CH = 128;       // geometry slots per chunk
+constexpr int RB_F = 32;      // blend row-block height
+constexpr int RB_I = 8;       // work-item row-block height
+constexpr int IT_CAP = 2048;  // max work items per chunk
+constexpr int64_t FAST_COORD_BOUND = 12000;
+
+constexpr int KIND_FILL = 1;
+constexpr int KIND_STROKE = 2;
+constexpr int KIND_STROKE_SOLID = 3;
+constexpr int KIND_STROKE_SOLID_WIDE = 4;
+constexpr int KIND_FILL_IMAGE = 5;
+constexpr int KIND_STROKE_DASH = 7;
+constexpr int KIND_STROKE_DASH_WIDE = 8;
+constexpr int KIND_PLACEHOLDER = -2;  // layer-path request marker
+
+constexpr int LINE_CAP_ROUND = 1;
+constexpr int LINE_CAP_SQUARE = 2;
+
+inline double round_half_away(double x) {
+  return (x > 0 ? 1.0 : (x < 0 ? -1.0 : 0.0)) * std::floor(std::abs(x) + 0.5);
+}
+
+inline int64_t floor_div(int64_t x, int64_t y) {
+  int64_t q = x / y, r = x % y;
+  return (r != 0 && ((r < 0) != (y < 0))) ? q - 1 : q;
+}
+inline int64_t ceil_div(int64_t a, int64_t b) { return -floor_div(-a, b); }
+
+// ---------------------------------------------------------------------------
+// Inputs
+// ---------------------------------------------------------------------------
+
+struct Request {
+  uint8_t kind;       // 0 = fill, 1 = stroke
+  int64_t style_key;  // equal keys <=> identical style payload
+  float color[3];     // already /255
+  double opacity;
+  double hw;          // half width (strokes)
+  int32_t body_pidx, outer_pidx;  // dash-profile indices (strokes)
+  uint8_t cap;
+  uint8_t force_layer;  // python routing (round-cap > chain bound, ...)
+  int32_t pat;          // fill-image pattern index (fills; -1 plain)
+  uint8_t item_ok;      // profile chain-free (dash item eligibility)
+};
+
+// Per-request built geometry.
+struct Built {
+  // strokes: post-cap, pre-cull rows kept for nothing; post-cull below.
+  std::vector<int64_t> segs;    // (n, 4)
+  std::vector<double> trav;
+  std::vector<uint8_t> outer;
+  // fills: edge rows (n, 4)
+  std::vector<int64_t> edges;
+  // raw extent (pre-cull) for the dashed far-reach rule
+  int64_t raw_absmax = 0;
+  bool oob = false;
+  int64_t bb[4] = {0, 0, 0, 0};  // xlo, xhi, ylo, yhi (with margin)
+  bool has_bb = false;
+  // fill spans (y, lo, hi) extracted per prim
+  std::vector<int32_t> spans;
+};
+
+// One logical chunk before array emission.
+struct ChunkT {
+  int kind = 0;
+  std::vector<int64_t> geom;   // (n, 4) segs, or (n, 4) span rows (y,lo,hi,0)
+  std::vector<float> trav;     // f32 (strokes)
+  std::vector<int32_t> prof;   // per-seg profile idx
+  bool last = false;
+  float color[3] = {0, 0, 0};
+  float opacity = 1.f;
+  double hw = 0.0;
+  int32_t pat = -1;
+  int32_t placeholder_req = -1;
+};
+
+// ---------------------------------------------------------------------------
+// Stroke building: make_stroke_prims_batch + _cull_view transcription
+// ---------------------------------------------------------------------------
+
+void build_stroke(const int64_t* pairs, int64_t n, const Request& rq,
+                  int32_t view_px, Built* out) {
+  out->raw_absmax = 0;
+  for (int64_t i = 0; i < n * 4; ++i)
+    out->raw_absmax = std::max(out->raw_absmax, std::abs(pairs[i]));
+
+  const double hw = rq.hw;
+  const bool has_caps = rq.cap == LINE_CAP_ROUND || rq.cap == LINE_CAP_SQUARE;
+
+  std::vector<int64_t> segs;
+  std::vector<double> travs;
+  std::vector<uint8_t> outer;
+  segs.reserve(n * 4 + 8);
+  travs.reserve(n + 2);
+
+  double trav_before = 0.0;
+  // Match the Python batch path bit-for-bit: per-pair f64 cumsum in
+  // order, nondegenerate filter.
+  std::vector<uint8_t> nondeg(n);
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t x1 = pairs[i * 4], y1 = pairs[i * 4 + 1];
+    const int64_t x2 = pairs[i * 4 + 2], y2 = pairs[i * 4 + 3];
+    nondeg[i] = (x1 != x2) || (y1 != y2);
+    if (nondeg[i]) {
+      segs.insert(segs.end(), {x1, y1, x2, y2});
+      travs.push_back(trav_before);
+      outer.push_back(0);
+    }
+    const double dx = double(x2 - x1), dy = double(y2 - y1);
+    trav_before += std::sqrt(dx * dx + dy * dy);
+  }
+
+  if (has_caps && n) {
+    if (nondeg[0]) {
+      const int64_t p1x = pairs[0], p1y = pairs[1];
+      const int64_t p2x = pairs[2], p2y = pairs[3];
+      const double dx = double(p1x - p2x), dy = double(p1y - p2y);
+      const double dist = std::sqrt(dx * dx + dy * dy);
+      const double f = hw / dist;
+      const int64_t cex = p1x + int64_t(round_half_away(dx * f));
+      const int64_t cey = p1y + int64_t(round_half_away(dy * f));
+      if (cex != p1x || cey != p1y) {
+        segs.insert(segs.end(), {p1x, p1y, cex, cey});
+        travs.push_back(0.0);
+        outer.push_back(1);
+      }
+    }
+    if (nondeg[n - 1]) {
+      const int64_t p1x = pairs[(n - 1) * 4], p1y = pairs[(n - 1) * 4 + 1];
+      const int64_t p2x = pairs[(n - 1) * 4 + 2], p2y = pairs[(n - 1) * 4 + 3];
+      const double dx = double(p2x - p1x), dy = double(p2y - p1y);
+      const double dist = std::sqrt(dx * dx + dy * dy);
+      const double f = hw / dist;
+      const int64_t cex = p2x + int64_t(round_half_away(dx * f));
+      const int64_t cey = p2y + int64_t(round_half_away(dy * f));
+      if (cex != p2x || cey != p2y) {
+        segs.insert(segs.end(), {p2x, p2y, cex, cey});
+        travs.push_back(0.0);
+        outer.push_back(1);
+      }
+    }
+  }
+
+  // _cull_view: m = ceil(hw) + 3.
+  const int64_t m = int64_t(std::ceil(hw)) + 3;
+  const int64_t nseg = int64_t(travs.size());
+  out->segs.clear();
+  out->trav.clear();
+  out->outer.clear();
+  for (int64_t i = 0; i < nseg; ++i) {
+    const int64_t x1 = segs[i * 4], y1 = segs[i * 4 + 1];
+    const int64_t x2 = segs[i * 4 + 2], y2 = segs[i * 4 + 3];
+    const bool keep = (std::min(x1, x2) - m < view_px) &&
+                      (std::max(x1, x2) + m >= 0) &&
+                      (std::min(y1, y2) - m < view_px) &&
+                      (std::max(y1, y2) + m >= 0);
+    if (keep) {
+      out->segs.insert(out->segs.end(), {x1, y1, x2, y2});
+      out->trav.push_back(travs[i]);
+      out->outer.push_back(outer[i]);
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Fill spans: draw/spans.py closed form, per-prim
+// ---------------------------------------------------------------------------
+
+struct SpanEntry {
+  int64_t y, a, b, eid;
+};
+
+void fill_spans(const int64_t* edges, int64_t n_edges, int32_t ts,
+                std::vector<int32_t>* out_spans) {
+  out_spans->clear();
+  if (n_edges == 0) return;
+  std::vector<SpanEntry> ents;
+  ents.reserve(n_edges * 2);
+  for (int64_t e = 0; e < n_edges; ++e) {
+    const int64_t x1 = edges[e * 4], y1 = edges[e * 4 + 1];
+    const int64_t x2 = edges[e * 4 + 2], y2 = edges[e * 4 + 3];
+    const int64_t ytop = std::min(y1, y2), ybot = std::max(y1, y2);
+    const int64_t r_lo = std::max<int64_t>(ytop, 0);
+    const int64_t r_hi = std::min<int64_t>(ybot, ts - 1);
+    if (r_hi < r_lo) continue;
+    const int64_t adx = std::abs(x2 - x1), ady = std::abs(y2 - y1);
+    const int64_t ady_nz = std::max<int64_t>(ady, 1);
+    const int64_t sx = x1 < x2 ? 1 : -1;
+    const bool steep = ady > adx;
+    for (int64_t y = r_lo; y <= r_hi; ++y) {
+      const int64_t j = std::abs(y - y1);
+      // Poisoned start/end pixels (vertex double-count rule).
+      const bool pois =
+          ((y == y1) && (y1 <= y2)) || ((y == y2) && (y2 <= y1));
+      if (pois) continue;
+      int64_t a, b;
+      if (steep) {
+        const int64_t x = x1 + sx * ((2 * j * adx + ady) / (2 * ady_nz));
+        a = b = x;
+      } else {
+        int64_t i_min = ceil_div(adx * (2 * j - 1), 2 * ady_nz);
+        int64_t i_max = ceil_div(adx * (2 * j + 1), 2 * ady_nz) - 1;
+        i_min = std::min(std::max<int64_t>(i_min, 0), adx);
+        i_max = std::min(std::max<int64_t>(i_max, 0), adx);
+        const int64_t lo = x1 + sx * i_min, hi = x1 + sx * i_max;
+        a = std::min(lo, hi);
+        b = std::max(lo, hi);
+      }
+      ents.push_back({y, a, b, e});
+    }
+  }
+  // lexsort (eid, a, y): primary y, then a, then eid.
+  std::stable_sort(ents.begin(), ents.end(),
+                   [](const SpanEntry& l, const SpanEntry& r) {
+                     if (l.y != r.y) return l.y < r.y;
+                     if (l.a != r.a) return l.a < r.a;
+                     return l.eid < r.eid;
+                   });
+  const size_t n = ents.size();
+  // Pairing (mirrors fill_spans_multi's pos%2 rule): per row, entries
+  // ordered by (a, eid); even positions open a span to the next entry.
+  size_t i = 0;
+  while (i < n) {
+    size_t g_end = i;
+    while (g_end + 1 < n && ents[g_end + 1].y == ents[i].y) ++g_end;
+    for (size_t k = i; k + 1 <= g_end; k += 2) {
+      const int64_t lo = std::max<int64_t>(ents[k].a, 0);
+      const int64_t hi = std::min<int64_t>(ents[k + 1].b, ts - 1);
+      if (lo <= hi) {
+        out_spans->push_back(int32_t(ents[k].y));
+        out_spans->push_back(int32_t(lo));
+        out_spans->push_back(int32_t(hi));
+      }
+    }
+    i = g_end + 1;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Work items: ops/render_pallas.py _stroke_items transcription
+// ---------------------------------------------------------------------------
+
+int64_t stroke_item_count(const int64_t* g, int64_t n, double c_hw,
+                          int32_t ts) {
+  if (n == 0) return 0;
+  const int64_t m = int64_t(std::ceil(c_hw)) + 2;
+  int64_t tot = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t x1 = g[i * 4], y1 = g[i * 4 + 1];
+    const int64_t x2 = g[i * 4 + 2], y2 = g[i * 4 + 3];
+    if (x1 == x2 && y1 == y2) continue;
+    const int64_t ylo =
+        std::min<int64_t>(std::max<int64_t>(std::min(y1, y2) - m, 0), ts - 1);
+    const int64_t yhi =
+        std::min<int64_t>(std::max<int64_t>(std::max(y1, y2) + m, 0), ts - 1);
+    const int64_t nblk = yhi / RB_I - ylo / RB_I + 1;
+    const int64_t sxlo = std::min(x1, x2) - m, sxhi = std::max(x1, x2) + m;
+    int64_t halves = 0;
+    for (int h = 0; h < ts / 128; ++h) {
+      const int64_t c0 = int64_t(h) * 128;
+      if (sxlo < c0 + 128 && sxhi >= c0) ++halves;
+    }
+    tot += nblk * halves;
+  }
+  return tot;
+}
+
+void stroke_items(const int64_t* g, int64_t n, double c_hw, int32_t ts,
+                  std::vector<int32_t>* items, int32_t isec[8]) {
+  items->clear();
+  std::memset(isec, 0, 8 * sizeof(int32_t));
+  const int n_halves = ts / 128;
+  if (n == 0) return;
+  const int64_t m = int64_t(std::ceil(c_hw)) + 2;
+
+  // Per-segment row-block words in segment order (sg | r8 << 8), with
+  // per-word axis/x-extent attributes.
+  struct Word {
+    int32_t w;
+    bool axis;
+    int64_t sxlo, sxhi;
+  };
+  std::vector<Word> words;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t x1 = g[i * 4], y1 = g[i * 4 + 1];
+    const int64_t x2 = g[i * 4 + 2], y2 = g[i * 4 + 3];
+    if (x1 == x2 && y1 == y2) continue;
+    const int64_t ylo =
+        std::min<int64_t>(std::max<int64_t>(std::min(y1, y2) - m, 0), ts - 1);
+    const int64_t yhi =
+        std::min<int64_t>(std::max<int64_t>(std::max(y1, y2) + m, 0), ts - 1);
+    const int64_t b0 = ylo / RB_I;
+    const int64_t nblk = yhi / RB_I - b0 + 1;
+    const bool axis = (x1 == x2) || (y1 == y2);
+    const int64_t sxlo = std::min(x1, x2) - m, sxhi = std::max(x1, x2) + m;
+    for (int64_t p = 0; p < nblk; ++p)
+      words.push_back({int32_t(i | ((b0 + p) << 8)), axis, sxlo, sxhi});
+  }
+
+  int32_t end = 0;
+  for (int pass = 0; pass < 2; ++pass) {
+    const bool path_axis = pass == 0;
+    const int slot_base = path_axis ? 0 : 4;
+    for (int h = 0; h < n_halves; ++h) {
+      const int64_t c0 = int64_t(h) * 128;
+      size_t count = 0;
+      for (const Word& w : words)
+        if (w.axis == path_axis && w.sxlo < c0 + 128 && w.sxhi >= c0) {
+          items->push_back(w.w);
+          ++count;
+        }
+      const size_t pad = (4 - count % 4) % 4;
+      for (size_t p = 0; p < pad; ++p) items->push_back(-1);
+      end += int32_t(count + pad);
+      isec[slot_base + h] = end;
+    }
+    for (int h = n_halves; h < 4; ++h) isec[slot_base + h] = end;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// The per-tile pipeline
+// ---------------------------------------------------------------------------
+
+struct PackGroup {
+  std::vector<int> members;  // request indices
+};
+
+}  // namespace
+
+extern "C" {
+
+// Assemble one tile's styled primitives into chunk arrays.
+//
+// Inputs:
+//   pts (n_pts, 2) i64 projected points, indexed by refs
+//   refs (n_refs,) i64 indices into pts
+//   rings (n_rings, 2) i64: (offset, length) into refs
+//   req_* (R,): per-request metadata; req_rings (R, 2): ring off/cnt
+//   prof_chain_free (n_profiles,) u8
+// Outputs (capacity C_cap chunks, IT_CAP items each):
+//   standard TileChunks fields + placeholder_req (-1 or request index)
+// Returns the chunk count, or -1 if C_cap was too small.
+int64_t osmr_assemble_tile(
+    const int64_t* pts, const int64_t* refs, const int64_t* rings,
+    int64_t n_rings_total, int32_t n_req, const uint8_t* req_kind,
+    const int64_t* req_style_key, const double* req_color,
+    const double* req_opacity, const double* req_hw,
+    const int32_t* req_body_pidx, const int32_t* req_outer_pidx,
+    const uint8_t* req_cap, const uint8_t* req_force_layer,
+    const int32_t* req_pat, const int64_t* req_rings,
+    const uint8_t* prof_chain_free, int32_t n_profiles, int32_t ts,
+    int32_t view_px, int64_t C_cap,
+    // outputs
+    int32_t* o_geom /*C,4,CH*/, float* o_trav /*C,1,CH*/,
+    int32_t* o_sprof /*C,1,CH*/, float* o_aux /*C,4,CH*/,
+    int32_t* o_kind, int32_t* o_cnt, int32_t* o_last, int32_t* o_y0,
+    int32_t* o_nb, int32_t* o_prim_y0, int32_t* o_prim_nb,
+    float* o_color /*C,3*/, float* o_opacity, float* o_hw, int32_t* o_pat,
+    int32_t* o_items /*C,IT_CAP*/, int32_t* o_item_len,
+    int32_t* o_isec /*C,8*/, int32_t* o_placeholder) {
+  (void)n_rings_total;
+  std::vector<Request> rq(n_req);
+  std::vector<Built> built(n_req);
+
+  for (int32_t r = 0; r < n_req; ++r) {
+    Request& q = rq[r];
+    q.kind = req_kind[r];
+    q.style_key = req_style_key[r];
+    q.color[0] = float(req_color[r * 3]);
+    q.color[1] = float(req_color[r * 3 + 1]);
+    q.color[2] = float(req_color[r * 3 + 2]);
+    q.opacity = req_opacity[r];
+    q.hw = req_hw[r];
+    q.body_pidx = req_body_pidx[r];
+    q.outer_pidx = req_outer_pidx[r];
+    q.cap = req_cap[r];
+    q.force_layer = req_force_layer[r];
+    q.pat = req_pat[r];
+    bool cf = true;
+    if (q.body_pidx > 0)
+      cf = cf && (q.body_pidx < n_profiles && prof_chain_free[q.body_pidx]);
+    if (q.outer_pidx > 0)
+      cf = cf && (q.outer_pidx < n_profiles && prof_chain_free[q.outer_pidx]);
+    q.item_ok = cf ? 1 : 0;
+  }
+
+  // -- geometry building ----------------------------------------------------
+  std::vector<int64_t> scratch_pairs;
+  for (int32_t r = 0; r < n_req; ++r) {
+    const int64_t ring_off = req_rings[r * 2];
+    const int64_t ring_cnt = req_rings[r * 2 + 1];
+    Built& b = built[r];
+    if (rq[r].kind == 0) {
+      // Fill: edges are consecutive point pairs per ring.
+      for (int64_t k = 0; k < ring_cnt; ++k) {
+        const int64_t off = rings[(ring_off + k) * 2];
+        const int64_t len = rings[(ring_off + k) * 2 + 1];
+        for (int64_t i = 0; i + 1 < len; ++i) {
+          const int64_t a = refs[off + i], c = refs[off + i + 1];
+          b.edges.insert(b.edges.end(),
+                         {pts[a * 2], pts[a * 2 + 1], pts[c * 2],
+                          pts[c * 2 + 1]});
+        }
+      }
+    } else {
+      // Stroke: single polyline ring.
+      scratch_pairs.clear();
+      for (int64_t k = 0; k < ring_cnt; ++k) {
+        const int64_t off = rings[(ring_off + k) * 2];
+        const int64_t len = rings[(ring_off + k) * 2 + 1];
+        for (int64_t i = 0; i + 1 < len; ++i) {
+          const int64_t a = refs[off + i], c = refs[off + i + 1];
+          scratch_pairs.insert(scratch_pairs.end(),
+                               {pts[a * 2], pts[a * 2 + 1], pts[c * 2],
+                                pts[c * 2 + 1]});
+        }
+      }
+      build_stroke(scratch_pairs.data(), int64_t(scratch_pairs.size() / 4),
+                   rq[r], view_px, &b);
+    }
+  }
+
+  // -- bboxes + oob routing (draw/packing.py) -------------------------------
+  for (int32_t r = 0; r < n_req; ++r) {
+    Built& b = built[r];
+    const bool is_fill = rq[r].kind == 0;
+    const std::vector<int64_t>& g = is_fill ? b.edges : b.segs;
+    const int64_t n = int64_t(g.size() / 4);
+    if (n == 0) {
+      b.has_bb = false;
+    } else {
+      const int64_t margin =
+          is_fill ? 0 : int64_t(std::ceil(rq[r].hw)) + 2;
+      int64_t xlo = g[0], xhi = g[0], ylo = g[1], yhi = g[1];
+      for (int64_t i = 0; i < n; ++i) {
+        xlo = std::min({xlo, g[i * 4], g[i * 4 + 2]});
+        xhi = std::max({xhi, g[i * 4], g[i * 4 + 2]});
+        ylo = std::min({ylo, g[i * 4 + 1], g[i * 4 + 3]});
+        yhi = std::max({yhi, g[i * 4 + 1], g[i * 4 + 3]});
+      }
+      b.bb[0] = xlo - margin;
+      b.bb[1] = xhi + margin;
+      b.bb[2] = ylo - margin;
+      b.bb[3] = yhi + margin;
+      b.has_bb = true;
+      if (std::max(std::max(std::abs(b.bb[0]), std::abs(b.bb[1])),
+                   std::max(std::abs(b.bb[2]), std::abs(b.bb[3]))) >=
+          FAST_COORD_BOUND)
+        b.oob = true;
+    }
+    if (rq[r].force_layer) b.oob = true;
+    // Dashed strokes on far-reaching ways: phase exactness rule uses
+    // the RAW (pre-cull) extent.
+    if (!is_fill && rq[r].body_pidx > 0 && b.raw_absmax >= FAST_COORD_BOUND)
+      b.oob = true;
+  }
+
+  // -- fill span extraction (only prims on the device span path) -----------
+  for (int32_t r = 0; r < n_req; ++r) {
+    if (rq[r].kind == 0 && !built[r].oob && !built[r].edges.empty())
+      fill_spans(built[r].edges.data(), int64_t(built[r].edges.size() / 4),
+                 ts, &built[r].spans);
+  }
+
+  // -- packing (draw/packing.py pack_prims) ---------------------------------
+  std::vector<ChunkT> chunks;
+  auto emit_fill_group = [&](const std::vector<int>& members, int kind,
+                             int32_t pat, double op_override,
+                             bool has_override) {
+    // Concatenate members' spans, stable-sort by row, push one
+    // generation (split at CH at emission).
+    std::vector<std::array<int32_t, 3>> spans;
+    for (int m : members) {
+      const std::vector<int32_t>& s = built[m].spans;
+      for (size_t i = 0; i < s.size(); i += 3)
+        spans.push_back({s[i], s[i + 1], s[i + 2]});
+    }
+    if (spans.empty()) return;
+    std::stable_sort(spans.begin(), spans.end(),
+                     [](const std::array<int32_t, 3>& a,
+                        const std::array<int32_t, 3>& b) {
+                       return a[0] < b[0];
+                     });
+    const Request& q = rq[members[0]];
+    const size_t S = spans.size();
+    for (size_t off = 0; off < S; off += CH) {
+      const size_t end = std::min(off + size_t(CH), S);
+      ChunkT c;
+      c.kind = kind;
+      for (size_t i = off; i < end; ++i)
+        c.geom.insert(c.geom.end(), {int64_t(spans[i][0]),
+                                     int64_t(spans[i][1]),
+                                     int64_t(spans[i][2]), 0});
+      c.last = end == S;
+      c.color[0] = q.color[0];
+      c.color[1] = q.color[1];
+      c.color[2] = q.color[2];
+      c.opacity = float(has_override ? op_override : q.opacity);
+      c.hw = 0.0;
+      c.pat = pat;
+      chunks.push_back(std::move(c));
+    }
+  };
+
+  auto emit_stroke_group = [&](const std::vector<int>& members) {
+    // Concatenate members' segments into one generation, split at CH.
+    const Request& q = rq[members[0]];
+    std::vector<int64_t> segs;
+    std::vector<double> travs;
+    std::vector<int32_t> pidx;
+    for (int m : members) {
+      const Built& b = built[m];
+      const int64_t n = int64_t(b.trav.size());
+      segs.insert(segs.end(), b.segs.begin(), b.segs.end());
+      for (int64_t i = 0; i < n; ++i) {
+        travs.push_back(b.trav[i]);
+        pidx.push_back(b.outer[i] ? rq[m].outer_pidx : rq[m].body_pidx);
+      }
+    }
+    const int64_t S = int64_t(travs.size());
+    if (S == 0) return;
+    for (int64_t off = 0; off < S; off += CH) {
+      const int64_t end = std::min(off + int64_t(CH), S);
+      ChunkT c;
+      c.kind = KIND_STROKE;
+      c.geom.assign(segs.begin() + off * 4, segs.begin() + end * 4);
+      for (int64_t i = off; i < end; ++i) {
+        c.trav.push_back(float(travs[i]));
+        c.prof.push_back(pidx[i]);
+      }
+      c.last = end == S;
+      c.color[0] = q.color[0];
+      c.color[1] = q.color[1];
+      c.color[2] = q.color[2];
+      c.opacity = float(q.opacity);
+      c.hw = q.hw;
+      c.pat = -1;
+      chunks.push_back(std::move(c));
+    }
+  };
+
+  auto emit_placeholder = [&](int r) {
+    ChunkT c;
+    c.kind = KIND_PLACEHOLDER;
+    c.placeholder_req = r;
+    c.last = true;  // a host layer is its own generation
+    chunks.push_back(std::move(c));
+  };
+
+  int i = 0;
+  while (i < n_req) {
+    const int64_t key = rq[i].style_key;
+    int j = i;
+    while (j < n_req && rq[j].style_key == key) ++j;
+
+    const bool is_fill_run = rq[i].kind == 0;
+    std::vector<int> small, big;
+    for (int k = i; k < j; ++k) {
+      const int64_t len = int64_t(
+          (is_fill_run ? built[k].edges.size() : built[k].segs.size()) / 4);
+      if (built[k].oob || (is_fill_run && rq[k].pat >= 0 && built[k].oob)) {
+        big.push_back(k);
+      } else if (is_fill_run && rq[k].pat >= 0) {
+        // Icon fills: own span chunk (KIND_FILL_IMAGE), not packed.
+        big.push_back(k);
+      } else if (is_fill_run) {
+        (len > 0 ? small : big).push_back(k);
+      } else if (len <= CH) {
+        small.push_back(k);
+      } else {
+        big.push_back(k);
+      }
+    }
+
+    auto emit_big = [&](int k) {
+      if (built[k].oob) {
+        emit_placeholder(k);
+      } else if (is_fill_run && rq[k].pat >= 0) {
+        emit_fill_group({k}, KIND_FILL_IMAGE, rq[k].pat, 1.0, true);
+      } else if (is_fill_run) {
+        emit_fill_group({k}, KIND_FILL, -1, 0.0, false);
+      } else {
+        emit_stroke_group({k});
+      }
+    };
+
+    if (is_fill_run && !small.empty() && rq[i].opacity == 1.0) {
+      emit_fill_group(small, KIND_FILL, -1, 0.0, false);
+      for (int k : big) emit_big(k);
+      i = j;
+      continue;
+    }
+
+    // Spatial sort: (bb_ylo // 64, bb_xlo), stable.
+    std::vector<int> with_bb;
+    for (int k : small)
+      if (built[k].has_bb) with_bb.push_back(k);
+    std::stable_sort(with_bb.begin(), with_bb.end(), [&](int a, int b) {
+      const int64_t ka = built[a].bb[2] >= 0 ? built[a].bb[2] / 64
+                                             : (built[a].bb[2] - 63) / 64;
+      const int64_t kb = built[b].bb[2] >= 0 ? built[b].bb[2] / 64
+                                             : (built[b].bb[2] - 63) / 64;
+      if (ka != kb) return ka < kb;
+      return built[a].bb[0] < built[b].bb[0];
+    });
+
+    // First-fit pack with disjointness.
+    struct Pack {
+      std::vector<int> members;
+      int64_t count = 0;
+    };
+    std::vector<Pack> packs;
+    std::vector<std::pair<std::array<int64_t, 4>, int>> placed;  // bbox, pack
+    for (int k : with_bb) {
+      const std::array<int64_t, 4> bb = {built[k].bb[0], built[k].bb[1],
+                                         built[k].bb[2], built[k].bb[3]};
+      const int64_t cnt = int64_t(
+          (is_fill_run ? built[k].edges.size() : built[k].segs.size()) / 4);
+      std::vector<uint8_t> ok(packs.size());
+      for (size_t p = 0; p < packs.size(); ++p)
+        ok[p] = packs[p].count + cnt <= CH;
+      for (const auto& pb : placed) {
+        const std::array<int64_t, 4>& B = pb.first;
+        const bool overlap = !(bb[1] < B[0] || B[1] < bb[0] ||
+                               bb[3] < B[2] || B[3] < bb[2]);
+        if (overlap) ok[pb.second] = 0;
+      }
+      int pi = -1;
+      for (size_t p = 0; p < packs.size(); ++p)
+        if (ok[p]) {
+          pi = int(p);
+          break;
+        }
+      if (pi < 0) {
+        packs.push_back({});
+        pi = int(packs.size()) - 1;
+      }
+      packs[pi].members.push_back(k);
+      packs[pi].count += cnt;
+      placed.push_back({bb, pi});
+    }
+
+    for (const Pack& p : packs) {
+      if (is_fill_run)
+        emit_fill_group(p.members, KIND_FILL, -1, 0.0, false);
+      else
+        emit_stroke_group(p.members);
+    }
+    for (int k : big) emit_big(k);
+    i = j;
+  }
+
+  // -- _split_big_stroke_chunks (item budget) -------------------------------
+  {
+    std::vector<ChunkT> split;
+    split.reserve(chunks.size());
+    for (ChunkT& c : chunks) {
+      const int64_t n = int64_t(c.trav.size());
+      bool item_path = c.kind == KIND_STROKE && n > 0;
+      if (item_path) {
+        bool any_prof = false, all_cf = true;
+        for (int64_t s = 0; s < n; ++s) {
+          if (c.prof[s]) any_prof = true;
+          if (c.prof[s] &&
+              !(c.prof[s] < n_profiles && prof_chain_free[c.prof[s]]))
+            all_cf = false;
+        }
+        if (any_prof && !all_cf) item_path = false;
+      }
+      if (!item_path || ts > 512) {
+        split.push_back(std::move(c));
+        continue;
+      }
+      // per-seg counts
+      std::vector<int64_t> counts(n);
+      int64_t tot = 0;
+      for (int64_t s = 0; s < n; ++s) {
+        counts[s] = stroke_item_count(c.geom.data() + s * 4, 1, c.hw, ts);
+        tot += counts[s];
+      }
+      if (tot <= IT_CAP) {
+        split.push_back(std::move(c));
+        continue;
+      }
+      std::vector<int64_t> cum(n);
+      int64_t acc = 0;
+      for (int64_t s = 0; s < n; ++s) {
+        acc += counts[s];
+        cum[s] = acc;
+      }
+      int64_t start = 0;
+      while (start < n) {
+        const int64_t base = start ? cum[start - 1] : 0;
+        // searchsorted(cum, base + IT_CAP, side="right")
+        int64_t endi =
+            std::upper_bound(cum.begin(), cum.end(), base + IT_CAP) -
+            cum.begin();
+        endi = std::max(endi, start + 1);
+        const bool is_tail = endi >= n;
+        ChunkT part;
+        part.kind = c.kind;
+        part.geom.assign(c.geom.begin() + start * 4,
+                         c.geom.begin() + std::min(endi, n) * 4);
+        part.trav.assign(c.trav.begin() + start,
+                         c.trav.begin() + std::min(endi, n));
+        part.prof.assign(c.prof.begin() + start,
+                         c.prof.begin() + std::min(endi, n));
+        part.last = is_tail ? c.last : false;
+        std::memcpy(part.color, c.color, sizeof(c.color));
+        part.opacity = c.opacity;
+        part.hw = c.hw;
+        part.pat = c.pat;
+        split.push_back(std::move(part));
+        start = endi;
+      }
+    }
+    chunks = std::move(split);
+  }
+
+  // -- array emission (build_tile_chunks) -----------------------------------
+  const int64_t n_chunks = std::max<int64_t>(int64_t(chunks.size()), 1);
+  if (n_chunks > C_cap) return -1;
+
+  std::memset(o_geom, 0, size_t(n_chunks) * 4 * CH * sizeof(int32_t));
+  std::memset(o_trav, 0, size_t(n_chunks) * CH * sizeof(float));
+  std::memset(o_sprof, 0, size_t(n_chunks) * CH * sizeof(int32_t));
+  std::memset(o_aux, 0, size_t(n_chunks) * 4 * CH * sizeof(float));
+  std::memset(o_kind, 0, size_t(n_chunks) * sizeof(int32_t));
+  std::memset(o_cnt, 0, size_t(n_chunks) * sizeof(int32_t));
+  std::memset(o_last, 0, size_t(n_chunks) * sizeof(int32_t));
+  std::memset(o_y0, 0, size_t(n_chunks) * sizeof(int32_t));
+  std::memset(o_nb, 0, size_t(n_chunks) * sizeof(int32_t));
+  std::memset(o_prim_y0, 0, size_t(n_chunks) * sizeof(int32_t));
+  std::memset(o_prim_nb, 0, size_t(n_chunks) * sizeof(int32_t));
+  std::memset(o_color, 0, size_t(n_chunks) * 3 * sizeof(float));
+  std::memset(o_opacity, 0, size_t(n_chunks) * sizeof(float));
+  std::memset(o_hw, 0, size_t(n_chunks) * sizeof(float));
+  for (int64_t c = 0; c < n_chunks; ++c) o_pat[c] = -1;
+  for (int64_t c = 0; c < n_chunks * IT_CAP; ++c) o_items[c] = -1;
+  std::memset(o_item_len, 0, size_t(n_chunks) * sizeof(int32_t));
+  std::memset(o_isec, 0, size_t(n_chunks) * 8 * sizeof(int32_t));
+  for (int64_t c = 0; c < n_chunks; ++c) o_placeholder[c] = -1;
+
+  // chunk_meta: (b0, nblocks) per chunk.
+  const int64_t NC = int64_t(chunks.size());
+  std::vector<int64_t> meta_b0(NC, 0), meta_nb(NC, 0);
+  for (int64_t ci = 0; ci < NC; ++ci) {
+    const ChunkT& c = chunks[ci];
+    const int64_t n = int64_t(c.geom.size() / 4);
+    int64_t ylo = 0, yhi = 0;
+    if (c.kind == KIND_FILL || c.kind == KIND_FILL_IMAGE) {
+      if (n) {
+        ylo = yhi = c.geom[0];
+        for (int64_t s = 0; s < n; ++s) {
+          ylo = std::min(ylo, c.geom[s * 4]);
+          yhi = std::max(yhi, c.geom[s * 4]);
+        }
+      }
+    } else if (c.kind == KIND_STROKE) {
+      if (n) {
+        const int64_t m = int64_t(std::ceil(c.hw)) + 2;
+        ylo = yhi = c.geom[1];
+        for (int64_t s = 0; s < n; ++s) {
+          ylo = std::min({ylo, c.geom[s * 4 + 1], c.geom[s * 4 + 3]});
+          yhi = std::max({yhi, c.geom[s * 4 + 1], c.geom[s * 4 + 3]});
+        }
+        ylo -= m;
+        yhi += m;
+      }
+    }
+    ylo = std::max<int64_t>(std::min<int64_t>(ylo, ts - 1), 0);
+    yhi = std::max<int64_t>(std::min<int64_t>(yhi, ts - 1), 0);
+    meta_b0[ci] = ylo / RB_F;
+    meta_nb[ci] = n ? yhi / RB_F - meta_b0[ci] + 1 : 0;
+  }
+  // prim_rows on last chunks.
+  {
+    int64_t start = 0;
+    for (int64_t ci = 0; ci < NC; ++ci) {
+      if (!chunks[ci].last) continue;
+      int64_t p0 = INT64_MAX, pe = INT64_MIN;
+      for (int64_t k = start; k <= ci; ++k) {
+        if (meta_nb[k]) {
+          p0 = std::min(p0, meta_b0[k]);
+          pe = std::max(pe, meta_b0[k] + meta_nb[k]);
+        }
+      }
+      if (p0 == INT64_MAX) {
+        o_prim_y0[ci] = 0;
+        o_prim_nb[ci] = 0;
+      } else {
+        o_prim_y0[ci] = int32_t(p0);
+        o_prim_nb[ci] = int32_t(pe - p0);
+      }
+      start = ci + 1;
+    }
+  }
+
+  for (int64_t ci = 0; ci < NC; ++ci) {
+    const ChunkT& c = chunks[ci];
+    const int64_t n = int64_t(c.geom.size() / 4);
+    if (c.kind == KIND_PLACEHOLDER) {
+      o_kind[ci] = 0;  // PAD until python replaces it
+      o_placeholder[ci] = c.placeholder_req;
+      continue;
+    }
+    o_kind[ci] = c.kind;
+    o_cnt[ci] = int32_t(n);
+    o_last[ci] = c.last ? 1 : 0;
+    o_y0[ci] = int32_t(meta_b0[ci]);
+    o_nb[ci] = int32_t(meta_nb[ci]);
+    o_color[ci * 3] = c.color[0];
+    o_color[ci * 3 + 1] = c.color[1];
+    o_color[ci * 3 + 2] = c.color[2];
+    o_opacity[ci] = c.opacity;
+    o_hw[ci] = float(c.hw);
+    o_pat[ci] = c.pat;
+    int32_t* geom = o_geom + ci * 4 * CH;
+    if (n && (c.kind == KIND_FILL || c.kind == KIND_FILL_IMAGE)) {
+      for (int64_t s = 0; s < n; ++s) {
+        geom[0 * CH + s] = int32_t(c.geom[s * 4]);
+        geom[1 * CH + s] = int32_t(c.geom[s * 4 + 1]);
+        geom[2 * CH + s] = int32_t(c.geom[s * 4 + 2]);
+        geom[3 * CH + s] = int32_t(c.geom[s * 4 + 3]);
+      }
+      // Dead lanes cover nothing: no row match, empty x interval.
+      for (int64_t s = n; s < CH; ++s) {
+        geom[0 * CH + s] = -1;
+        geom[1 * CH + s] = 1;
+      }
+    } else if (n) {
+      float* trav = o_trav + ci * CH;
+      int32_t* sprof = o_sprof + ci * CH;
+      float* aux = o_aux + ci * 4 * CH;
+      bool any_prof = false, all_cf = true;
+      for (int64_t s = 0; s < n; ++s) {
+        geom[0 * CH + s] = int32_t(c.geom[s * 4]);
+        geom[1 * CH + s] = int32_t(c.geom[s * 4 + 1]);
+        geom[2 * CH + s] = int32_t(c.geom[s * 4 + 2]);
+        geom[3 * CH + s] = int32_t(c.geom[s * 4 + 3]);
+        trav[s] = c.trav[s];
+        sprof[s] = c.prof[s];
+        if (c.prof[s]) any_prof = true;
+        if (c.prof[s] &&
+            !(c.prof[s] < n_profiles && prof_chain_free[c.prof[s]]))
+          all_cf = false;
+        const int64_t dx = std::abs(c.geom[s * 4 + 2] - c.geom[s * 4]);
+        const int64_t dy = std::abs(c.geom[s * 4 + 3] - c.geom[s * 4 + 1]);
+        const int64_t mn = std::min(dx, dy);
+        const int64_t mx = std::max(std::max(dx, dy), int64_t(1));
+        const float den = std::sqrt(float(dx * dx + dy * dy));
+        aux[0 * CH + s] = den > 0 ? 1.0f / std::max(den, 1e-9f) : 0.0f;
+        aux[1 * CH + s] = float(mx * mx) / float(mx * mx + mn * mn);
+        const int64_t cK = (2 * mx * mn + mx - 1) / (2 * mx);
+        const int64_t gK = (2 * cK * mn + mx - 1) / (2 * mx);
+        aux[2 * CH + s] = float(mx + gK);
+      }
+      const bool item_eligible =
+          (!any_prof || all_cf) && ts <= 512;
+      if (item_eligible) {
+        if (!any_prof)
+          o_kind[ci] = c.hw >= 1.25 ? KIND_STROKE_SOLID_WIDE
+                                     : KIND_STROKE_SOLID;
+        else
+          o_kind[ci] = c.hw >= 1.25 ? KIND_STROKE_DASH_WIDE
+                                     : KIND_STROKE_DASH;
+        std::vector<int32_t> items;
+        int32_t isec[8];
+        stroke_items(c.geom.data(), n, c.hw, ts, &items, isec);
+        const int64_t ni = int64_t(items.size());
+        for (int64_t t = 0; t < std::min<int64_t>(ni, IT_CAP); ++t)
+          o_items[ci * IT_CAP + t] = items[t];
+        o_item_len[ci] = int32_t(ni);
+        std::memcpy(o_isec + ci * 8, isec, 8 * sizeof(int32_t));
+      }
+    }
+  }
+  return NC ? NC : 1;
+}
+
+}  // extern "C"

@@ -487,6 +487,18 @@ class ProfileTable:
             bool(np.any((r[:, 0] < np.inf) & (r[:, 5] > 0))) for r in self.rows
         )
 
+    def chain_free_mask(self) -> np.ndarray:
+        """Per-profile bool: True iff no round-cap originals, i.e. walk
+        aliveness is purely geometric and the profile may ride the
+        work-item path (render_pallas KIND_STROKE_DASH*)."""
+        return np.asarray(
+            [
+                not bool(np.any((r[:, 0] < np.inf) & (r[:, 5] > 0)))
+                for r in self.rows
+            ],
+            dtype=bool,
+        )
+
 
 class PatternTable:
     """Deduplicated tiled fill-image table for one batch.

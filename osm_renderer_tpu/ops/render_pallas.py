@@ -67,6 +67,13 @@ KIND_STROKE_SOLID = 3
 KIND_STROKE_SOLID_WIDE = 4
 KIND_FILL_IMAGE = 5
 KIND_LAYER = 6      # host-rasterized premultiplied layer (src-over of a pattern)
+# Dashed strokes whose profiles have no round-cap originals: walk
+# aliveness is purely geometric (identical to solid — the chain rule
+# only exists because round caps shrink the half-width along the arc),
+# so they ride the work-item path with the dash profile evaluated in
+# the alpha.  Round-capped dashes keep the per-segment KIND_STROKE path.
+KIND_STROKE_DASH = 7
+KIND_STROKE_DASH_WIDE = 8
 
 
 class PallasBatch(NamedTuple):
@@ -275,16 +282,22 @@ def _stroke_items(g: np.ndarray, c_hw: float, ts: int):
     return np.concatenate(parts), isec
 
 
-def _split_big_stroke_chunks(chunks, ts: int):
-    """Split solid stroke chunks whose work-item total exceeds IT_CAP
-    into several chunks of the same generation (last only on the
-    tail)."""
+def _split_big_stroke_chunks(chunks, ts: int, prof_chain_free=None):
+    """Split item-path stroke chunks (solid, or chain-free dashed)
+    whose work-item total exceeds IT_CAP into several chunks of the
+    same generation (last only on the tail)."""
     out = []
     for tup in chunks:
         k, g, trav, prof, last = tup[:5]
         meta = tup[5:]
         c_hw = meta[2]
-        if k != KIND_STROKE or g.shape[0] == 0 or np.any(np.asarray(prof)[: g.shape[0]]):
+        if k != KIND_STROKE or g.shape[0] == 0:
+            out.append(tup)
+            continue
+        pr = np.asarray(prof)[: g.shape[0]]
+        if np.any(pr) and not (
+            prof_chain_free is not None and np.all(prof_chain_free[pr])
+        ):
             out.append(tup)
             continue
         counts = _stroke_item_counts(g, c_hw, ts)
@@ -306,15 +319,19 @@ def _split_big_stroke_chunks(chunks, ts: int):
     return out
 
 
-def build_tile_chunks(stream, ts: int) -> TileChunks:
+def build_tile_chunks(stream, ts: int, prof_chain_free=None) -> TileChunks:
     """One TileStream -> device-ready per-tile chunk arrays (fills
     converted to scanline spans, stroke aux scalars precomputed).
+
+    `prof_chain_free`: optional bool array per dash-profile index (True
+    = no round-cap originals); chain-free dashed chunks then take the
+    work-item path (KIND_STROKE_DASH*).
 
     An empty stream still yields one PAD chunk so the tile's canvas is
     initialized."""
     chunks = _convert_tile_chunks(stream, ts)
     if ts <= 512:
-        chunks = _split_big_stroke_chunks(chunks, ts)
+        chunks = _split_big_stroke_chunks(chunks, ts, prof_chain_free)
     n_chunks = max(len(chunks), 1)
 
     geom = np.zeros((n_chunks, 4, CH), dtype=np.int32)
@@ -412,17 +429,34 @@ def build_tile_chunks(stream, ts: int) -> TileChunks:
                     cK = (2 * mx * mn + mx - 1) // (2 * mx)
                     gK = (2 * cK * mn + mx - 1) // (2 * mx)
                     aux[o, 2, :n] = (mx + gK).astype(np.float32)
-                    if not np.any(np.asarray(c_prof)[:n]) and ts <= 512:
-                        # Solid strokes take the work-item path (4
-                        # packed (8, 128) windows per vector tile);
-                        # wide ones (hw >= 1.25) additionally skip the
-                        # perpendicular-owner aliveness machinery:
-                        # every owner start is provably in-line.
-                        kind[o] = (
-                            KIND_STROKE_SOLID_WIDE
-                            if c_hw >= 1.25
-                            else KIND_STROKE_SOLID
-                        )
+                    pr = np.asarray(c_prof)[:n]
+                    is_solid = not np.any(pr)
+                    is_chain_free_dash = (
+                        not is_solid
+                        and prof_chain_free is not None
+                        and bool(np.all(prof_chain_free[pr]))
+                    )
+                    if (is_solid or is_chain_free_dash) and ts <= 512:
+                        # Solid and chain-free dashed strokes take the
+                        # work-item path (4 packed (8, 128) windows per
+                        # vector tile); wide ones (hw >= 1.25)
+                        # additionally skip the perpendicular-owner
+                        # aliveness machinery: every owner start is
+                        # provably in-line (aliveness is geometric for
+                        # both — round caps are what make it arc-
+                        # dependent, and those stay on KIND_STROKE).
+                        if is_solid:
+                            kind[o] = (
+                                KIND_STROKE_SOLID_WIDE
+                                if c_hw >= 1.25
+                                else KIND_STROKE_SOLID
+                            )
+                        else:
+                            kind[o] = (
+                                KIND_STROKE_DASH_WIDE
+                                if c_hw >= 1.25
+                                else KIND_STROKE_DASH
+                            )
                         it, sec = _stroke_items(g, c_hw, ts)
                         item_lists[o] = it
                         isec[o] = sec
@@ -555,16 +589,22 @@ def concat_pallas_batch(
     )
 
 
-def build_pallas_batch(tile_streams, profiles, ts: int, patterns=None) -> PallasBatch:
+def build_pallas_batch(
+    tile_streams, profiles, ts: int, patterns=None, dash_items: bool = True
+) -> PallasBatch:
     """Convert TileStream chunk lists into the flat chunk-aligned layout
     (no per-tile padding).  Fill chunks are converted to scanline-span
     chunks (see _convert_tile_chunks).
 
     `patterns` is an optional PatternTable (draw/primitives.py) holding
     the batch's tiled fill-image icons; chunk kind KIND_FILL_IMAGE
-    references it by index."""
+    references it by index.  `dash_items=False` keeps chain-free dashes
+    on the per-segment KIND_STROKE path (test harness for comparing the
+    two implementations)."""
+    mask = profiles.chain_free_mask() if dash_items else None
     return concat_pallas_batch(
-        [build_tile_chunks(s, ts) for s in tile_streams], profiles, ts, patterns
+        [build_tile_chunks(s, ts, mask) for s in tile_streams],
+        profiles, ts, patterns,
     )
 
 
@@ -649,7 +689,9 @@ def make_render_kernel(ts: int):
 
             kind = kind_s[ch]
             cnt = cnt_s[ch]
-            is_stroke = (kind >= KIND_STROKE) & (kind <= KIND_STROKE_SOLID_WIDE)
+            is_stroke = ((kind >= KIND_STROKE) & (kind <= KIND_STROKE_SOLID_WIDE)) | (
+                kind >= KIND_STROKE_DASH
+            )
 
             # Stage the chunk's geometry into SMEM (strokes only — the
             # scalar-driven segment loop needs per-lane scalar loads, which
@@ -661,7 +703,7 @@ def make_render_kernel(ts: int):
                 cp0.start(); cp3.start()
                 cp0.wait(); cp3.wait()
 
-            @pl.when(kind == KIND_STROKE)
+            @pl.when((kind == KIND_STROKE) | (kind >= KIND_STROKE_DASH))
             def _stage_stroke_aux():
                 cp1 = pltpu.make_async_copy(trav_ref.at[gi], trav_smem, dma_sems.at[1])
                 cp2 = pltpu.make_async_copy(sprof_ref.at[gi], sprof_smem, dma_sems.at[2])
@@ -1172,7 +1214,7 @@ def make_render_kernel(ts: int):
             # occupies sublanes 8j..8j+7 with its own per-row-group
             # parameters — which cuts the (32, 128)-per-segment waste of
             # the row-block path ~4x on thin strokes.
-            def stroke_items_impl(wide: bool):
+            def stroke_items_impl(wide: bool, dashed: bool = False):
                 cpi = pltpu.make_async_copy(
                     items_ref.at[gi], items_smem, dma_sems.at[4]
                 )
@@ -1193,6 +1235,7 @@ def make_render_kernel(ts: int):
                 def eval_group(base, col0, general):
                     ws, r0s = [], []
                     p1xs, p1ys, p2xs, p2ys, invs, rats, hKs = ([] for _ in range(7))
+                    travs, pidxs = [], []
                     for j in range(4):
                         w = items_smem[0, base + j]
                         wv = jnp.maximum(w, 0)
@@ -1207,6 +1250,9 @@ def make_render_kernel(ts: int):
                         invs.append(aux_smem[0, sg])
                         rats.append(aux_smem[1, sg])
                         hKs.append(aux_smem[2, sg])
+                        if dashed:
+                            travs.append(trav_smem[0, sg])
+                            pidxs.append(sprof_smem[0, sg])
 
                     live = vec4(*[(w >= 0).astype(jnp.int32) for w in ws]) > 0
                     p1x = vec4(*p1xs); p1y = vec4(*p1ys)
@@ -1244,10 +1290,60 @@ def make_render_kernel(ts: int):
                     MN = jnp.where(swap, ys + 0 * xsv, xsv)
                     MX = jnp.where(swap, xsv, ys + 0 * xsv)
 
+                    if dashed:
+                        # Dash profile along the arc (per-seg path's
+                        # stroke_opacity, chain-free: hlw == hw so the
+                        # geometric masks above are untouched; only the
+                        # emitted alpha picks up min(sd_op, cd_op)).
+                        trav_v = vec4(*travs)
+                        dot = (xsv - p1x) * sdx + (ys - p1y) * sdy
+                        sd = jnp.abs(dot.astype(jnp.float32)) * inv_denom
+                        dist = trav_v + sd
+                        ptot = vec4(
+                            *[prof_total_s[pidxs[j]] for j in range(4)]
+                        )
+                        dist = jnp.where(
+                            ptot > 0.0,
+                            dist - jnp.floor(dist / ptot) * ptot,
+                            dist,
+                        )
+                        sd_op = jnp.zeros_like(cd)
+                        any_rows = jnp.zeros_like(dist) > 0.0  # all-False
+                        for i in range(DS):
+                            fld = []
+                            for f in range(8):
+                                fld.append(
+                                    vec4(
+                                        *[
+                                            prof_s[pidxs[j] * (DS * 8) + i * 8 + f]
+                                            for j in range(4)
+                                        ]
+                                    )
+                                )
+                            s_from, s_to, e_from, e_to, mul = fld[:5]
+                            in_range = (dist >= s_from) & (dist <= e_to)
+                            basev = jnp.where(
+                                dist <= s_to,
+                                (dist - s_from) / (s_to - s_from),
+                                jnp.where(
+                                    dist < e_from,
+                                    1.0,
+                                    (e_to - dist) / (e_to - e_from),
+                                ),
+                            )
+                            sd_op = jnp.fmax(
+                                sd_op, jnp.where(in_range, mul * basev, 0.0)
+                            )
+                            any_rows = any_rows | (s_from < jnp.float32(1e30))
+                        sd_op = jnp.where(any_rows, sd_op, 1.0)
+                        op_emit = jnp.fmin(sd_op, op)
+                    else:
+                        op_emit = op
+
                     if not general:
                         m0 = (MX - mx0) * mx_i
                         visited = in_line & (m0 >= 0) & (m0 <= K)
-                        alpha = jnp.where(visited, opacity * op, 0.0)
+                        alpha = jnp.where(visited, opacity * op_emit, 0.0)
                         for j in range(4):
                             blk = alpha[j * 8 : (j + 1) * 8, :]
                             cur = pending_ref[pl.ds(r0s[j], RB_I), col0 : col0 + 128]
@@ -1320,7 +1416,7 @@ def make_render_kernel(ts: int):
                         return state
 
                     def emit(add_mask):
-                        alpha = jnp.where(add_mask, opacity * op, 0.0)
+                        alpha = jnp.where(add_mask, opacity * op_emit, 0.0)
                         for j in range(4):
                             blk = alpha[j * 8 : (j + 1) * 8, :]
                             cur = pending_ref[pl.ds(r0s[j], RB_I), col0 : col0 + 128]
@@ -1437,6 +1533,14 @@ def make_render_kernel(ts: int):
             @pl.when(kind == KIND_STROKE_SOLID_WIDE)
             def _stroke_solid_wide():
                 stroke_items_impl(True)
+
+            @pl.when(kind == KIND_STROKE_DASH)
+            def _stroke_dash_items():
+                stroke_items_impl(False, dashed=True)
+
+            @pl.when(kind == KIND_STROKE_DASH_WIDE)
+            def _stroke_dash_items_wide():
+                stroke_items_impl(True, dashed=True)
 
             # ------------------------- blend -------------------------
             @pl.when(last_s[ch] == 1)
@@ -1612,12 +1716,19 @@ def _render_body(kernel, b, canvas_rgb, ts: int, T: int, interpret: bool):
         ]
     )
     kind_step = b.kind.reshape(n_steps, GROUP)
-    step_dash = jnp.any(kind_step == KIND_STROKE, axis=1).astype(jnp.int32)
+    is_dash_item = kind_step >= KIND_STROKE_DASH
+    step_dash = jnp.any(
+        (kind_step == KIND_STROKE) | is_dash_item, axis=1
+    ).astype(jnp.int32)
     step_stroke = jnp.any(
-        (kind_step >= KIND_STROKE) & (kind_step <= KIND_STROKE_SOLID_WIDE), axis=1
+        ((kind_step >= KIND_STROKE) & (kind_step <= KIND_STROKE_SOLID_WIDE))
+        | is_dash_item,
+        axis=1,
     ).astype(jnp.int32)
     step_solid = jnp.any(
-        (kind_step == KIND_STROKE_SOLID) | (kind_step == KIND_STROKE_SOLID_WIDE),
+        (kind_step == KIND_STROKE_SOLID)
+        | (kind_step == KIND_STROKE_SOLID_WIDE)
+        | is_dash_item,
         axis=1,
     ).astype(jnp.int32)
 

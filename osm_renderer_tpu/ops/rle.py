@@ -128,41 +128,39 @@ def encode_batch(planar_u8: jax.Array, rtot: int):
     packed[j] = (len_j - 1) << 24 | 0xRRGGBB for run j, runs ordered
     tile-major then row-major; zeros past total_runs.  If
     total_runs > rtot the packed content is truncated garbage — callers
-    must check and fall back to the raw planar readback."""
+    must check and fall back to the raw planar readback.
+
+    Implementation notes (this hardware): `lax.sort` is unusable on the
+    target TPU (pathological/runtime failure), and scatter is serial,
+    so run starts come from a vectorized binary search over the global
+    run-id prefix sum — cumsum + log2(T*N) gather rounds, the fastest
+    sort/scatter-free formulation XLA offers.  A Pallas emit kernel
+    (per-block lane-gather compaction + dynamic-offset DMA) is the
+    planned faster path."""
     T = planar_u8.shape[0]
     ts = planar_u8.shape[2]
     N = ts * ts
     TN = T * N
     assert N % BLOCK == 0
     v = pack_rgb(planar_u8).reshape(TN)
-    nb = TN // BLOCK
-    vb = v.reshape(nb, BLOCK)
-    lane = jnp.arange(BLOCK, dtype=jnp.int32)
-    prev = jnp.concatenate([vb[:, :1], vb[:, :-1]], axis=1)
-    boundary = (vb != prev) | (lane == 0)[None, :]
-    k_b = boundary.sum(axis=1).astype(jnp.int32)          # runs per block (>= 1)
-    csum = jnp.cumsum(k_b)
-    offsets = csum - k_b                                  # exclusive prefix
-    total_runs = csum[-1]
-
-    # Within-block compaction: boundary lanes sort to the front.
-    keys = jnp.where(boundary, lane, BLOCK + lane)
-    sorted_lanes = jax.lax.sort(keys, dimension=1)        # (nb, BLOCK)
+    idx = jnp.arange(TN, dtype=jnp.int32)
+    prev = jnp.concatenate([v[:1], v[:-1]])
+    boundary = ((v != prev) | (idx % BLOCK == 0)).astype(jnp.int32)
+    rid = jnp.cumsum(boundary) - 1                        # (TN,) non-decreasing
+    total_runs = rid[-1] + 1
 
     j = jnp.arange(rtot, dtype=jnp.int32)
     live = j < total_runs
-    # offsets is strictly increasing (k_b >= 1), so run j lives in block
-    # b with offsets[b] <= j < offsets[b] + k_b.
-    b = jnp.clip(jnp.searchsorted(offsets, j, side="right") - 1, 0, nb - 1)
-    within = jnp.clip(j - offsets[b], 0, BLOCK - 1)
-    lane_of = sorted_lanes[b, within]
-    start = jnp.where(live, b * BLOCK + lane_of, TN)
-    end = jnp.concatenate([start[1:], jnp.full((1,), TN, jnp.int32)])
-    end = jnp.where(live, jnp.minimum(end, (b + 1) * BLOCK), start)
-    length = jnp.where(live, end - start, 1)
-    vals = v[jnp.minimum(start, TN - 1)]
+    # start[j] = first index with rid == j (== TN for dead slots).
+    starts = jnp.searchsorted(rid, j, side="left").astype(jnp.int32)
+    ends = jnp.concatenate([starts[1:], jnp.full((1,), TN, jnp.int32)])
+    vals = v[jnp.minimum(starts, TN - 1)]
+    length = jnp.where(live, ends - starts, 1)            # 1..BLOCK (forced splits)
     packed = jnp.where(live, ((length - 1) << 24) | (vals & 0xFFFFFF), 0)
-    n_runs_tile = k_b.reshape(T, N // BLOCK).sum(axis=1)
+    # Tile run counts from rid at tile boundaries (tile starts are
+    # forced boundaries, so runs never straddle tiles).
+    rid_ends = rid[(jnp.arange(T, dtype=jnp.int32) + 1) * N - 1]
+    n_runs_tile = jnp.diff(rid_ends, prepend=jnp.int32(-1))
     return packed, n_runs_tile, total_runs
 
 

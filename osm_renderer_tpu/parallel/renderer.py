@@ -217,15 +217,34 @@ class BatchRenderer:
                     continue
             if entities is None:
                 raise ValueError(f"no cached chunks and no entities for {tile}")
-            prims = assemble_tile_prims(entities, tile, float(scale), self.styler)
-            stream = prim_mod.stream_tile_packed(prims, profiles, RP.CH, patterns)
-            chunks = RP.build_tile_chunks(stream, ts_px)
+            # Native (C++) assembly when available — exact transcription
+            # of the Python pipeline (tests/test_native_assembler.py);
+            # the cold-serving bottleneck is per-primitive Python time.
+            from osm_renderer_tpu.draw.native_assembler import (
+                assemble_tile_chunks_native,
+            )
+
+            got = assemble_tile_chunks_native(
+                entities, tile, float(scale), self.styler, profiles,
+                patterns, ts_px,
+            )
+            if got is not None:
+                chunks, has_icon_fills = got
+            else:
+                prims = assemble_tile_prims(entities, tile, float(scale), self.styler)
+                stream = prim_mod.stream_tile_packed(
+                    prims, profiles, RP.CH, patterns
+                )
+                chunks = RP.build_tile_chunks(
+                    stream, ts_px, profiles.chain_free_mask()
+                )
+                has_icon_fills = stream.has_icon_fills
             self._check_coords(chunks.geom)
-            if stream.has_icon_fills:
+            if has_icon_fills:
                 fallback.append(idx)
             if cache_on:
                 with self._cache_lock:
-                    self._chunk_cache[key] = (chunks, stream.has_icon_fills)
+                    self._chunk_cache[key] = (chunks, has_icon_fills)
                     while len(self._chunk_cache) > self.chunk_cache_tiles:
                         self._chunk_cache.popitem(last=False)
                 if len(patterns.tiles) > self.MAX_PERSISTED_PATTERNS:

@@ -11,8 +11,16 @@ from osm_renderer_tpu.draw.png_writer import rgb_to_png  # noqa: E402
 
 def main():
     os.makedirs(GOLDEN_DIR, exist_ok=True)
-    for zoom_key in ZOOM_CONFIGS:
-        img = render_stitched(zoom_key)
+    prod_only = "--production" in sys.argv
+    configs = []
+    if not prod_only:
+        configs += [(key, render_stitched) for key in ZOOM_CONFIGS]
+    if prod_only or "--all" in sys.argv:
+        from tests.test_production_stylesheet import PROD_CONFIGS, render_production
+
+        configs += [(key, render_production) for key in PROD_CONFIGS]
+    for zoom_key, render in configs:
+        img = render(zoom_key)
         out = os.path.join(GOLDEN_DIR, f"{zoom_key}_expected.png")
         with open(out, "wb") as f:
             f.write(rgb_to_png(img))
