@@ -38,10 +38,9 @@ constexpr int64_t FAST_COORD_BOUND = 12000;
 constexpr int KIND_FILL = 1;
 constexpr int KIND_STROKE = 2;
 constexpr int KIND_STROKE_SOLID = 3;
-constexpr int KIND_STROKE_SOLID_WIDE = 4;
+constexpr int NSEC = 12;  // item section slots (axis/alive/dead x 4 halves)
 constexpr int KIND_FILL_IMAGE = 5;
 constexpr int KIND_STROKE_DASH = 7;
-constexpr int KIND_STROKE_DASH_WIDE = 8;
 constexpr int KIND_PLACEHOLDER = -2;  // layer-path request marker
 
 constexpr int LINE_CAP_ROUND = 1;
@@ -274,7 +273,7 @@ void fill_spans(const int64_t* edges, int64_t n_edges, int32_t ts,
 int64_t stroke_item_count(const int64_t* g, int64_t n, double c_hw,
                           int32_t ts) {
   if (n == 0) return 0;
-  const int64_t m = int64_t(std::ceil(c_hw)) + 2;
+  const int64_t m = int64_t(std::ceil(c_hw)) + 1;
   int64_t tot = 0;
   for (int64_t i = 0; i < n; ++i) {
     const int64_t x1 = g[i * 4], y1 = g[i * 4 + 1];
@@ -296,19 +295,78 @@ int64_t stroke_item_count(const int64_t* g, int64_t n, double c_hw,
   return tot;
 }
 
+// Exact dead-start scan for one segment (render_pallas.py
+// _seg_alive_exact transcription): enumerate the gap-band owner starts
+// (c(k)+1, k) and test each against the feather cutoff.
+static bool seg_alive_exact(int64_t x1, int64_t y1, int64_t x2, int64_t y2,
+                            int64_t mn, int64_t mx, double den, double ft) {
+  bool any_gap = false;
+  int64_t c_prev = (mx - 1) / (2 * mx);  // c(0)
+  int64_t h_prev = (2 * c_prev * mn + mx - 1) / (2 * mx);  // h(0) = 0 + g(0)
+  const bool swap = std::llabs(x2 - x1) > std::llabs(y2 - y1);
+  const int64_t mn0 = swap ? y1 : x1;
+  const int64_t mx0 = swap ? x1 : y1;
+  const int64_t x_inc = x1 <= x2 ? 1 : -1;
+  const int64_t y_inc = y1 <= y2 ? 1 : -1;
+  const int64_t mn_i = swap ? y_inc : x_inc;
+  const int64_t mx_i = swap ? x_inc : y_inc;
+  const int64_t nc = x2 * y1 - y2 * x1;
+  for (int64_t k = 0; k < mx; ++k) {
+    const int64_t c_next = (2 * (k + 1) * mn + mx - 1) / (2 * mx);
+    const int64_t g_next = (2 * c_next * mn + mx - 1) / (2 * mx);
+    const int64_t h_next = (k + 1) + g_next;
+    if (h_next - h_prev == 2) {
+      any_gap = true;
+      // Gap band (h(k), h(k+1)) is owned by start (c(k)+1, k).
+      const int64_t s_mn = mn0 + mn_i * (c_prev + 1);
+      const int64_t s_mx = mx0 + mx_i * k;
+      const int64_t sx = swap ? s_mx : s_mn;
+      const int64_t sy = swap ? s_mn : s_mx;
+      const int64_t cross = nc + (y2 - y1) * sx - (x2 - x1) * sy;
+      const double cd = double(std::llabs(cross)) / den;
+      if (!(cd < ft)) return false;
+    }
+    c_prev = c_next;
+    h_prev = h_next;
+  }
+  (void)any_gap;
+  return true;
+}
+
+// Per-segment aliveness (render_pallas.py _seg_all_alive transcription):
+// true iff every perpendicular-walk owner start is provably alive
+// (center distance < feather cutoff).  Conservative routing: anything
+// uncertain takes the exact general-dead kernel path.
+static bool seg_all_alive(int64_t x1, int64_t y1, int64_t x2, int64_t y2,
+                          double c_hw) {
+  if (c_hw <= 0.0) return false;
+  const double ft = std::max(c_hw + 0.5, 1.0) - 1e-6;
+  const int64_t dx = std::llabs(x2 - x1);
+  const int64_t dy = std::llabs(y2 - y1);
+  const int64_t mn = std::min(dx, dy);
+  const int64_t mx = std::max(std::max(dx, dy), int64_t(1));
+  const double den = std::sqrt(double(dx * dx + dy * dy));
+  const int64_t gK = (2 * mn * mn + mx - 1) / (2 * mx);
+  if (gK == 0) return true;  // no gap bands at all (near-axis)
+  if (double(3 * mx - 1) < 2.0 * ft * den) return true;
+  if (den <= 0.0) return false;
+  return seg_alive_exact(x1, y1, x2, y2, mn, mx, den, ft);
+}
+
 void stroke_items(const int64_t* g, int64_t n, double c_hw, int32_t ts,
-                  std::vector<int32_t>* items, int32_t isec[8]) {
+                  std::vector<int32_t>* items, int32_t isec[NSEC]) {
   items->clear();
-  std::memset(isec, 0, 8 * sizeof(int32_t));
+  std::memset(isec, 0, NSEC * sizeof(int32_t));
   const int n_halves = ts / 128;
   if (n == 0) return;
-  const int64_t m = int64_t(std::ceil(c_hw)) + 2;
+  const int64_t m = int64_t(std::ceil(c_hw)) + 1;
 
   // Per-segment row-block words in segment order (sg | r8 << 8), with
-  // per-word axis/x-extent attributes.
+  // per-word class (0 axis / 1 general-alive / 2 general-dead) and
+  // x-extent attributes.
   struct Word {
     int32_t w;
-    bool axis;
+    int8_t cls;
     int64_t sxlo, sxhi;
   };
   std::vector<Word> words;
@@ -322,26 +380,32 @@ void stroke_items(const int64_t* g, int64_t n, double c_hw, int32_t ts,
         std::min<int64_t>(std::max<int64_t>(std::max(y1, y2) + m, 0), ts - 1);
     const int64_t b0 = ylo / RB_I;
     const int64_t nblk = yhi / RB_I - b0 + 1;
-    const bool axis = (x1 == x2) || (y1 == y2);
+    int8_t cls;
+    if (x1 == x2 || y1 == y2)
+      cls = 0;
+    else
+      cls = seg_all_alive(x1, y1, x2, y2, c_hw) ? 1 : 2;
     const int64_t sxlo = std::min(x1, x2) - m, sxhi = std::max(x1, x2) + m;
     for (int64_t p = 0; p < nblk; ++p)
-      words.push_back({int32_t(i | ((b0 + p) << 8)), axis, sxlo, sxhi});
+      words.push_back({int32_t(i | ((b0 + p) << 8)), cls, sxlo, sxhi});
   }
 
   int32_t end = 0;
-  for (int pass = 0; pass < 2; ++pass) {
-    const bool path_axis = pass == 0;
-    const int slot_base = path_axis ? 0 : 4;
+  for (int cls = 0; cls < 3; ++cls) {
+    const int slot_base = 4 * cls;
     for (int h = 0; h < n_halves; ++h) {
       const int64_t c0 = int64_t(h) * 128;
       size_t count = 0;
       for (const Word& w : words)
-        if (w.axis == path_axis && w.sxlo < c0 + 128 && w.sxhi >= c0) {
+        if (w.cls == cls && w.sxlo < c0 + 128 && w.sxhi >= c0) {
           items->push_back(w.w);
           ++count;
         }
-      const size_t pad = (4 - count % 4) % 4;
-      for (size_t p = 0; p < pad; ++p) items->push_back(-1);
+      // Pad with DUPLICATES of the last real item (the kernel emit is
+      // an fmax, so re-evaluation is a no-op) — matches
+      // render_pallas._stroke_items exactly.
+      const size_t pad = count ? (4 - count % 4) % 4 : 0;
+      for (size_t p = 0; p < pad; ++p) items->push_back(items->back());
       end += int32_t(count + pad);
       isec[slot_base + h] = end;
     }
@@ -389,7 +453,7 @@ int64_t osmr_assemble_tile(
     int32_t* o_nb, int32_t* o_prim_y0, int32_t* o_prim_nb,
     float* o_color /*C,3*/, float* o_opacity, float* o_hw, int32_t* o_pat,
     int32_t* o_items /*C,IT_CAP*/, int32_t* o_item_len,
-    int32_t* o_isec /*C,8*/, int32_t* o_placeholder) {
+    int32_t* o_isec /*C,NSEC*/, int32_t* o_placeholder) {
   (void)n_rings_total;
   std::vector<Request> rq(n_req);
   std::vector<Built> built(n_req);
@@ -770,7 +834,7 @@ int64_t osmr_assemble_tile(
   for (int64_t c = 0; c < n_chunks; ++c) o_pat[c] = -1;
   for (int64_t c = 0; c < n_chunks * IT_CAP; ++c) o_items[c] = -1;
   std::memset(o_item_len, 0, size_t(n_chunks) * sizeof(int32_t));
-  std::memset(o_isec, 0, size_t(n_chunks) * 8 * sizeof(int32_t));
+  std::memset(o_isec, 0, size_t(n_chunks) * NSEC * sizeof(int32_t));
   for (int64_t c = 0; c < n_chunks; ++c) o_placeholder[c] = -1;
 
   // chunk_meta: (b0, nblocks) per chunk.
@@ -890,20 +954,15 @@ int64_t osmr_assemble_tile(
       const bool item_eligible =
           (!any_prof || all_cf) && ts <= 512;
       if (item_eligible) {
-        if (!any_prof)
-          o_kind[ci] = c.hw >= 1.25 ? KIND_STROKE_SOLID_WIDE
-                                     : KIND_STROKE_SOLID;
-        else
-          o_kind[ci] = c.hw >= 1.25 ? KIND_STROKE_DASH_WIDE
-                                     : KIND_STROKE_DASH;
+        o_kind[ci] = !any_prof ? KIND_STROKE_SOLID : KIND_STROKE_DASH;
         std::vector<int32_t> items;
-        int32_t isec[8];
+        int32_t isec[NSEC];
         stroke_items(c.geom.data(), n, c.hw, ts, &items, isec);
         const int64_t ni = int64_t(items.size());
         for (int64_t t = 0; t < std::min<int64_t>(ni, IT_CAP); ++t)
           o_items[ci * IT_CAP + t] = items[t];
         o_item_len[ci] = int32_t(ni);
-        std::memcpy(o_isec + ci * 8, isec, 8 * sizeof(int32_t));
+        std::memcpy(o_isec + ci * NSEC, isec, NSEC * sizeof(int32_t));
       }
     }
   }

@@ -136,7 +136,7 @@ class _OutBuffers:
         self.pat = z(cap)
         self.items = z(cap, IT_CAP)
         self.item_len = z(cap)
-        self.isec = z(cap, 8)
+        self.isec = z(cap, 12)
         self.ph = z(cap)
 
 

@@ -64,7 +64,8 @@ KIND_PAD = 0
 KIND_FILL = 1
 KIND_STROKE = 2
 KIND_STROKE_SOLID = 3
-KIND_STROKE_SOLID_WIDE = 4
+KIND_STROKE_SOLID_WIDE = 4  # legacy (r2): no longer emitted — wide/thin
+                            # routing is now per-segment via item sections
 KIND_FILL_IMAGE = 5
 KIND_LAYER = 6      # host-rasterized premultiplied layer (src-over of a pattern)
 # Dashed strokes whose profiles have no round-cap originals: walk
@@ -73,7 +74,13 @@ KIND_LAYER = 6      # host-rasterized premultiplied layer (src-over of a pattern
 # so they ride the work-item path with the dash profile evaluated in
 # the alpha.  Round-capped dashes keep the per-segment KIND_STROKE path.
 KIND_STROKE_DASH = 7
-KIND_STROKE_DASH_WIDE = 8
+KIND_STROKE_DASH_WIDE = 8   # legacy (r2): no longer emitted
+
+NSEC = 12         # item section slots per chunk: [0,4) axis-aligned,
+                  # [4,8) general all-alive (invert-free), [8,12)
+                  # general with (possibly) dead walk starts (full
+                  # dead-start machinery); within each family one slot
+                  # per 128-column half
 
 
 class PallasBatch(NamedTuple):
@@ -102,7 +109,7 @@ class PallasBatch(NamedTuple):
     pat: np.ndarray         # (Ctot,) int32  pattern index (-1 = plain color)
     patterns: np.ndarray    # (NPat, 4, ts, ts) f32 premultiplied tiled icons
     items: np.ndarray       # (Ctot, 1, IT) i32 solid-stroke work items
-    isec: np.ndarray        # (Ctot, 8) i32 cumulative item-section ends
+    isec: np.ndarray        # (Ctot, NSEC) i32 cumulative item-section ends
 
 
 def _f32_bits(x: np.ndarray) -> np.ndarray:
@@ -189,7 +196,7 @@ class TileChunks(NamedTuple):
     hw: np.ndarray        # (c,) f32
     pat: np.ndarray       # (c,) int32
     items: np.ndarray     # (c, 1, IT) i32 solid-stroke work items (-1 pad)
-    isec: np.ndarray      # (c, 8) i32 cumulative item-section ends
+    isec: np.ndarray      # (c, NSEC) i32 cumulative item-section ends
 
     @property
     def nbytes(self) -> int:
@@ -209,7 +216,7 @@ def _stroke_item_counts(g: np.ndarray, c_hw: float, ts: int) -> np.ndarray:
         return np.zeros(0, dtype=np.int64)
     gi = g.astype(np.int64)
     x1, y1, x2, y2 = gi[:, 0], gi[:, 1], gi[:, 2], gi[:, 3]
-    m = int(np.ceil(c_hw)) + 2
+    m = int(np.ceil(c_hw)) + 1
     nondeg = ~((x1 == x2) & (y1 == y2))
     ylo = np.clip(np.minimum(y1, y2) - m, 0, ts - 1)
     yhi = np.clip(np.maximum(y1, y2) + m, 0, ts - 1)
@@ -223,28 +230,101 @@ def _stroke_item_counts(g: np.ndarray, c_hw: float, ts: int) -> np.ndarray:
     return nblk * halves
 
 
+def _seg_alive_exact(x1, y1, x2, y2, mn, mx, den, ft) -> bool:
+    """Exact dead-start scan for one segment: enumerate the gap-band
+    owner starts (the staircase-skip positions `c(k)+1`; on-line starts
+    have |cross| <= (mx-1)/2 so cd < 0.5 and are always alive) and test
+    each against the feather cutoff.  Mirrors the kernel's invert()
+    owner assignment: gap band in (h(k), h(k+1)) is owned by start
+    (c(k)+1, k)."""
+    k = np.arange(mx + 1, dtype=np.int64)
+    c = (2 * k * mn + mx - 1) // (2 * mx)
+    gk = (2 * c * mn + mx - 1) // (2 * mx)
+    h = k + gk
+    gap = (h[1:] - h[:-1]) == 2
+    if not gap.any():
+        return True
+    ks = k[:-1][gap]
+    cs = c[:-1][gap] + 1
+    swap = abs(x2 - x1) > abs(y2 - y1)
+    mn0 = y1 if swap else x1
+    mx0 = x1 if swap else y1
+    x_inc = 1 if x1 <= x2 else -1
+    y_inc = 1 if y1 <= y2 else -1
+    mn_i = y_inc if swap else x_inc
+    mx_i = x_inc if swap else y_inc
+    s_mn = mn0 + mn_i * cs
+    s_mx = mx0 + mx_i * ks
+    sx = s_mx if swap else s_mn
+    sy = s_mn if swap else s_mx
+    cross = (x2 * y1 - y2 * x1) + (y2 - y1) * sx - (x2 - x1) * sy
+    cd = np.abs(cross).astype(np.float64) / den
+    return bool((cd < ft).all())
+
+
+def _seg_all_alive(g: np.ndarray, c_hw: float) -> np.ndarray:
+    """Per-segment bool: True iff every perpendicular-walk owner start
+    is provably alive (center distance < feather_to, with an epsilon
+    guard), replicating the reference walk's aliveness rule
+    (opacity_calculator.rs feather cutoff) in exact integer cross
+    products + f64.  Alive segments ride the invert-free general-alive
+    item path; anything uncertain routes to the exact general-dead
+    path, so conservatism here costs speed, never parity."""
+    n = g.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    if c_hw <= 0.0:
+        # opacity_mul = min(2*hw, 1) == 0: the reference paints nothing;
+        # the dead path's alive_at gate reproduces that exactly.
+        return np.zeros(n, dtype=bool)
+    ft = max(c_hw + 0.5, 1.0) - 1e-6
+    gi = g.astype(np.int64)
+    x1, y1, x2, y2 = gi[:, 0], gi[:, 1], gi[:, 2], gi[:, 3]
+    dx = np.abs(x2 - x1)
+    dy = np.abs(y2 - y1)
+    mn = np.minimum(dx, dy)
+    mx = np.maximum(np.maximum(dx, dy), 1)
+    den = np.sqrt((dx * dx + dy * dy).astype(np.float64))
+    # No gap bands at all (g(K) = 0, near-axis): on-line starts only.
+    gK = (2 * mn * mn + mx - 1) // (2 * mx)
+    alive = gK == 0
+    # Worst-case gap-start cross is (3*mx - 1)/2 (on-line bound
+    # (mx-1)/2 plus the one-step mn shift's mx): if even that is
+    # inside the feather, every start is alive.
+    alive |= (3 * mx - 1).astype(np.float64) < 2.0 * ft * den
+    for i in np.flatnonzero(~alive & (den > 0)):
+        alive[i] = _seg_alive_exact(
+            int(x1[i]), int(y1[i]), int(x2[i]), int(y2[i]),
+            int(mn[i]), int(mx[i]), float(den[i]), ft,
+        )
+    return alive
+
+
 def _stroke_items(g: np.ndarray, c_hw: float, ts: int):
-    """Work items for a solid stroke chunk.
+    """Work items for a solid (or chain-free dashed) stroke chunk.
 
     An item is one (segment, 8-row block, 128-column half) window that
     the segment's paint margin can touch, packed as `sg | (r8 << 8)`.
     Items are grouped into sections by (path, half) — axis-aligned
-    segments (mn = 0, cheap closed form) in section slots [0, n_halves),
-    general segments in slots [4, 4 + n_halves) — and each section is
+    segments (mn = 0, cheap closed form) in section slots [0, n_halves);
+    general segments whose every walk start is provably alive
+    (_seg_all_alive) in slots [4, 4 + n_halves) (invert-free band
+    test); general segments with (possibly) dead starts in slots
+    [8, 8 + n_halves) (full dead-start machinery) — and each section is
     padded with -1 to a multiple of 4: the kernel evaluates 4 items per
     (32, 128) vector tile with per-8-row-group parameters.
 
-    Returns (items int32 (IT,), isec int32 (8,) cumulative section
+    Returns (items int32 (IT,), isec int32 (NSEC,) cumulative section
     ends)."""
     n = g.shape[0]
     n_halves = ts // 128
     assert n_halves <= 4, "item path supports ts <= 512"
-    isec = np.zeros(8, dtype=np.int32)
+    isec = np.zeros(NSEC, dtype=np.int32)
     if n == 0:
         return np.zeros(0, dtype=np.int32), isec
     gi = g.astype(np.int64)
     x1, y1, x2, y2 = gi[:, 0], gi[:, 1], gi[:, 2], gi[:, 3]
-    m = int(np.ceil(c_hw)) + 2
+    m = int(np.ceil(c_hw)) + 1
     nondeg = ~((x1 == x2) & (y1 == y2))
     ylo = np.clip(np.minimum(y1, y2) - m, 0, ts - 1)
     yhi = np.clip(np.maximum(y1, y2) + m, 0, ts - 1)
@@ -259,20 +339,26 @@ def _stroke_items(g: np.ndarray, c_hw: float, ts: int):
     pos = np.arange(tot, dtype=np.int64) - np.repeat(offs, nblk)
     words = (sg_rep | ((starts + pos) << 8)).astype(np.int32)
 
-    axis = ((x1 == x2) | (y1 == y2))[sg_rep]
+    axis = (x1 == x2) | (y1 == y2)
+    alive = _seg_all_alive(g, c_hw)
+    cls = np.where(axis, 0, np.where(alive, 1, 2))[sg_rep]
     sxlo = (np.minimum(x1, x2) - m)[sg_rep]
     sxhi = (np.maximum(x1, x2) + m)[sg_rep]
 
     parts = []
     end = 0
-    for slot_base, path_axis in ((0, True), (4, False)):
+    for path_cls in range(3):
+        slot_base = 4 * path_cls
         for h in range(n_halves):
             c0 = h * 128
-            mask = (axis == path_axis) & (sxlo < c0 + 128) & (sxhi >= c0)
+            mask = (cls == path_cls) & (sxlo < c0 + 128) & (sxhi >= c0)
             sec = words[mask]
             pad = (-len(sec)) % 4
             if pad:
-                sec = np.concatenate([sec, np.full(pad, -1, dtype=np.int32)])
+                # Pad with DUPLICATES of the last real item: the kernel
+                # emit is an fmax, so re-evaluating an item is a no-op,
+                # and the kernel drops the per-group pad masking.
+                sec = np.concatenate([sec, np.repeat(sec[-1:], pad)])
             parts.append(sec)
             end += len(sec)
             isec[slot_base + h] = end
@@ -350,7 +436,7 @@ def build_tile_chunks(stream, ts: int, prof_chain_free=None) -> TileChunks:
     hw = np.zeros((n_chunks,), dtype=np.float32)
     pat = np.full((n_chunks,), -1, dtype=np.int32)
     item_lists: dict = {}
-    isec = np.zeros((n_chunks, 8), dtype=np.int32)
+    isec = np.zeros((n_chunks, NSEC), dtype=np.int32)
 
     if chunks:
         chunk_meta = []
@@ -439,24 +525,12 @@ def build_tile_chunks(stream, ts: int, prof_chain_free=None) -> TileChunks:
                     if (is_solid or is_chain_free_dash) and ts <= 512:
                         # Solid and chain-free dashed strokes take the
                         # work-item path (4 packed (8, 128) windows per
-                        # vector tile); wide ones (hw >= 1.25)
-                        # additionally skip the perpendicular-owner
-                        # aliveness machinery: every owner start is
-                        # provably in-line (aliveness is geometric for
-                        # both — round caps are what make it arc-
-                        # dependent, and those stay on KIND_STROKE).
-                        if is_solid:
-                            kind[o] = (
-                                KIND_STROKE_SOLID_WIDE
-                                if c_hw >= 1.25
-                                else KIND_STROKE_SOLID
-                            )
-                        else:
-                            kind[o] = (
-                                KIND_STROKE_DASH_WIDE
-                                if c_hw >= 1.25
-                                else KIND_STROKE_DASH
-                            )
+                        # vector tile); per-SEGMENT routing into the
+                        # axis / general-alive / general-dead sections
+                        # happens inside _stroke_items (_seg_all_alive),
+                        # so there is no per-chunk wide/thin kind split
+                        # anymore.
+                        kind[o] = KIND_STROKE_SOLID if is_solid else KIND_STROKE_DASH
                         it, sec = _stroke_items(g, c_hw, ts)
                         item_lists[o] = it
                         isec[o] = sec
@@ -557,7 +631,7 @@ def concat_pallas_batch(
     # items to the batch maximum.  Bucket to powers of two (min 256) so
     # serving sees a handful of jit signatures, not one per distinct
     # width — each Mosaic compile costs minutes on some hosts.  Padding
-    # beyond isec[7] is never read by the kernel, so wider buckets cost
+    # beyond isec[NSEC-1] is never read by the kernel, so wider buckets cost
     # only the (DMA-ed, tiny) dead lanes.
     IT = max(c.items.shape[2] for c in tile_chunks)
     IT = max(256, 1 << (IT - 1).bit_length())
@@ -688,111 +762,691 @@ def make_render_kernel(ts: int):
                 pending_ref[...] = jnp.zeros((ts, ts), jnp.float32)
 
             kind = kind_s[ch]
-            cnt = cnt_s[ch]
-            is_stroke = ((kind >= KIND_STROKE) & (kind <= KIND_STROKE_SOLID_WIDE)) | (
-                kind >= KIND_STROKE_DASH
-            )
 
-            # Stage the chunk's geometry into SMEM (strokes only — the
-            # scalar-driven segment loop needs per-lane scalar loads, which
-            # Mosaic can't do from VMEM; fills read geometry vectorized).
-            @pl.when(is_stroke)
-            def _stage_geom_aux():
-                cp0 = pltpu.make_async_copy(geom_ref.at[gi], geom_smem, dma_sems.at[0])
-                cp3 = pltpu.make_async_copy(aux_ref.at[gi], aux_smem, dma_sems.at[3])
-                cp0.start(); cp3.start()
-                cp0.wait(); cp3.wait()
+            # Everything below is a no-op on PAD chunks; one outer
+            # region keeps the pad-step scalar cost to a single
+            # predicate (trailing bucket pads are ~14% of steps).
+            @pl.when(kind != KIND_PAD)
+            def _work():
+                cnt = cnt_s[ch]
+                is_stroke = (
+                    (kind >= KIND_STROKE) & (kind <= KIND_STROKE_SOLID)
+                ) | (kind == KIND_STROKE_DASH)
 
-            @pl.when((kind == KIND_STROKE) | (kind >= KIND_STROKE_DASH))
-            def _stage_stroke_aux():
-                cp1 = pltpu.make_async_copy(trav_ref.at[gi], trav_smem, dma_sems.at[1])
-                cp2 = pltpu.make_async_copy(sprof_ref.at[gi], sprof_smem, dma_sems.at[2])
-                cp1.start(); cp2.start()
-                cp1.wait(); cp2.wait()
-            nb = nb_s[ch]
-            y0 = y0_s[ch]
-            opacity = opacity_s[ch]
-            hw = hw_s[ch]
+                # Stage the chunk's geometry into SMEM (strokes only — the
+                # scalar-driven segment loop needs per-lane scalar loads, which
+                # Mosaic can't do from VMEM; fills read geometry vectorized).
+                @pl.when(is_stroke)
+                def _stage_geom_aux():
+                    cp0 = pltpu.make_async_copy(geom_ref.at[gi], geom_smem, dma_sems.at[0])
+                    cp3 = pltpu.make_async_copy(aux_ref.at[gi], aux_smem, dma_sems.at[3])
+                    cp0.start(); cp3.start()
+                    cp0.wait(); cp3.wait()
 
-            xs_half = lax.broadcasted_iota(jnp.int32, (RB, 128), 1)
-            rows_half = lax.broadcasted_iota(jnp.int32, (RB, 128), 0)
-            sub_col = lax.broadcasted_iota(jnp.int32, (32, 1), 0)
-            lane_col = lax.broadcasted_iota(jnp.int32, (32, 128), 1)
-            n_halves = ts // 128
+                @pl.when((kind == KIND_STROKE) | (kind == KIND_STROKE_DASH))
+                def _stage_stroke_aux():
+                    cp1 = pltpu.make_async_copy(trav_ref.at[gi], trav_smem, dma_sems.at[1])
+                    cp2 = pltpu.make_async_copy(sprof_ref.at[gi], sprof_smem, dma_sems.at[2])
+                    cp1.start(); cp2.start()
+                    cp1.wait(); cp2.wait()
+                nb = nb_s[ch]
+                y0 = y0_s[ch]
+                opacity = opacity_s[ch]
+                hw = hw_s[ch]
 
-            # ------------------------- fills -------------------------
-            # Host-extracted scanline spans (draw/spans.py); the kernel just
-            # paints them with a coverage matmul on the MXU per 32-row
-            # block: covered = (U @ W) > 0 with U[r,s] = (y_s == r) and
-            # W[s,x] = (xlo_s <= x <= xhi_s).  0/1 bf16 operands with f32
-            # accumulation (sums <= CH=128) are exact, so fill membership is
-            # byte-identical to the reference's scanline fill.
-            @pl.when((kind == KIND_FILL) | (kind == KIND_FILL_IMAGE))
-            def _fill():
-                y_l = geom_ref[gi, 0, :].reshape(1, CH)
-                xlo_l = geom_ref[gi, 1, :].reshape(1, CH)
-                xhi_l = geom_ref[gi, 2, :].reshape(1, CH)
-                # Span x-bounds to sublanes (one relayout per chunk,
-                # amortized over the row blocks).
-                xlo_c = jnp.transpose(xlo_l).reshape(CH, 1)
-                xhi_c = jnp.transpose(xhi_l).reshape(CH, 1)
-                xs_w = lax.broadcasted_iota(jnp.int32, (CH, ts), 1)
-                W = ((xs_w >= xlo_c) & (xs_w <= xhi_c)).astype(jnp.bfloat16)
+                xs_half = lax.broadcasted_iota(jnp.int32, (RB, 128), 1)
+                rows_half = lax.broadcasted_iota(jnp.int32, (RB, 128), 0)
+                sub_col = lax.broadcasted_iota(jnp.int32, (32, 1), 0)
+                lane_col = lax.broadcasted_iota(jnp.int32, (32, 128), 1)
+                n_halves = ts // 128
 
-                def row_block(blk, _):
-                    r0 = (y0 + blk) * RB_F
-                    rows_col = r0 + lax.broadcasted_iota(jnp.int32, (RB_F, 1), 0)
-                    U = (rows_col == y_l).astype(jnp.bfloat16)
-                    C = lax.dot_general(
-                        U, W, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
+                # ------------------------- fills -------------------------
+                # Host-extracted scanline spans (draw/spans.py); the kernel just
+                # paints them with a coverage matmul on the MXU per 32-row
+                # block: covered = (U @ W) > 0 with U[r,s] = (y_s == r) and
+                # W[s,x] = (xlo_s <= x <= xhi_s).  0/1 bf16 operands with f32
+                # accumulation (sums <= CH=128) are exact, so fill membership is
+                # byte-identical to the reference's scanline fill.
+                @pl.when((kind == KIND_FILL) | (kind == KIND_FILL_IMAGE))
+                def _fill():
+                    y_l = geom_ref[gi, 0, :].reshape(1, CH)
+                    xlo_l = geom_ref[gi, 1, :].reshape(1, CH)
+                    xhi_l = geom_ref[gi, 2, :].reshape(1, CH)
+                    # Span x-bounds to sublanes (one relayout per chunk,
+                    # amortized over the row blocks).
+                    xlo_c = jnp.transpose(xlo_l).reshape(CH, 1)
+                    xhi_c = jnp.transpose(xhi_l).reshape(CH, 1)
+                    xs_w = lax.broadcasted_iota(jnp.int32, (CH, ts), 1)
+                    W = ((xs_w >= xlo_c) & (xs_w <= xhi_c)).astype(jnp.bfloat16)
+
+                    def row_block(blk, _):
+                        r0 = (y0 + blk) * RB_F
+                        rows_col = r0 + lax.broadcasted_iota(jnp.int32, (RB_F, 1), 0)
+                        U = (rows_col == y_l).astype(jnp.bfloat16)
+                        C = lax.dot_general(
+                            U, W, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        alpha = jnp.where(C > 0.5, opacity, 0.0)
+                        cur = pending_ref[pl.ds(r0, RB_F), :]
+                        pending_ref[pl.ds(r0, RB_F), :] = jnp.fmax(cur, alpha)
+                        return 0
+
+                    lax.fori_loop(0, nb, row_block, 0)
+
+                # ------------------------- strokes -------------------------
+                # Per-segment row-block path.  Since the work-item path took
+                # over solid strokes, this is traced only for KIND_STROKE
+                # (dash profiles; needs trav/sprof and the walk-chain rule),
+                # always with solid=False — the solid branches are kept as
+                # the reference formulation of the model the item path
+                # vectorizes.
+                def stroke_impl(solid: bool, wide: bool = False):
+                    def seg_step(sg, _):
+                        p1x = geom_smem[0, sg]
+                        p1y = geom_smem[1, sg]
+                        p2x = geom_smem[2, sg]
+                        p2y = geom_smem[3, sg]
+
+                        dxs = jnp.abs(p2x - p1x)
+                        dys = jnp.abs(p2y - p1y)
+                        swap = dxs > dys
+                        mn0 = jnp.where(swap, p1y, p1x)
+                        mx0 = jnp.where(swap, p1x, p1y)
+                        mn_d = jnp.where(swap, dys, dxs)
+                        mx_d = jnp.maximum(jnp.where(swap, dxs, dys), 1)
+                        x_inc = jnp.where(p1x <= p2x, 1, -1)
+                        y_inc = jnp.where(p1y <= p2y, 1, -1)
+                        mn_i = jnp.where(swap, y_inc, x_inc)
+                        mx_i = jnp.where(swap, x_inc, y_inc)
+                        two_mx = 2 * mx_d
+                        two_mx_f = two_mx.astype(jnp.float32)
+                        nc = p2x * p1y - p2y * p1x
+                        sdx = p2x - p1x
+                        sdy = p2y - p1y
+                        inv_denom = aux_smem[0, sg]
+
+                        if solid:
+                            feather_to = jnp.fmax(hw + 0.5, 1.0)
+                            om_pos = jnp.fmin(2.0 * hw, 1.0) > 0.0
+
+                            def stroke_opacity(cd, sd):
+                                cd_op = _feather(cd, hw)
+                                return cd_op, cd_op > 0.0
+
+                            def alive_at(s_mn, s_mx):
+                                s_x = jnp.where(swap, s_mx, s_mn)
+                                s_y = jnp.where(swap, s_mn, s_mx)
+                                raw_s = nc + sdy * s_x - sdx * s_y
+                                cd_s = jnp.abs(raw_s.astype(jnp.float32)) * inv_denom
+                                return (cd_s < feather_to) & om_pos
+                        else:
+                            trav = trav_smem[0, sg]
+                            pidx = sprof_smem[0, sg]
+                            base = pidx * (DS * 8)
+                            prow = [
+                                [prof_s[base + i * 8 + k] for k in range(8)]
+                                for i in range(DS)
+                            ]
+                            prof_total = prof_total_s[pidx]
+
+                            def stroke_opacity(cd, sd):
+                                dist = trav + sd
+                                dist = jnp.where(
+                                    prof_total > 0.0,
+                                    dist - jnp.floor(dist / prof_total) * prof_total,
+                                    dist,
+                                )
+                                sd_op = jnp.zeros_like(cd)
+                                cap_dist = jnp.full_like(cd, jnp.inf)
+                                any_rows = False
+                                for i in range(DS):
+                                    s_from, s_to, e_from, e_to, mul, has_orig, oa, ob = prow[i]
+                                    in_range = (dist >= s_from) & (dist <= e_to)
+                                    basev = jnp.where(
+                                        dist <= s_to,
+                                        (dist - s_from) / (s_to - s_from),
+                                        jnp.where(dist < e_from, 1.0, (e_to - dist) / (e_to - e_from)),
+                                    )
+                                    sd_op = jnp.fmax(sd_op, jnp.where(in_range, mul * basev, 0.0))
+                                    cap_d = jnp.where(
+                                        dist < oa, oa - dist, jnp.where(dist <= ob, 0.0, dist - ob)
+                                    )
+                                    cap_dist = jnp.fmin(
+                                        cap_dist,
+                                        jnp.where(in_range & (has_orig > 0.0), cap_d, jnp.inf),
+                                    )
+                                    any_rows = jnp.logical_or(any_rows, s_from < jnp.inf)
+                                sd_op = jnp.where(any_rows, sd_op, 1.0)
+                                cap_dist = jnp.where(jnp.isinf(cap_dist), 0.0, cap_dist)
+                                hlw = jnp.sqrt(hw * hw - cap_dist * cap_dist)
+                                cd_op = _feather(cd, hlw)
+                                return jnp.fmin(sd_op, cd_op), cd_op > 0.0
+
+                            def alive_at(s_mn, s_mx):
+                                s_x = jnp.where(swap, s_mx, s_mn)
+                                s_y = jnp.where(swap, s_mn, s_mx)
+                                raw_s = nc + sdy * s_x - sdx * s_y
+                                cd_s = jnp.abs(raw_s.astype(jnp.float32)) * inv_denom
+                                # start distance = |(p - p1) . d| / |d| — exact
+                                # int32 dot under the coordinate bound (the
+                                # reference's sqrt(long^2 - cd^2) chain loses
+                                # ~0.05 px in f32 at long distances, line.rs:120).
+                                dot_s = (s_x - p1x) * sdx + (s_y - p1y) * sdy
+                                sd_s = jnp.abs(dot_s.astype(jnp.float32)) * inv_denom
+                                _, alive = stroke_opacity(cd_s, sd_s)
+                                return alive
+
+                            # Round caps on dashes shrink the effective half-width
+                            # along the perpendicular, so the walk's first-dead-
+                            # pixel cutoff needs the full chain check (see
+                            # coverage_np.py); for other profiles in_line is
+                            # monotone and owner-start aliveness is exact.
+                            any_orig = False
+                            for i in range(DS):
+                                any_orig = jnp.logical_or(
+                                    any_orig,
+                                    (prow[i][0] < jnp.float32(1e30)) & (prow[i][5] > 0.0),
+                                )
+
+                        ratio = aux_smem[1, sg]
+                        K = mx_d
+                        hK = aux_smem[2, sg].astype(jnp.int32)
+
+                        ylo = jnp.maximum(
+                            jnp.minimum(p1y, p2y) - (jnp.ceil(hw).astype(jnp.int32) + 2), 0
+                        )
+                        yhi = jnp.minimum(
+                            jnp.maximum(p1y, p2y) + (jnp.ceil(hw).astype(jnp.int32) + 2), ts - 1
+                        )
+                        blk0 = ylo // RB
+                        nbs = jnp.where(
+                            (p1x == p2x) & (p1y == p2y), 0, (yhi - blk0 * RB) // RB + 1
+                        )
+
+                        margin_x = jnp.ceil(hw).astype(jnp.int32) + 2
+                        sxlo = jnp.minimum(p1x, p2x) - margin_x
+                        sxhi = jnp.maximum(p1x, p2x) + margin_x
+
+                        def row_block(b, _):
+                            r0 = (blk0 + b) * RB
+
+                            for half in range(n_halves):
+                                col0 = half * 128
+
+                                @pl.when((sxlo < col0 + 128) & (sxhi >= col0))
+                                def _do_half(col0=col0):
+                                    def _general_impl(col0=col0):
+                                        ys = r0 + rows_half
+                                        xsv = col0 + xs_half
+
+                                        raw = nc + sdy * xsv - sdx * ys
+                                        cd = jnp.abs(raw.astype(jnp.float32)) * inv_denom
+                                        if solid:
+                                            sd = None
+                                        else:
+                                            # Exact int32 dot form of the start
+                                            # distance (see alive_at).
+                                            dot = (xsv - p1x) * sdx + (ys - p1y) * sdy
+                                            sd = jnp.abs(dot.astype(jnp.float32)) * inv_denom
+                                        op, in_line = stroke_opacity(cd, sd)
+
+                                        MN = jnp.where(swap, ys, xsv)
+                                        MX = jnp.where(swap, xsv, ys)
+                                        n0 = (MN - mn0) * mn_i
+                                        m0 = (MX - mx0) * mx_i
+                                        A = 2 * mn_d * n0 + two_mx * m0 + (mx_d - 1)
+                                        T_band = _floor_div_f(A, two_mx_f, two_mx)
+                                        r_band = A - T_band * two_mx
+                                        edge_band = r_band == (two_mx - 1)
+
+                                        if wide:
+                                            ownerT_ok = (A >= 0) & (T_band <= hK)
+                                            ownerN_ok = (A >= -1) & (T_band + 1 <= hK)
+                                            visited = in_line & (
+                                                (edge_band & ownerT_ok & ownerN_ok)
+                                                | (~edge_band & ownerT_ok)
+                                            )
+                                            alpha = jnp.where(visited, opacity * op, 0.0)
+                                            cur = pending_ref[pl.ds(r0, RB), col0 : col0 + 128]
+                                            pending_ref[pl.ds(r0, RB), col0 : col0 + 128] = jnp.fmax(cur, alpha)
+
+                                            # Boundary-band edge pixels (exactly one
+                                            # owner in range) need the real owner test;
+                                            # they only occur at segment ends on a
+                                            # 1-in-2mx column.
+                                            needs_exact = (
+                                                in_line & edge_band & (ownerT_ok ^ ownerN_ok)
+                                            )
+
+                                            @pl.when(jnp.any(needs_exact))
+                                            def _exact_boundary():
+                                                bc = jnp.clip(T_band, 0, hK)
+                                                k = jnp.clip(
+                                                    (bc.astype(jnp.float32) * ratio).astype(jnp.int32), 0, K
+                                                )
+                                                two_mn = 2 * mn_d
+                                                c, rc = _divmod_f(two_mn * k + mx_d - 1, two_mx_f, two_mx)
+                                                g, rg = _divmod_f(two_mn * c + mx_d - 1, two_mx_f, two_mx)
+
+                                                def step_up(k, c, rc, g, rg):
+                                                    rc2 = rc + two_mn
+                                                    carry = rc2 >= two_mx
+                                                    rc2 = jnp.where(carry, rc2 - two_mx, rc2)
+                                                    rg2 = jnp.where(carry, rg + two_mn, rg)
+                                                    gcarry = rg2 >= two_mx
+                                                    rg2 = jnp.where(gcarry, rg2 - two_mx, rg2)
+                                                    return (
+                                                        k + 1,
+                                                        jnp.where(carry, c + 1, c),
+                                                        rc2,
+                                                        jnp.where(carry & gcarry, g + 1, g),
+                                                        jnp.where(carry, rg2, rg),
+                                                    )
+
+                                                def step_down(k, c, rc, g, rg):
+                                                    rc2 = rc - two_mn
+                                                    borrow = rc2 < 0
+                                                    rc2 = jnp.where(borrow, rc2 + two_mx, rc2)
+                                                    rg2 = jnp.where(borrow, rg - two_mn, rg)
+                                                    gborrow = rg2 < 0
+                                                    rg2 = jnp.where(gborrow, rg2 + two_mx, rg2)
+                                                    return (
+                                                        k - 1,
+                                                        jnp.where(borrow, c - 1, c),
+                                                        rc2,
+                                                        jnp.where(borrow & gborrow, g - 1, g),
+                                                        jnp.where(borrow, rg2, rg),
+                                                    )
+
+                                                state = (k, c, rc, g, rg)
+                                                for _i in range(1):
+                                                    down = (state[0] > 0) & (state[0] + state[3] > bc)
+                                                    nxt = step_down(*state)
+                                                    state = tuple(
+                                                        jnp.where(down, n, o) for n, o in zip(nxt, state)
+                                                    )
+                                                for _i in range(1):
+                                                    nxt = step_up(*state)
+                                                    up = (state[0] < K) & (nxt[0] + nxt[3] <= bc)
+                                                    state = tuple(
+                                                        jnp.where(up, n, o) for n, o in zip(nxt, state)
+                                                    )
+                                                k1, c1, rc1, g1, rg1 = state
+                                                is_gap = (k1 + g1) != bc
+                                                c_sel = jnp.where(is_gap, c1 + 1, c1)
+                                                s_mn_T = mn0 + mn_i * c_sel
+                                                dn_T = (MN - s_mn_T) * mn_i
+
+                                                bc2 = jnp.clip(T_band + 1, 0, hK)
+                                                nxt = step_up(k1, c1, rc1, g1, rg1)
+                                                take2 = (k1 < K) & (nxt[0] + nxt[3] <= bc2)
+                                                k2 = jnp.where(take2, nxt[0], k1)
+                                                c2 = jnp.where(take2, nxt[1], c1)
+                                                g2 = jnp.where(take2, nxt[3], g1)
+                                                is_gap2 = (k2 + g2) != bc2
+                                                c_sel2 = jnp.where(is_gap2, c2 + 1, c2)
+                                                s_mn_N = mn0 + mn_i * c_sel2
+                                                dn_N = (MN - s_mn_N) * mn_i
+
+                                                add = needs_exact & (
+                                                    (ownerT_ok & (dn_T >= 0))
+                                                    | (~ownerT_ok & (dn_N <= 0))
+                                                )
+                                                alpha2 = jnp.where(add, opacity * op, 0.0)
+                                                cur2 = pending_ref[pl.ds(r0, RB), col0 : col0 + 128]
+                                                pending_ref[pl.ds(r0, RB), col0 : col0 + 128] = jnp.fmax(
+                                                    cur2, alpha2
+                                                )
+
+                                            return
+
+                                        bc = jnp.clip(T_band, 0, hK)
+                                        k = jnp.clip((bc.astype(jnp.float32) * ratio).astype(jnp.int32), 0, K)
+                                        two_mn = 2 * mn_d
+                                        c, rc = _divmod_f(two_mn * k + mx_d - 1, two_mx_f, two_mx)
+                                        g, rg = _divmod_f(two_mn * c + mx_d - 1, two_mx_f, two_mx)
+
+                                        def step_up(k, c, rc, g, rg):
+                                            rc = rc + two_mn
+                                            carry = rc >= two_mx
+                                            rc = jnp.where(carry, rc - two_mx, rc)
+                                            rg2 = jnp.where(carry, rg + two_mn, rg)
+                                            gcarry = rg2 >= two_mx
+                                            rg2 = jnp.where(gcarry, rg2 - two_mx, rg2)
+                                            return (
+                                                k + 1,
+                                                jnp.where(carry, c + 1, c),
+                                                rc,
+                                                jnp.where(carry & gcarry, g + 1, g),
+                                                jnp.where(carry, rg2, rg),
+                                            )
+
+                                        def step_down(k, c, rc, g, rg):
+                                            rc = rc - two_mn
+                                            borrow = rc < 0
+                                            rc = jnp.where(borrow, rc + two_mx, rc)
+                                            rg2 = jnp.where(borrow, rg - two_mn, rg)
+                                            gborrow = rg2 < 0
+                                            rg2 = jnp.where(gborrow, rg2 + two_mx, rg2)
+                                            return (
+                                                k - 1,
+                                                jnp.where(borrow, c - 1, c),
+                                                rc,
+                                                jnp.where(borrow & gborrow, g - 1, g),
+                                                jnp.where(borrow, rg2, rg),
+                                            )
+
+                                        # |k_est - k_owner| <= 1: verified exhaustively for
+                                        # mx <= 700 (all mn) and by dense random sweep up
+                                        # to the coordinate bound (tools + tests/test_spans),
+                                        # so one correction step each way suffices.
+                                        state = (k, c, rc, g, rg)
+                                        for _i in range(1):
+                                            down = (state[0] > 0) & (state[0] + state[3] > bc)
+                                            nxt = step_down(*state)
+                                            state = tuple(jnp.where(down, n, o) for n, o in zip(nxt, state))
+                                        for _i in range(1):
+                                            nxt = step_up(*state)
+                                            up = (state[0] < K) & (nxt[0] + nxt[3] <= bc)
+                                            state = tuple(jnp.where(up, n, o) for n, o in zip(nxt, state))
+                                        k, c, rc, g, rg = state
+                                        h_k = k + g
+                                        is_gap = h_k != bc
+                                        c_sel = jnp.where(is_gap, c + 1, c)
+                                        s_mn_T = mn0 + mn_i * c_sel
+                                        s_mx_T = mx0 + mx_i * k
+
+                                        in_slab = (A >= 0) & (T_band <= hK)
+                                        dn_T = (MN - s_mn_T) * mn_i
+
+                                        # The walk stops each perpendicular at its FIRST
+                                        # not-in-line pixel; round caps on dashes make
+                                        # in_line non-monotone along the perpendicular,
+                                        # so every intermediate perp pixel must be alive
+                                        # too.  Their closed-form positions (validated
+                                        # exhaustively against the walk, coverage_np.py):
+                                        # step j of branch mul sits at minor
+                                        # s_mn + mul*mn_i*j, major s_mx - mul*mx_i*C(j),
+                                        # C(j) = max(0, ceil((mul*pe + 2j*mn - mx)/2mx)),
+                                        # pe = 2c*mn - 2mx*max(0, ceil((2c*mn - mx)/2mx)).
+                                        JMAX_CHAIN = 12
+
+                                        def chain_alive(s_mn_v, s_mx_v, c_sel_v, mul_v, jv):
+                                            tcm = 2 * c_sel_v * mn_d
+                                            G = jnp.maximum(
+                                                0,
+                                                _floor_div_f(
+                                                    tcm - mx_d + two_mx - 1, two_mx_f, two_mx
+                                                ),
+                                            )
+                                            e0 = mul_v * (tcm - two_mx * G)
+                                            ok = jv < jnp.int32(1 << 30)
+                                            for jp in range(1, JMAX_CHAIN):
+                                                Cjp = jnp.maximum(
+                                                    0,
+                                                    _floor_div_f(
+                                                        e0 + 2 * jp * mn_d - mx_d + two_mx - 1,
+                                                        two_mx_f,
+                                                        two_mx,
+                                                    ),
+                                                )
+                                                minor = s_mn_v + mul_v * mn_i * jp
+                                                major = s_mx_v - mul_v * mx_i * Cjp
+                                                ok = ok & (alive_at(minor, major) | (jp >= jv))
+                                            return ok
+
+                                        def emit_visited(chain_on):
+                                            ok_T = in_slab & alive_at(s_mn_T, s_mx_T)
+                                            if chain_on:
+                                                mul_T = jnp.where(dn_T >= 0, 1, -1)
+                                                ok_T = ok_T & chain_alive(
+                                                    s_mn_T, s_mx_T, c_sel, mul_T, jnp.abs(dn_T)
+                                                )
+                                            ok_Tf = ok_T & ((~edge_band) | (dn_T >= 0))
+                                            visited = in_line & ok_Tf
+                                            alpha = jnp.where(visited, opacity * op, 0.0)
+
+                                            cur = pending_ref[pl.ds(r0, RB), col0 : col0 + 128]
+                                            pending_ref[pl.ds(r0, RB), col0 : col0 + 128] = jnp.fmax(cur, alpha)
+
+                                            # Band-edge pixels (1 column in 2*mx) may belong
+                                            # to band T+1 via its mul=-1 branch; evaluate
+                                            # that owner only when such pixels exist here.
+                                            @pl.when(jnp.any(edge_band & in_line & ~visited))
+                                            def _edge_band_owner():
+                                                bc2 = jnp.clip(T_band + 1, 0, hK)
+                                                nxt = step_up(k, c, rc, g, rg)
+                                                take2 = (k < K) & (nxt[0] + nxt[3] <= bc2)
+                                                k2 = jnp.where(take2, nxt[0], k)
+                                                c2 = jnp.where(take2, nxt[1], c)
+                                                g2 = jnp.where(take2, nxt[3], g)
+                                                is_gap2 = (k2 + g2) != bc2
+                                                c_sel2 = jnp.where(is_gap2, c2 + 1, c2)
+                                                s_mn_N = mn0 + mn_i * c_sel2
+                                                s_mx_N = mx0 + mx_i * k2
+                                                dn_N = (MN - s_mn_N) * mn_i
+                                                ok_N = (
+                                                    edge_band
+                                                    & (A + 1 >= 0)
+                                                    & (T_band + 1 <= hK)
+                                                    & (dn_N <= 0)
+                                                    & alive_at(s_mn_N, s_mx_N)
+                                                )
+                                                if chain_on:
+                                                    ok_N = ok_N & chain_alive(
+                                                        s_mn_N, s_mx_N, c_sel2, -1, -dn_N
+                                                    )
+                                                alpha2 = jnp.where(in_line & ok_N, opacity * op, 0.0)
+                                                cur2 = pending_ref[pl.ds(r0, RB), col0 : col0 + 128]
+                                                pending_ref[pl.ds(r0, RB), col0 : col0 + 128] = jnp.fmax(cur2, alpha2)
+
+                                        if solid:
+                                            emit_visited(False)
+                                        else:
+                                            # Per-segment runtime gate: the chain only
+                                            # matters for profiles with round caps.
+                                            @pl.when(~any_orig)
+                                            def _plain():
+                                                emit_visited(False)
+
+                                            @pl.when(any_orig)
+                                            def _with_chain():
+                                                emit_visited(True)
+
+                                    if solid:
+                                        # Axis-aligned segments (mn_d == 0) collapse the whole
+                                        # ownership model: band T = m0 is its own perpendicular
+                                        # (c_k = g_k = 0, h(k) = k), there are no gap or edge
+                                        # bands (r_band = mx-1 != 2mx-1), and every owner start
+                                        # lies on the line (cd = 0, always alive), so
+                                        # visited = in_line & (0 <= m0 <= mx).  ~6x fewer vector
+                                        # ops on the dominant city-grid geometry.
+                                        @pl.when(mn_d == 0)
+                                        def _axis_aligned(col0=col0):
+                                            ys = r0 + rows_half
+                                            xsv = col0 + xs_half
+                                            raw = nc + sdy * xsv - sdx * ys
+                                            cd = jnp.abs(raw.astype(jnp.float32)) * inv_denom
+                                            op, in_line = stroke_opacity(cd, None)
+                                            MX = jnp.where(swap, xsv, ys)
+                                            m0v = (MX - mx0) * mx_i
+                                            visited = in_line & (m0v >= 0) & (m0v <= K)
+                                            alpha = jnp.where(visited, opacity * op, 0.0)
+                                            cur = pending_ref[pl.ds(r0, RB), col0 : col0 + 128]
+                                            pending_ref[pl.ds(r0, RB), col0 : col0 + 128] = jnp.fmax(cur, alpha)
+
+                                        pl.when(mn_d != 0)(_general_impl)
+                                    else:
+                                        _general_impl()
+
+                            return 0
+
+                        lax.fori_loop(0, nbs, row_block, 0)
+                        return 0
+
+                    lax.fori_loop(0, cnt, seg_step, 0)
+
+                # --------------- solid strokes: work-item path ---------------
+                # Host-precomputed items (_stroke_items): each is one
+                # (segment, 8-row block, 128-col half) window.  The kernel
+                # evaluates FOUR items per (32, 128) vector tile — item j
+                # occupies sublanes 8j..8j+7 with its own per-row-group
+                # parameters — which cuts the (32, 128)-per-segment waste of
+                # the row-block path ~4x on thin strokes.
+                def stroke_items_impl(dashed: bool = False):
+                    cpi = pltpu.make_async_copy(
+                        items_ref.at[gi], items_smem, dma_sems.at[4]
                     )
-                    alpha = jnp.where(C > 0.5, opacity, 0.0)
-                    cur = pending_ref[pl.ds(r0, RB_F), :]
-                    pending_ref[pl.ds(r0, RB_F), :] = jnp.fmax(cur, alpha)
-                    return 0
+                    cpi.start()
+                    cpi.wait()
 
-                lax.fori_loop(0, nb, row_block, 0)
+                    feather_to = jnp.fmax(hw + 0.5, 1.0)
+                    om_pos = jnp.fmin(2.0 * hw, 1.0) > 0.0
+                    grp_sel = sub_col >> 3       # (32, 1): item index 0..3
+                    row_in = sub_col & 7
 
-            # ------------------------- strokes -------------------------
-            # Per-segment row-block path.  Since the work-item path took
-            # over solid strokes, this is traced only for KIND_STROKE
-            # (dash profiles; needs trav/sprof and the walk-chain rule),
-            # always with solid=False — the solid branches are kept as
-            # the reference formulation of the model the item path
-            # vectorizes.
-            def stroke_impl(solid: bool, wide: bool = False):
-                def seg_step(sg, _):
-                    p1x = geom_smem[0, sg]
-                    p1y = geom_smem[1, sg]
-                    p2x = geom_smem[2, sg]
-                    p2y = geom_smem[3, sg]
+                    def vec4(a, b, c, d):
+                        return jnp.where(
+                            grp_sel == 0, a,
+                            jnp.where(grp_sel == 1, b, jnp.where(grp_sel == 2, c, d)),
+                        )
 
-                    dxs = jnp.abs(p2x - p1x)
-                    dys = jnp.abs(p2y - p1y)
-                    swap = dxs > dys
-                    mn0 = jnp.where(swap, p1y, p1x)
-                    mx0 = jnp.where(swap, p1x, p1y)
-                    mn_d = jnp.where(swap, dys, dxs)
-                    mx_d = jnp.maximum(jnp.where(swap, dxs, dys), 1)
-                    x_inc = jnp.where(p1x <= p2x, 1, -1)
-                    y_inc = jnp.where(p1y <= p2y, 1, -1)
-                    mn_i = jnp.where(swap, y_inc, x_inc)
-                    mx_i = jnp.where(swap, x_inc, y_inc)
-                    two_mx = 2 * mx_d
-                    two_mx_f = two_mx.astype(jnp.float32)
-                    nc = p2x * p1y - p2y * p1x
-                    sdx = p2x - p1x
-                    sdy = p2y - p1y
-                    inv_denom = aux_smem[0, sg]
+                    def eval_group(base, col0, mode):
+                        # mode: "axis" (mn = 0 closed form), "alive" (all
+                        # walk starts provably alive: closed-form
+                        # A-interval test, no staircase math), "dead"
+                        # (full dead-start machinery).  Sections are
+                        # padded with duplicates of a real item (emit is
+                        # an idempotent fmax), so no pad masking.
+                        r0s = []
+                        p1xs, p1ys, p2xs, p2ys, invs = ([] for _ in range(5))
+                        rats, hKs = [], []
+                        travs, pidxs = [], []
+                        for j in range(4):
+                            w = items_smem[0, base + j]
+                            sg = w & 127
+                            r0 = ((w >> 8) & 63) * RB_I
+                            r0s.append(r0)
+                            p1xs.append(geom_smem[0, sg])
+                            p1ys.append(geom_smem[1, sg])
+                            p2xs.append(geom_smem[2, sg])
+                            p2ys.append(geom_smem[3, sg])
+                            invs.append(aux_smem[0, sg])
+                            if mode == "dead":
+                                rats.append(aux_smem[1, sg])
+                            if mode != "axis":
+                                hKs.append(aux_smem[2, sg])
+                            if dashed:
+                                travs.append(trav_smem[0, sg])
+                                pidxs.append(sprof_smem[0, sg])
 
-                    if solid:
-                        feather_to = jnp.fmax(hw + 0.5, 1.0)
-                        om_pos = jnp.fmin(2.0 * hw, 1.0) > 0.0
+                        p1x = vec4(*p1xs); p1y = vec4(*p1ys)
+                        p2x = vec4(*p2xs); p2y = vec4(*p2ys)
+                        inv_denom = vec4(*invs)
+                        if mode == "dead":
+                            ratio = vec4(*rats)
+                        if mode != "axis":
+                            hK = vec4(*hKs).astype(jnp.int32)
+                        r0_v = vec4(*r0s)
 
-                        def stroke_opacity(cd, sd):
-                            cd_op = _feather(cd, hw)
-                            return cd_op, cd_op > 0.0
+                        dxs = jnp.abs(p2x - p1x)
+                        dys = jnp.abs(p2y - p1y)
+                        swap = dxs > dys
+                        mn0 = jnp.where(swap, p1y, p1x)
+                        mx0 = jnp.where(swap, p1x, p1y)
+                        mn_d = jnp.where(swap, dys, dxs)
+                        mx_d = jnp.maximum(jnp.where(swap, dxs, dys), 1)
+                        x_inc = jnp.where(p1x <= p2x, 1, -1)
+                        y_inc = jnp.where(p1y <= p2y, 1, -1)
+                        mn_i = jnp.where(swap, y_inc, x_inc)
+                        mx_i = jnp.where(swap, x_inc, y_inc)
+                        two_mx = 2 * mx_d
+                        two_mn = 2 * mn_d
+                        two_mx_f = two_mx.astype(jnp.float32)
+                        nc = p2x * p1y - p2y * p1x
+                        sdx = p2x - p1x
+                        sdy = p2y - p1y
+                        K = mx_d
+
+                        ys = r0_v + row_in                       # (32, 1)
+                        xsv = col0 + lane_col                    # (32, 128)
+                        raw = sdy * xsv + (nc - sdx * ys)
+                        cd = jnp.abs(raw.astype(jnp.float32)) * inv_denom
+                        op = _feather(cd, hw)
+                        in_line = op > 0.0
+                        ys_b = jnp.broadcast_to(ys, (32, 128))
+                        MN = jnp.where(swap, ys_b, xsv)
+                        MX = jnp.where(swap, xsv, ys_b)
+
+                        if dashed:
+                            # Dash profile along the arc (per-seg path's
+                            # stroke_opacity, chain-free: hlw == hw so the
+                            # geometric masks above are untouched; only the
+                            # emitted alpha picks up min(sd_op, cd_op)).
+                            trav_v = vec4(*travs)
+                            dot = (xsv - p1x) * sdx + (ys - p1y) * sdy
+                            sd = jnp.abs(dot.astype(jnp.float32)) * inv_denom
+                            dist = trav_v + sd
+                            ptot = vec4(
+                                *[prof_total_s[pidxs[j]] for j in range(4)]
+                            )
+                            dist = jnp.where(
+                                ptot > 0.0,
+                                dist - jnp.floor(dist / ptot) * ptot,
+                                dist,
+                            )
+                            sd_op = jnp.zeros_like(cd)
+                            any_rows = jnp.zeros_like(dist) > 0.0  # all-False
+                            for i in range(DS):
+                                fld = []
+                                for f in range(8):
+                                    fld.append(
+                                        vec4(
+                                            *[
+                                                prof_s[pidxs[j] * (DS * 8) + i * 8 + f]
+                                                for j in range(4)
+                                            ]
+                                        )
+                                    )
+                                s_from, s_to, e_from, e_to, mul = fld[:5]
+                                in_range = (dist >= s_from) & (dist <= e_to)
+                                basev = jnp.where(
+                                    dist <= s_to,
+                                    (dist - s_from) / (s_to - s_from),
+                                    jnp.where(
+                                        dist < e_from,
+                                        1.0,
+                                        (e_to - dist) / (e_to - e_from),
+                                    ),
+                                )
+                                sd_op = jnp.fmax(
+                                    sd_op, jnp.where(in_range, mul * basev, 0.0)
+                                )
+                                any_rows = any_rows | (s_from < jnp.float32(1e30))
+                            sd_op = jnp.where(any_rows, sd_op, 1.0)
+                            op_emit = jnp.fmin(sd_op, op)
+                        else:
+                            op_emit = op
+
+                        if mode == "axis":
+                            m0 = (MX - mx0) * mx_i
+                            visited = in_line & (m0 >= 0) & (m0 <= K)
+                            alpha = jnp.where(visited, opacity * op_emit, 0.0)
+                            for j in range(4):
+                                blk = alpha[j * 8 : (j + 1) * 8, :]
+                                cur = pending_ref[pl.ds(r0s[j], RB_I), col0 : col0 + 128]
+                                pending_ref[pl.ds(r0s[j], RB_I), col0 : col0 + 128] = (
+                                    jnp.fmax(cur, blk)
+                                )
+                            return
+
+                        n0 = (MN - mn0) * mn_i
+                        m0 = (MX - mx0) * mx_i
+                        A = two_mn * n0 + two_mx * m0 + (mx_d - 1)
+                        T_band = _floor_div_f(A, two_mx_f, two_mx)
+                        r_band = A - T_band * two_mx
+                        edge_band = r_band == (two_mx - 1)
 
                         def alive_at(s_mn, s_mx):
                             s_x = jnp.where(swap, s_mx, s_mn)
@@ -800,829 +1454,240 @@ def make_render_kernel(ts: int):
                             raw_s = nc + sdy * s_x - sdx * s_y
                             cd_s = jnp.abs(raw_s.astype(jnp.float32)) * inv_denom
                             return (cd_s < feather_to) & om_pos
-                    else:
-                        trav = trav_smem[0, sg]
-                        pidx = sprof_smem[0, sg]
-                        base = pidx * (DS * 8)
-                        prow = [
-                            [prof_s[base + i * 8 + k] for k in range(8)]
-                            for i in range(DS)
-                        ]
-                        prof_total = prof_total_s[pidx]
 
-                        def stroke_opacity(cd, sd):
-                            dist = trav + sd
-                            dist = jnp.where(
-                                prof_total > 0.0,
-                                dist - jnp.floor(dist / prof_total) * prof_total,
-                                dist,
+                        def step_up(k, c, rc, g, rg):
+                            rc = rc + two_mn
+                            carry = rc >= two_mx
+                            rc = jnp.where(carry, rc - two_mx, rc)
+                            rg2 = jnp.where(carry, rg + two_mn, rg)
+                            gcarry = rg2 >= two_mx
+                            rg2 = jnp.where(gcarry, rg2 - two_mx, rg2)
+                            return (
+                                k + 1,
+                                jnp.where(carry, c + 1, c),
+                                rc,
+                                jnp.where(carry & gcarry, g + 1, g),
+                                jnp.where(carry, rg2, rg),
                             )
-                            sd_op = jnp.zeros_like(cd)
-                            cap_dist = jnp.full_like(cd, jnp.inf)
-                            any_rows = False
-                            for i in range(DS):
-                                s_from, s_to, e_from, e_to, mul, has_orig, oa, ob = prow[i]
-                                in_range = (dist >= s_from) & (dist <= e_to)
-                                basev = jnp.where(
-                                    dist <= s_to,
-                                    (dist - s_from) / (s_to - s_from),
-                                    jnp.where(dist < e_from, 1.0, (e_to - dist) / (e_to - e_from)),
+
+                        def step_down(k, c, rc, g, rg):
+                            rc = rc - two_mn
+                            borrow = rc < 0
+                            rc = jnp.where(borrow, rc + two_mx, rc)
+                            rg2 = jnp.where(borrow, rg - two_mn, rg)
+                            gborrow = rg2 < 0
+                            rg2 = jnp.where(gborrow, rg2 + two_mx, rg2)
+                            return (
+                                k - 1,
+                                jnp.where(borrow, c - 1, c),
+                                rc,
+                                jnp.where(borrow & gborrow, g - 1, g),
+                                jnp.where(borrow, rg2, rg),
+                            )
+
+                        def invert(bc):
+                            k = jnp.clip(
+                                (bc.astype(jnp.float32) * ratio).astype(jnp.int32), 0, K
+                            )
+                            c, rc = _divmod_f(two_mn * k + mx_d - 1, two_mx_f, two_mx)
+                            g, rg = _divmod_f(two_mn * c + mx_d - 1, two_mx_f, two_mx)
+                            state = (k, c, rc, g, rg)
+                            down = (state[0] > 0) & (state[0] + state[3] > bc)
+                            nxt = step_down(*state)
+                            state = tuple(
+                                jnp.where(down, n, o) for n, o in zip(nxt, state)
+                            )
+                            nxt = step_up(*state)
+                            up = (state[0] < K) & (nxt[0] + nxt[3] <= bc)
+                            state = tuple(
+                                jnp.where(up, n, o) for n, o in zip(nxt, state)
+                            )
+                            return state
+
+                        def emit(add_mask):
+                            alpha = jnp.where(add_mask, opacity * op_emit, 0.0)
+                            for j in range(4):
+                                blk = alpha[j * 8 : (j + 1) * 8, :]
+                                cur = pending_ref[pl.ds(r0s[j], RB_I), col0 : col0 + 128]
+                                pending_ref[pl.ds(r0s[j], RB_I), col0 : col0 + 128] = (
+                                    jnp.fmax(cur, blk)
                                 )
-                                sd_op = jnp.fmax(sd_op, jnp.where(in_range, mul * basev, 0.0))
-                                cap_d = jnp.where(
-                                    dist < oa, oa - dist, jnp.where(dist <= ob, 0.0, dist - ob)
-                                )
-                                cap_dist = jnp.fmin(
-                                    cap_dist,
-                                    jnp.where(in_range & (has_orig > 0.0), cap_d, jnp.inf),
-                                )
-                                any_rows = jnp.logical_or(any_rows, s_from < jnp.inf)
-                            sd_op = jnp.where(any_rows, sd_op, 1.0)
-                            cap_dist = jnp.where(jnp.isinf(cap_dist), 0.0, cap_dist)
-                            hlw = jnp.sqrt(hw * hw - cap_dist * cap_dist)
-                            cd_op = _feather(cd, hlw)
-                            return jnp.fmin(sd_op, cd_op), cd_op > 0.0
 
-                        def alive_at(s_mn, s_mx):
-                            s_x = jnp.where(swap, s_mx, s_mn)
-                            s_y = jnp.where(swap, s_mn, s_mx)
-                            raw_s = nc + sdy * s_x - sdx * s_y
-                            cd_s = jnp.abs(raw_s.astype(jnp.float32)) * inv_denom
-                            # start distance = |(p - p1) . d| / |d| — exact
-                            # int32 dot under the coordinate bound (the
-                            # reference's sqrt(long^2 - cd^2) chain loses
-                            # ~0.05 px in f32 at long distances, line.rs:120).
-                            dot_s = (s_x - p1x) * sdx + (s_y - p1y) * sdy
-                            sd_s = jnp.abs(dot_s.astype(jnp.float32)) * inv_denom
-                            _, alive = stroke_opacity(cd_s, sd_s)
-                            return alive
-
-                        # Round caps on dashes shrink the effective half-width
-                        # along the perpendicular, so the walk's first-dead-
-                        # pixel cutoff needs the full chain check (see
-                        # coverage_np.py); for other profiles in_line is
-                        # monotone and owner-start aliveness is exact.
-                        any_orig = False
-                        for i in range(DS):
-                            any_orig = jnp.logical_or(
-                                any_orig,
-                                (prow[i][0] < jnp.float32(1e30)) & (prow[i][5] > 0.0),
+                        if mode == "alive":
+                            # Every walk start is provably alive (host
+                            # _seg_all_alive), so aliveness never gates a
+                            # pixel and ownership only decides band-edge
+                            # pixels where exactly ONE of the two candidate
+                            # bands is in range.  Those owners have closed
+                            # forms — band 0's owner start is (mn0, mx0)
+                            # itself (the A == -1 lower edge) and band hK's
+                            # owner is the far endpoint mn0 + mn_i*mn_d —
+                            # so the staircase invert() is not needed at
+                            # all and the path costs ~the axis path.
+                            in_slab_T = (A >= 0) & (T_band <= hK)
+                            ok_edge = (
+                                (in_slab_T & (T_band < hK))
+                                | ((T_band == hK) & (n0 >= mn_d))
+                                | ((A == -1) & (n0 <= 0))
                             )
-
-                    ratio = aux_smem[1, sg]
-                    K = mx_d
-                    hK = aux_smem[2, sg].astype(jnp.int32)
-
-                    ylo = jnp.maximum(
-                        jnp.minimum(p1y, p2y) - (jnp.ceil(hw).astype(jnp.int32) + 2), 0
-                    )
-                    yhi = jnp.minimum(
-                        jnp.maximum(p1y, p2y) + (jnp.ceil(hw).astype(jnp.int32) + 2), ts - 1
-                    )
-                    blk0 = ylo // RB
-                    nbs = jnp.where(
-                        (p1x == p2x) & (p1y == p2y), 0, (yhi - blk0 * RB) // RB + 1
-                    )
-
-                    margin_x = jnp.ceil(hw).astype(jnp.int32) + 2
-                    sxlo = jnp.minimum(p1x, p2x) - margin_x
-                    sxhi = jnp.maximum(p1x, p2x) + margin_x
-
-                    def row_block(b, _):
-                        r0 = (blk0 + b) * RB
-
-                        for half in range(n_halves):
-                            col0 = half * 128
-
-                            @pl.when((sxlo < col0 + 128) & (sxhi >= col0))
-                            def _do_half(col0=col0):
-                                def _general_impl(col0=col0):
-                                    ys = r0 + rows_half
-                                    xsv = col0 + xs_half
-
-                                    raw = nc + sdy * xsv - sdx * ys
-                                    cd = jnp.abs(raw.astype(jnp.float32)) * inv_denom
-                                    if solid:
-                                        sd = None
-                                    else:
-                                        # Exact int32 dot form of the start
-                                        # distance (see alive_at).
-                                        dot = (xsv - p1x) * sdx + (ys - p1y) * sdy
-                                        sd = jnp.abs(dot.astype(jnp.float32)) * inv_denom
-                                    op, in_line = stroke_opacity(cd, sd)
-
-                                    MN = jnp.where(swap, ys, xsv)
-                                    MX = jnp.where(swap, xsv, ys)
-                                    n0 = (MN - mn0) * mn_i
-                                    m0 = (MX - mx0) * mx_i
-                                    A = 2 * mn_d * n0 + two_mx * m0 + (mx_d - 1)
-                                    T_band = _floor_div_f(A, two_mx_f, two_mx)
-                                    r_band = A - T_band * two_mx
-                                    edge_band = r_band == (two_mx - 1)
-
-                                    if wide:
-                                        ownerT_ok = (A >= 0) & (T_band <= hK)
-                                        ownerN_ok = (A >= -1) & (T_band + 1 <= hK)
-                                        visited = in_line & (
-                                            (edge_band & ownerT_ok & ownerN_ok)
-                                            | (~edge_band & ownerT_ok)
-                                        )
-                                        alpha = jnp.where(visited, opacity * op, 0.0)
-                                        cur = pending_ref[pl.ds(r0, RB), col0 : col0 + 128]
-                                        pending_ref[pl.ds(r0, RB), col0 : col0 + 128] = jnp.fmax(cur, alpha)
-
-                                        # Boundary-band edge pixels (exactly one
-                                        # owner in range) need the real owner test;
-                                        # they only occur at segment ends on a
-                                        # 1-in-2mx column.
-                                        needs_exact = (
-                                            in_line & edge_band & (ownerT_ok ^ ownerN_ok)
-                                        )
-
-                                        @pl.when(jnp.any(needs_exact))
-                                        def _exact_boundary():
-                                            bc = jnp.clip(T_band, 0, hK)
-                                            k = jnp.clip(
-                                                (bc.astype(jnp.float32) * ratio).astype(jnp.int32), 0, K
-                                            )
-                                            two_mn = 2 * mn_d
-                                            c, rc = _divmod_f(two_mn * k + mx_d - 1, two_mx_f, two_mx)
-                                            g, rg = _divmod_f(two_mn * c + mx_d - 1, two_mx_f, two_mx)
-
-                                            def step_up(k, c, rc, g, rg):
-                                                rc2 = rc + two_mn
-                                                carry = rc2 >= two_mx
-                                                rc2 = jnp.where(carry, rc2 - two_mx, rc2)
-                                                rg2 = jnp.where(carry, rg + two_mn, rg)
-                                                gcarry = rg2 >= two_mx
-                                                rg2 = jnp.where(gcarry, rg2 - two_mx, rg2)
-                                                return (
-                                                    k + 1,
-                                                    jnp.where(carry, c + 1, c),
-                                                    rc2,
-                                                    jnp.where(carry & gcarry, g + 1, g),
-                                                    jnp.where(carry, rg2, rg),
-                                                )
-
-                                            def step_down(k, c, rc, g, rg):
-                                                rc2 = rc - two_mn
-                                                borrow = rc2 < 0
-                                                rc2 = jnp.where(borrow, rc2 + two_mx, rc2)
-                                                rg2 = jnp.where(borrow, rg - two_mn, rg)
-                                                gborrow = rg2 < 0
-                                                rg2 = jnp.where(gborrow, rg2 + two_mx, rg2)
-                                                return (
-                                                    k - 1,
-                                                    jnp.where(borrow, c - 1, c),
-                                                    rc2,
-                                                    jnp.where(borrow & gborrow, g - 1, g),
-                                                    jnp.where(borrow, rg2, rg),
-                                                )
-
-                                            state = (k, c, rc, g, rg)
-                                            for _i in range(1):
-                                                down = (state[0] > 0) & (state[0] + state[3] > bc)
-                                                nxt = step_down(*state)
-                                                state = tuple(
-                                                    jnp.where(down, n, o) for n, o in zip(nxt, state)
-                                                )
-                                            for _i in range(1):
-                                                nxt = step_up(*state)
-                                                up = (state[0] < K) & (nxt[0] + nxt[3] <= bc)
-                                                state = tuple(
-                                                    jnp.where(up, n, o) for n, o in zip(nxt, state)
-                                                )
-                                            k1, c1, rc1, g1, rg1 = state
-                                            is_gap = (k1 + g1) != bc
-                                            c_sel = jnp.where(is_gap, c1 + 1, c1)
-                                            s_mn_T = mn0 + mn_i * c_sel
-                                            dn_T = (MN - s_mn_T) * mn_i
-
-                                            bc2 = jnp.clip(T_band + 1, 0, hK)
-                                            nxt = step_up(k1, c1, rc1, g1, rg1)
-                                            take2 = (k1 < K) & (nxt[0] + nxt[3] <= bc2)
-                                            k2 = jnp.where(take2, nxt[0], k1)
-                                            c2 = jnp.where(take2, nxt[1], c1)
-                                            g2 = jnp.where(take2, nxt[3], g1)
-                                            is_gap2 = (k2 + g2) != bc2
-                                            c_sel2 = jnp.where(is_gap2, c2 + 1, c2)
-                                            s_mn_N = mn0 + mn_i * c_sel2
-                                            dn_N = (MN - s_mn_N) * mn_i
-
-                                            add = needs_exact & (
-                                                (ownerT_ok & (dn_T >= 0))
-                                                | (~ownerT_ok & (dn_N <= 0))
-                                            )
-                                            alpha2 = jnp.where(add, opacity * op, 0.0)
-                                            cur2 = pending_ref[pl.ds(r0, RB), col0 : col0 + 128]
-                                            pending_ref[pl.ds(r0, RB), col0 : col0 + 128] = jnp.fmax(
-                                                cur2, alpha2
-                                            )
-
-                                        return
-
-                                    bc = jnp.clip(T_band, 0, hK)
-                                    k = jnp.clip((bc.astype(jnp.float32) * ratio).astype(jnp.int32), 0, K)
-                                    two_mn = 2 * mn_d
-                                    c, rc = _divmod_f(two_mn * k + mx_d - 1, two_mx_f, two_mx)
-                                    g, rg = _divmod_f(two_mn * c + mx_d - 1, two_mx_f, two_mx)
-
-                                    def step_up(k, c, rc, g, rg):
-                                        rc = rc + two_mn
-                                        carry = rc >= two_mx
-                                        rc = jnp.where(carry, rc - two_mx, rc)
-                                        rg2 = jnp.where(carry, rg + two_mn, rg)
-                                        gcarry = rg2 >= two_mx
-                                        rg2 = jnp.where(gcarry, rg2 - two_mx, rg2)
-                                        return (
-                                            k + 1,
-                                            jnp.where(carry, c + 1, c),
-                                            rc,
-                                            jnp.where(carry & gcarry, g + 1, g),
-                                            jnp.where(carry, rg2, rg),
-                                        )
-
-                                    def step_down(k, c, rc, g, rg):
-                                        rc = rc - two_mn
-                                        borrow = rc < 0
-                                        rc = jnp.where(borrow, rc + two_mx, rc)
-                                        rg2 = jnp.where(borrow, rg - two_mn, rg)
-                                        gborrow = rg2 < 0
-                                        rg2 = jnp.where(gborrow, rg2 + two_mx, rg2)
-                                        return (
-                                            k - 1,
-                                            jnp.where(borrow, c - 1, c),
-                                            rc,
-                                            jnp.where(borrow & gborrow, g - 1, g),
-                                            jnp.where(borrow, rg2, rg),
-                                        )
-
-                                    # |k_est - k_owner| <= 1: verified exhaustively for
-                                    # mx <= 700 (all mn) and by dense random sweep up
-                                    # to the coordinate bound (tools + tests/test_spans),
-                                    # so one correction step each way suffices.
-                                    state = (k, c, rc, g, rg)
-                                    for _i in range(1):
-                                        down = (state[0] > 0) & (state[0] + state[3] > bc)
-                                        nxt = step_down(*state)
-                                        state = tuple(jnp.where(down, n, o) for n, o in zip(nxt, state))
-                                    for _i in range(1):
-                                        nxt = step_up(*state)
-                                        up = (state[0] < K) & (nxt[0] + nxt[3] <= bc)
-                                        state = tuple(jnp.where(up, n, o) for n, o in zip(nxt, state))
-                                    k, c, rc, g, rg = state
-                                    h_k = k + g
-                                    is_gap = h_k != bc
-                                    c_sel = jnp.where(is_gap, c + 1, c)
-                                    s_mn_T = mn0 + mn_i * c_sel
-                                    s_mx_T = mx0 + mx_i * k
-
-                                    in_slab = (A >= 0) & (T_band <= hK)
-                                    dn_T = (MN - s_mn_T) * mn_i
-
-                                    # The walk stops each perpendicular at its FIRST
-                                    # not-in-line pixel; round caps on dashes make
-                                    # in_line non-monotone along the perpendicular,
-                                    # so every intermediate perp pixel must be alive
-                                    # too.  Their closed-form positions (validated
-                                    # exhaustively against the walk, coverage_np.py):
-                                    # step j of branch mul sits at minor
-                                    # s_mn + mul*mn_i*j, major s_mx - mul*mx_i*C(j),
-                                    # C(j) = max(0, ceil((mul*pe + 2j*mn - mx)/2mx)),
-                                    # pe = 2c*mn - 2mx*max(0, ceil((2c*mn - mx)/2mx)).
-                                    JMAX_CHAIN = 12
-
-                                    def chain_alive(s_mn_v, s_mx_v, c_sel_v, mul_v, jv):
-                                        tcm = 2 * c_sel_v * mn_d
-                                        G = jnp.maximum(
-                                            0,
-                                            _floor_div_f(
-                                                tcm - mx_d + two_mx - 1, two_mx_f, two_mx
-                                            ),
-                                        )
-                                        e0 = mul_v * (tcm - two_mx * G)
-                                        ok = jv < jnp.int32(1 << 30)
-                                        for jp in range(1, JMAX_CHAIN):
-                                            Cjp = jnp.maximum(
-                                                0,
-                                                _floor_div_f(
-                                                    e0 + 2 * jp * mn_d - mx_d + two_mx - 1,
-                                                    two_mx_f,
-                                                    two_mx,
-                                                ),
-                                            )
-                                            minor = s_mn_v + mul_v * mn_i * jp
-                                            major = s_mx_v - mul_v * mx_i * Cjp
-                                            ok = ok & (alive_at(minor, major) | (jp >= jv))
-                                        return ok
-
-                                    def emit_visited(chain_on):
-                                        ok_T = in_slab & alive_at(s_mn_T, s_mx_T)
-                                        if chain_on:
-                                            mul_T = jnp.where(dn_T >= 0, 1, -1)
-                                            ok_T = ok_T & chain_alive(
-                                                s_mn_T, s_mx_T, c_sel, mul_T, jnp.abs(dn_T)
-                                            )
-                                        ok_Tf = ok_T & ((~edge_band) | (dn_T >= 0))
-                                        visited = in_line & ok_Tf
-                                        alpha = jnp.where(visited, opacity * op, 0.0)
-
-                                        cur = pending_ref[pl.ds(r0, RB), col0 : col0 + 128]
-                                        pending_ref[pl.ds(r0, RB), col0 : col0 + 128] = jnp.fmax(cur, alpha)
-
-                                        # Band-edge pixels (1 column in 2*mx) may belong
-                                        # to band T+1 via its mul=-1 branch; evaluate
-                                        # that owner only when such pixels exist here.
-                                        @pl.when(jnp.any(edge_band & in_line & ~visited))
-                                        def _edge_band_owner():
-                                            bc2 = jnp.clip(T_band + 1, 0, hK)
-                                            nxt = step_up(k, c, rc, g, rg)
-                                            take2 = (k < K) & (nxt[0] + nxt[3] <= bc2)
-                                            k2 = jnp.where(take2, nxt[0], k)
-                                            c2 = jnp.where(take2, nxt[1], c)
-                                            g2 = jnp.where(take2, nxt[3], g)
-                                            is_gap2 = (k2 + g2) != bc2
-                                            c_sel2 = jnp.where(is_gap2, c2 + 1, c2)
-                                            s_mn_N = mn0 + mn_i * c_sel2
-                                            s_mx_N = mx0 + mx_i * k2
-                                            dn_N = (MN - s_mn_N) * mn_i
-                                            ok_N = (
-                                                edge_band
-                                                & (A + 1 >= 0)
-                                                & (T_band + 1 <= hK)
-                                                & (dn_N <= 0)
-                                                & alive_at(s_mn_N, s_mx_N)
-                                            )
-                                            if chain_on:
-                                                ok_N = ok_N & chain_alive(
-                                                    s_mn_N, s_mx_N, c_sel2, -1, -dn_N
-                                                )
-                                            alpha2 = jnp.where(in_line & ok_N, opacity * op, 0.0)
-                                            cur2 = pending_ref[pl.ds(r0, RB), col0 : col0 + 128]
-                                            pending_ref[pl.ds(r0, RB), col0 : col0 + 128] = jnp.fmax(cur2, alpha2)
-
-                                    if solid:
-                                        emit_visited(False)
-                                    else:
-                                        # Per-segment runtime gate: the chain only
-                                        # matters for profiles with round caps.
-                                        @pl.when(~any_orig)
-                                        def _plain():
-                                            emit_visited(False)
-
-                                        @pl.when(any_orig)
-                                        def _with_chain():
-                                            emit_visited(True)
-
-                                if solid:
-                                    # Axis-aligned segments (mn_d == 0) collapse the whole
-                                    # ownership model: band T = m0 is its own perpendicular
-                                    # (c_k = g_k = 0, h(k) = k), there are no gap or edge
-                                    # bands (r_band = mx-1 != 2mx-1), and every owner start
-                                    # lies on the line (cd = 0, always alive), so
-                                    # visited = in_line & (0 <= m0 <= mx).  ~6x fewer vector
-                                    # ops on the dominant city-grid geometry.
-                                    @pl.when(mn_d == 0)
-                                    def _axis_aligned(col0=col0):
-                                        ys = r0 + rows_half
-                                        xsv = col0 + xs_half
-                                        raw = nc + sdy * xsv - sdx * ys
-                                        cd = jnp.abs(raw.astype(jnp.float32)) * inv_denom
-                                        op, in_line = stroke_opacity(cd, None)
-                                        MX = jnp.where(swap, xsv, ys)
-                                        m0v = (MX - mx0) * mx_i
-                                        visited = in_line & (m0v >= 0) & (m0v <= K)
-                                        alpha = jnp.where(visited, opacity * op, 0.0)
-                                        cur = pending_ref[pl.ds(r0, RB), col0 : col0 + 128]
-                                        pending_ref[pl.ds(r0, RB), col0 : col0 + 128] = jnp.fmax(cur, alpha)
-
-                                    pl.when(mn_d != 0)(_general_impl)
-                                else:
-                                    _general_impl()
-
-                        return 0
-
-                    lax.fori_loop(0, nbs, row_block, 0)
-                    return 0
-
-                lax.fori_loop(0, cnt, seg_step, 0)
-
-            # --------------- solid strokes: work-item path ---------------
-            # Host-precomputed items (_stroke_items): each is one
-            # (segment, 8-row block, 128-col half) window.  The kernel
-            # evaluates FOUR items per (32, 128) vector tile — item j
-            # occupies sublanes 8j..8j+7 with its own per-row-group
-            # parameters — which cuts the (32, 128)-per-segment waste of
-            # the row-block path ~4x on thin strokes.
-            def stroke_items_impl(wide: bool, dashed: bool = False):
-                cpi = pltpu.make_async_copy(
-                    items_ref.at[gi], items_smem, dma_sems.at[4]
-                )
-                cpi.start()
-                cpi.wait()
-
-                feather_to = jnp.fmax(hw + 0.5, 1.0)
-                om_pos = jnp.fmin(2.0 * hw, 1.0) > 0.0
-                grp_sel = sub_col >> 3       # (32, 1): item index 0..3
-                row_in = sub_col & 7
-
-                def vec4(a, b, c, d):
-                    return jnp.where(
-                        grp_sel == 0, a,
-                        jnp.where(grp_sel == 1, b, jnp.where(grp_sel == 2, c, d)),
-                    )
-
-                def eval_group(base, col0, general):
-                    ws, r0s = [], []
-                    p1xs, p1ys, p2xs, p2ys, invs, rats, hKs = ([] for _ in range(7))
-                    travs, pidxs = [], []
-                    for j in range(4):
-                        w = items_smem[0, base + j]
-                        wv = jnp.maximum(w, 0)
-                        sg = wv & 127
-                        r0 = ((wv >> 8) & 63) * RB_I
-                        ws.append(w)
-                        r0s.append(r0)
-                        p1xs.append(geom_smem[0, sg])
-                        p1ys.append(geom_smem[1, sg])
-                        p2xs.append(geom_smem[2, sg])
-                        p2ys.append(geom_smem[3, sg])
-                        invs.append(aux_smem[0, sg])
-                        rats.append(aux_smem[1, sg])
-                        hKs.append(aux_smem[2, sg])
-                        if dashed:
-                            travs.append(trav_smem[0, sg])
-                            pidxs.append(sprof_smem[0, sg])
-
-                    live = vec4(*[(w >= 0).astype(jnp.int32) for w in ws]) > 0
-                    p1x = vec4(*p1xs); p1y = vec4(*p1ys)
-                    p2x = vec4(*p2xs); p2y = vec4(*p2ys)
-                    inv_denom = vec4(*invs)
-                    ratio = vec4(*rats)
-                    hK = vec4(*hKs).astype(jnp.int32)
-                    r0_v = vec4(*r0s)
-
-                    dxs = jnp.abs(p2x - p1x)
-                    dys = jnp.abs(p2y - p1y)
-                    swap = dxs > dys
-                    mn0 = jnp.where(swap, p1y, p1x)
-                    mx0 = jnp.where(swap, p1x, p1y)
-                    mn_d = jnp.where(swap, dys, dxs)
-                    mx_d = jnp.maximum(jnp.where(swap, dxs, dys), 1)
-                    x_inc = jnp.where(p1x <= p2x, 1, -1)
-                    y_inc = jnp.where(p1y <= p2y, 1, -1)
-                    mn_i = jnp.where(swap, y_inc, x_inc)
-                    mx_i = jnp.where(swap, x_inc, y_inc)
-                    two_mx = 2 * mx_d
-                    two_mx_f = two_mx.astype(jnp.float32)
-                    two_mn = 2 * mn_d
-                    nc = p2x * p1y - p2y * p1x
-                    sdx = p2x - p1x
-                    sdy = p2y - p1y
-                    K = mx_d
-
-                    ys = r0_v + row_in                       # (32, 1)
-                    xsv = col0 + lane_col                    # (32, 128)
-                    raw = nc + sdy * xsv - sdx * ys
-                    cd = jnp.abs(raw.astype(jnp.float32)) * inv_denom
-                    op = _feather(cd, hw)
-                    in_line = (op > 0.0) & live
-                    MN = jnp.where(swap, ys + 0 * xsv, xsv)
-                    MX = jnp.where(swap, xsv, ys + 0 * xsv)
-
-                    if dashed:
-                        # Dash profile along the arc (per-seg path's
-                        # stroke_opacity, chain-free: hlw == hw so the
-                        # geometric masks above are untouched; only the
-                        # emitted alpha picks up min(sd_op, cd_op)).
-                        trav_v = vec4(*travs)
-                        dot = (xsv - p1x) * sdx + (ys - p1y) * sdy
-                        sd = jnp.abs(dot.astype(jnp.float32)) * inv_denom
-                        dist = trav_v + sd
-                        ptot = vec4(
-                            *[prof_total_s[pidxs[j]] for j in range(4)]
-                        )
-                        dist = jnp.where(
-                            ptot > 0.0,
-                            dist - jnp.floor(dist / ptot) * ptot,
-                            dist,
-                        )
-                        sd_op = jnp.zeros_like(cd)
-                        any_rows = jnp.zeros_like(dist) > 0.0  # all-False
-                        for i in range(DS):
-                            fld = []
-                            for f in range(8):
-                                fld.append(
-                                    vec4(
-                                        *[
-                                            prof_s[pidxs[j] * (DS * 8) + i * 8 + f]
-                                            for j in range(4)
-                                        ]
-                                    )
-                                )
-                            s_from, s_to, e_from, e_to, mul = fld[:5]
-                            in_range = (dist >= s_from) & (dist <= e_to)
-                            basev = jnp.where(
-                                dist <= s_to,
-                                (dist - s_from) / (s_to - s_from),
-                                jnp.where(
-                                    dist < e_from,
-                                    1.0,
-                                    (e_to - dist) / (e_to - e_from),
-                                ),
+                            emit(
+                                in_line
+                                & ((edge_band & ok_edge) | (~edge_band & in_slab_T))
                             )
-                            sd_op = jnp.fmax(
-                                sd_op, jnp.where(in_range, mul * basev, 0.0)
+                            return
+
+                        # dead path: full dead-start machinery.
+                        # The band-edge pixels' alternative owner (band
+                        # T+1's backward branch) is folded into the main
+                        # mask: alpha is owner-independent, so
+                        # emit(ok_T | ok_N) == the two-pass fmax, one RMW
+                        # cheaper and without an any()-reduce branch (edge
+                        # columns occur in most short-segment groups).
+                        bc = jnp.clip(T_band, 0, hK)
+                        k, c, rc, g, rg = invert(bc)
+                        h_k = k + g
+                        is_gap = h_k != bc
+                        c_sel = jnp.where(is_gap, c + 1, c)
+                        s_mn_T = mn0 + mn_i * c_sel
+                        s_mx_T = mx0 + mx_i * k
+                        in_slab = (A >= 0) & (T_band <= hK)
+                        dn_T = (MN - s_mn_T) * mn_i
+                        ok_T = in_slab & alive_at(s_mn_T, s_mx_T)
+                        ok_Tf = ok_T & ((~edge_band) | (dn_T >= 0))
+
+                        bc2 = jnp.clip(T_band + 1, 0, hK)
+                        nxt = step_up(k, c, rc, g, rg)
+                        take2 = (k < K) & (nxt[0] + nxt[3] <= bc2)
+                        k2 = jnp.where(take2, nxt[0], k)
+                        c2 = jnp.where(take2, nxt[1], c)
+                        g2 = jnp.where(take2, nxt[3], g)
+                        is_gap2 = (k2 + g2) != bc2
+                        c_sel2 = jnp.where(is_gap2, c2 + 1, c2)
+                        s_mn_N = mn0 + mn_i * c_sel2
+                        s_mx_N = mx0 + mx_i * k2
+                        dn_N = (MN - s_mn_N) * mn_i
+                        ok_N = (
+                            edge_band
+                            & (A + 1 >= 0)
+                            & (T_band + 1 <= hK)
+                            & (dn_N <= 0)
+                            & alive_at(s_mn_N, s_mx_N)
+                        )
+                        emit(in_line & (ok_Tf | ok_N))
+
+                    def do_section(slot, col0, mode):
+                        if slot > 0:
+                            start = isec_s[ch * NSEC + slot - 1]
+                        else:
+                            start = jnp.int32(0)
+                        end = isec_s[ch * NSEC + slot]
+                        n_grp = (end - start) >> 2
+
+                        def grp(gidx, _):
+                            eval_group(start + gidx * 4, col0, mode)
+                            return 0
+
+                        lax.fori_loop(0, n_grp, grp, 0)
+
+                    for half in range(n_halves):
+                        do_section(half, half * 128, "axis")
+                        do_section(4 + half, half * 128, "alive")
+                        do_section(8 + half, half * 128, "dead")
+
+                @pl.when(kind == KIND_STROKE)
+                def _stroke():
+                    stroke_impl(False)
+
+                @pl.when(kind == KIND_STROKE_SOLID)
+                def _stroke_solid():
+                    stroke_items_impl(dashed=False)
+
+                @pl.when(kind == KIND_STROKE_DASH)
+                def _stroke_dash_items():
+                    stroke_items_impl(dashed=True)
+
+                # ------------------------- blend -------------------------
+                @pl.when(last_s[ch] == 1)
+                def _blend():
+                    cr = color_r_s[ch]
+                    cg = color_g_s[ch]
+                    cb = color_b_s[ch]
+                    p0 = prim_y0_s[ch]
+                    pn = prim_nb_s[ch]
+
+                    @pl.when(pat_s[ch] < 0)
+                    def _blend_color():
+                        def blend_block(b, _):
+                            r0 = (p0 + b) * RB_F
+                            a = pending_ref[pl.ds(r0, RB_F), :]
+                            keep = 1.0 - a
+                            acc_ref[0, pl.ds(r0, RB_F), :] = a * cr + keep * acc_ref[0, pl.ds(r0, RB_F), :]
+                            acc_ref[1, pl.ds(r0, RB_F), :] = a * cg + keep * acc_ref[1, pl.ds(r0, RB_F), :]
+                            acc_ref[2, pl.ds(r0, RB_F), :] = a * cb + keep * acc_ref[2, pl.ds(r0, RB_F), :]
+                            acc_ref[3, pl.ds(r0, RB_F), :] = a + keep * acc_ref[3, pl.ds(r0, RB_F), :]
+                            pending_ref[pl.ds(r0, RB_F), :] = jnp.zeros((RB_F, ts), jnp.float32)
+                            return 0
+
+                        lax.fori_loop(0, pn, blend_block, 0)
+
+                    @pl.when((pat_s[ch] >= 0) & (kind == KIND_LAYER))
+                    def _blend_layer():
+                        # Host-rasterized premultiplied layer (oversize fills,
+                        # computed exactly in f64 by ops/coverage_np.py): plain
+                        # src-over of the pattern block, no pending mask.
+                        def blend_block(b, _):
+                            r0 = (p0 + b) * RB_F
+                            pa = pat_ref[0, 3, pl.ds(r0, RB_F), :]
+                            keep = 1.0 - pa
+                            acc_ref[0, pl.ds(r0, RB_F), :] = (
+                                pat_ref[0, 0, pl.ds(r0, RB_F), :]
+                                + keep * acc_ref[0, pl.ds(r0, RB_F), :]
                             )
-                            any_rows = any_rows | (s_from < jnp.float32(1e30))
-                        sd_op = jnp.where(any_rows, sd_op, 1.0)
-                        op_emit = jnp.fmin(sd_op, op)
-                    else:
-                        op_emit = op
-
-                    if not general:
-                        m0 = (MX - mx0) * mx_i
-                        visited = in_line & (m0 >= 0) & (m0 <= K)
-                        alpha = jnp.where(visited, opacity * op_emit, 0.0)
-                        for j in range(4):
-                            blk = alpha[j * 8 : (j + 1) * 8, :]
-                            cur = pending_ref[pl.ds(r0s[j], RB_I), col0 : col0 + 128]
-                            pending_ref[pl.ds(r0s[j], RB_I), col0 : col0 + 128] = (
-                                jnp.fmax(cur, blk)
+                            acc_ref[1, pl.ds(r0, RB_F), :] = (
+                                pat_ref[0, 1, pl.ds(r0, RB_F), :]
+                                + keep * acc_ref[1, pl.ds(r0, RB_F), :]
                             )
-                        return
-
-                    n0 = (MN - mn0) * mn_i
-                    m0 = (MX - mx0) * mx_i
-                    A = two_mn * n0 + two_mx * m0 + (mx_d - 1)
-                    T_band = _floor_div_f(A, two_mx_f, two_mx)
-                    r_band = A - T_band * two_mx
-                    edge_band = r_band == (two_mx - 1)
-
-                    def alive_at(s_mn, s_mx):
-                        s_x = jnp.where(swap, s_mx, s_mn)
-                        s_y = jnp.where(swap, s_mn, s_mx)
-                        raw_s = nc + sdy * s_x - sdx * s_y
-                        cd_s = jnp.abs(raw_s.astype(jnp.float32)) * inv_denom
-                        return (cd_s < feather_to) & om_pos
-
-                    def step_up(k, c, rc, g, rg):
-                        rc = rc + two_mn
-                        carry = rc >= two_mx
-                        rc = jnp.where(carry, rc - two_mx, rc)
-                        rg2 = jnp.where(carry, rg + two_mn, rg)
-                        gcarry = rg2 >= two_mx
-                        rg2 = jnp.where(gcarry, rg2 - two_mx, rg2)
-                        return (
-                            k + 1,
-                            jnp.where(carry, c + 1, c),
-                            rc,
-                            jnp.where(carry & gcarry, g + 1, g),
-                            jnp.where(carry, rg2, rg),
-                        )
-
-                    def step_down(k, c, rc, g, rg):
-                        rc = rc - two_mn
-                        borrow = rc < 0
-                        rc = jnp.where(borrow, rc + two_mx, rc)
-                        rg2 = jnp.where(borrow, rg - two_mn, rg)
-                        gborrow = rg2 < 0
-                        rg2 = jnp.where(gborrow, rg2 + two_mx, rg2)
-                        return (
-                            k - 1,
-                            jnp.where(borrow, c - 1, c),
-                            rc,
-                            jnp.where(borrow & gborrow, g - 1, g),
-                            jnp.where(borrow, rg2, rg),
-                        )
-
-                    def invert(bc):
-                        k = jnp.clip(
-                            (bc.astype(jnp.float32) * ratio).astype(jnp.int32), 0, K
-                        )
-                        c, rc = _divmod_f(two_mn * k + mx_d - 1, two_mx_f, two_mx)
-                        g, rg = _divmod_f(two_mn * c + mx_d - 1, two_mx_f, two_mx)
-                        state = (k, c, rc, g, rg)
-                        down = (state[0] > 0) & (state[0] + state[3] > bc)
-                        nxt = step_down(*state)
-                        state = tuple(
-                            jnp.where(down, n, o) for n, o in zip(nxt, state)
-                        )
-                        nxt = step_up(*state)
-                        up = (state[0] < K) & (nxt[0] + nxt[3] <= bc)
-                        state = tuple(
-                            jnp.where(up, n, o) for n, o in zip(nxt, state)
-                        )
-                        return state
-
-                    def emit(add_mask):
-                        alpha = jnp.where(add_mask, opacity * op_emit, 0.0)
-                        for j in range(4):
-                            blk = alpha[j * 8 : (j + 1) * 8, :]
-                            cur = pending_ref[pl.ds(r0s[j], RB_I), col0 : col0 + 128]
-                            pending_ref[pl.ds(r0s[j], RB_I), col0 : col0 + 128] = (
-                                jnp.fmax(cur, blk)
+                            acc_ref[2, pl.ds(r0, RB_F), :] = (
+                                pat_ref[0, 2, pl.ds(r0, RB_F), :]
+                                + keep * acc_ref[2, pl.ds(r0, RB_F), :]
                             )
-
-                    if wide:
-                        ownerT_ok = (A >= 0) & (T_band <= hK)
-                        ownerN_ok = (A >= -1) & (T_band + 1 <= hK)
-                        visited = in_line & (
-                            (edge_band & ownerT_ok & ownerN_ok)
-                            | (~edge_band & ownerT_ok)
-                        )
-                        emit(visited)
-
-                        needs_exact = (
-                            in_line & edge_band & (ownerT_ok ^ ownerN_ok)
-                        )
-
-                        @pl.when(jnp.any(needs_exact))
-                        def _exact_boundary():
-                            bc = jnp.clip(T_band, 0, hK)
-                            k1, c1, rc1, g1, rg1 = invert(bc)
-                            is_gap = (k1 + g1) != bc
-                            c_sel = jnp.where(is_gap, c1 + 1, c1)
-                            s_mn_T = mn0 + mn_i * c_sel
-                            dn_T = (MN - s_mn_T) * mn_i
-
-                            bc2 = jnp.clip(T_band + 1, 0, hK)
-                            nxt = step_up(k1, c1, rc1, g1, rg1)
-                            take2 = (k1 < K) & (nxt[0] + nxt[3] <= bc2)
-                            k2 = jnp.where(take2, nxt[0], k1)
-                            c2 = jnp.where(take2, nxt[1], c1)
-                            g2 = jnp.where(take2, nxt[3], g1)
-                            is_gap2 = (k2 + g2) != bc2
-                            c_sel2 = jnp.where(is_gap2, c2 + 1, c2)
-                            s_mn_N = mn0 + mn_i * c_sel2
-                            dn_N = (MN - s_mn_N) * mn_i
-
-                            add = needs_exact & (
-                                (ownerT_ok & (dn_T >= 0))
-                                | (~ownerT_ok & (dn_N <= 0))
+                            acc_ref[3, pl.ds(r0, RB_F), :] = (
+                                pa + keep * acc_ref[3, pl.ds(r0, RB_F), :]
                             )
-                            emit(add)
+                            return 0
 
-                        return
+                        lax.fori_loop(0, pn, blend_block, 0)
 
-                    # thin general path: full dead-start machinery.
-                    # The band-edge pixels' alternative owner (band
-                    # T+1's backward branch) is folded into the main
-                    # mask: alpha is owner-independent, so
-                    # emit(ok_T | ok_N) == the two-pass fmax, one RMW
-                    # cheaper and without an any()-reduce branch (edge
-                    # columns occur in most short-segment groups).
-                    bc = jnp.clip(T_band, 0, hK)
-                    k, c, rc, g, rg = invert(bc)
-                    h_k = k + g
-                    is_gap = h_k != bc
-                    c_sel = jnp.where(is_gap, c + 1, c)
-                    s_mn_T = mn0 + mn_i * c_sel
-                    s_mx_T = mx0 + mx_i * k
-                    in_slab = (A >= 0) & (T_band <= hK)
-                    dn_T = (MN - s_mn_T) * mn_i
-                    ok_T = in_slab & alive_at(s_mn_T, s_mx_T)
-                    ok_Tf = ok_T & ((~edge_band) | (dn_T >= 0))
+                    @pl.when((pat_s[ch] >= 0) & (kind != KIND_LAYER))
+                    def _blend_pattern():
+                        # Tiled fill-image generation (fill.rs:36-40 semantics):
+                        # the per-pixel source is the premultiplied icon sample;
+                        # fill opacity is ignored, exactly like the reference.
+                        def blend_block(b, _):
+                            r0 = (p0 + b) * RB_F
+                            mask = pending_ref[pl.ds(r0, RB_F), :]
+                            pa = pat_ref[0, 3, pl.ds(r0, RB_F), :]
+                            keep = 1.0 - mask * pa
+                            acc_ref[0, pl.ds(r0, RB_F), :] = (
+                                mask * pat_ref[0, 0, pl.ds(r0, RB_F), :]
+                                + keep * acc_ref[0, pl.ds(r0, RB_F), :]
+                            )
+                            acc_ref[1, pl.ds(r0, RB_F), :] = (
+                                mask * pat_ref[0, 1, pl.ds(r0, RB_F), :]
+                                + keep * acc_ref[1, pl.ds(r0, RB_F), :]
+                            )
+                            acc_ref[2, pl.ds(r0, RB_F), :] = (
+                                mask * pat_ref[0, 2, pl.ds(r0, RB_F), :]
+                                + keep * acc_ref[2, pl.ds(r0, RB_F), :]
+                            )
+                            acc_ref[3, pl.ds(r0, RB_F), :] = (
+                                mask * pa + keep * acc_ref[3, pl.ds(r0, RB_F), :]
+                            )
+                            pending_ref[pl.ds(r0, RB_F), :] = jnp.zeros((RB_F, ts), jnp.float32)
+                            return 0
 
-                    bc2 = jnp.clip(T_band + 1, 0, hK)
-                    nxt = step_up(k, c, rc, g, rg)
-                    take2 = (k < K) & (nxt[0] + nxt[3] <= bc2)
-                    k2 = jnp.where(take2, nxt[0], k)
-                    c2 = jnp.where(take2, nxt[1], c)
-                    g2 = jnp.where(take2, nxt[3], g)
-                    is_gap2 = (k2 + g2) != bc2
-                    c_sel2 = jnp.where(is_gap2, c2 + 1, c2)
-                    s_mn_N = mn0 + mn_i * c_sel2
-                    s_mx_N = mx0 + mx_i * k2
-                    dn_N = (MN - s_mn_N) * mn_i
-                    ok_N = (
-                        edge_band
-                        & (A + 1 >= 0)
-                        & (T_band + 1 <= hK)
-                        & (dn_N <= 0)
-                        & alive_at(s_mn_N, s_mx_N)
-                    )
-                    emit(in_line & (ok_Tf | ok_N))
+                        lax.fori_loop(0, pn, blend_block, 0)
 
-                def do_section(slot, col0, general):
-                    if slot > 0:
-                        start = isec_s[ch * 8 + slot - 1]
-                    else:
-                        start = jnp.int32(0)
-                    end = isec_s[ch * 8 + slot]
-                    n_grp = (end - start) >> 2
-
-                    def grp(gidx, _):
-                        eval_group(start + gidx * 4, col0, general)
-                        return 0
-
-                    lax.fori_loop(0, n_grp, grp, 0)
-
-                for half in range(n_halves):
-                    do_section(half, half * 128, False)
-                    do_section(4 + half, half * 128, True)
-
-            @pl.when(kind == KIND_STROKE)
-            def _stroke():
-                stroke_impl(False)
-
-            @pl.when(kind == KIND_STROKE_SOLID)
-            def _stroke_solid():
-                stroke_items_impl(False)
-
-            @pl.when(kind == KIND_STROKE_SOLID_WIDE)
-            def _stroke_solid_wide():
-                stroke_items_impl(True)
-
-            @pl.when(kind == KIND_STROKE_DASH)
-            def _stroke_dash_items():
-                stroke_items_impl(False, dashed=True)
-
-            @pl.when(kind == KIND_STROKE_DASH_WIDE)
-            def _stroke_dash_items_wide():
-                stroke_items_impl(True, dashed=True)
-
-            # ------------------------- blend -------------------------
-            @pl.when(last_s[ch] == 1)
-            def _blend():
-                cr = color_r_s[ch]
-                cg = color_g_s[ch]
-                cb = color_b_s[ch]
-                p0 = prim_y0_s[ch]
-                pn = prim_nb_s[ch]
-
-                @pl.when(pat_s[ch] < 0)
-                def _blend_color():
-                    def blend_block(b, _):
-                        r0 = (p0 + b) * RB_F
-                        a = pending_ref[pl.ds(r0, RB_F), :]
-                        keep = 1.0 - a
-                        acc_ref[0, pl.ds(r0, RB_F), :] = a * cr + keep * acc_ref[0, pl.ds(r0, RB_F), :]
-                        acc_ref[1, pl.ds(r0, RB_F), :] = a * cg + keep * acc_ref[1, pl.ds(r0, RB_F), :]
-                        acc_ref[2, pl.ds(r0, RB_F), :] = a * cb + keep * acc_ref[2, pl.ds(r0, RB_F), :]
-                        acc_ref[3, pl.ds(r0, RB_F), :] = a + keep * acc_ref[3, pl.ds(r0, RB_F), :]
-                        pending_ref[pl.ds(r0, RB_F), :] = jnp.zeros((RB_F, ts), jnp.float32)
-                        return 0
-
-                    lax.fori_loop(0, pn, blend_block, 0)
-
-                @pl.when((pat_s[ch] >= 0) & (kind == KIND_LAYER))
-                def _blend_layer():
-                    # Host-rasterized premultiplied layer (oversize fills,
-                    # computed exactly in f64 by ops/coverage_np.py): plain
-                    # src-over of the pattern block, no pending mask.
-                    def blend_block(b, _):
-                        r0 = (p0 + b) * RB_F
-                        pa = pat_ref[0, 3, pl.ds(r0, RB_F), :]
-                        keep = 1.0 - pa
-                        acc_ref[0, pl.ds(r0, RB_F), :] = (
-                            pat_ref[0, 0, pl.ds(r0, RB_F), :]
-                            + keep * acc_ref[0, pl.ds(r0, RB_F), :]
-                        )
-                        acc_ref[1, pl.ds(r0, RB_F), :] = (
-                            pat_ref[0, 1, pl.ds(r0, RB_F), :]
-                            + keep * acc_ref[1, pl.ds(r0, RB_F), :]
-                        )
-                        acc_ref[2, pl.ds(r0, RB_F), :] = (
-                            pat_ref[0, 2, pl.ds(r0, RB_F), :]
-                            + keep * acc_ref[2, pl.ds(r0, RB_F), :]
-                        )
-                        acc_ref[3, pl.ds(r0, RB_F), :] = (
-                            pa + keep * acc_ref[3, pl.ds(r0, RB_F), :]
-                        )
-                        return 0
-
-                    lax.fori_loop(0, pn, blend_block, 0)
-
-                @pl.when((pat_s[ch] >= 0) & (kind != KIND_LAYER))
-                def _blend_pattern():
-                    # Tiled fill-image generation (fill.rs:36-40 semantics):
-                    # the per-pixel source is the premultiplied icon sample;
-                    # fill opacity is ignored, exactly like the reference.
-                    def blend_block(b, _):
-                        r0 = (p0 + b) * RB_F
-                        mask = pending_ref[pl.ds(r0, RB_F), :]
-                        pa = pat_ref[0, 3, pl.ds(r0, RB_F), :]
-                        keep = 1.0 - mask * pa
-                        acc_ref[0, pl.ds(r0, RB_F), :] = (
-                            mask * pat_ref[0, 0, pl.ds(r0, RB_F), :]
-                            + keep * acc_ref[0, pl.ds(r0, RB_F), :]
-                        )
-                        acc_ref[1, pl.ds(r0, RB_F), :] = (
-                            mask * pat_ref[0, 1, pl.ds(r0, RB_F), :]
-                            + keep * acc_ref[1, pl.ds(r0, RB_F), :]
-                        )
-                        acc_ref[2, pl.ds(r0, RB_F), :] = (
-                            mask * pat_ref[0, 2, pl.ds(r0, RB_F), :]
-                            + keep * acc_ref[2, pl.ds(r0, RB_F), :]
-                        )
-                        acc_ref[3, pl.ds(r0, RB_F), :] = (
-                            mask * pa + keep * acc_ref[3, pl.ds(r0, RB_F), :]
-                        )
-                        pending_ref[pl.ds(r0, RB_F), :] = jnp.zeros((RB_F, ts), jnp.float32)
-                        return 0
-
-                    lax.fori_loop(0, pn, blend_block, 0)
 
             # On the tile's final chunk, finalize the f32 accumulator to
             # the u8 output block (same math the XLA epilogue used; doing
@@ -1649,7 +1714,10 @@ def make_render_kernel(ts: int):
 
             return 0
 
-        lax.fori_loop(0, GROUP, chunk_body, 0)
+        if GROUP == 1:
+            chunk_body(0, 0)  # no scalar loop around a single chunk
+        else:
+            lax.fori_loop(0, GROUP, chunk_body, 0)
 
     return kernel
 
@@ -1721,14 +1789,12 @@ def _render_body(kernel, b, canvas_rgb, ts: int, T: int, interpret: bool):
         (kind_step == KIND_STROKE) | is_dash_item, axis=1
     ).astype(jnp.int32)
     step_stroke = jnp.any(
-        ((kind_step >= KIND_STROKE) & (kind_step <= KIND_STROKE_SOLID_WIDE))
+        ((kind_step >= KIND_STROKE) & (kind_step <= KIND_STROKE_SOLID))
         | is_dash_item,
         axis=1,
     ).astype(jnp.int32)
     step_solid = jnp.any(
-        (kind_step == KIND_STROKE_SOLID)
-        | (kind_step == KIND_STROKE_SOLID_WIDE)
-        | is_dash_item,
+        (kind_step == KIND_STROKE_SOLID) | is_dash_item,
         axis=1,
     ).astype(jnp.int32)
 

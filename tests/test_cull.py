@@ -146,14 +146,26 @@ def test_stroke_items_cover_paint_windows():
         items, isec = _stroke_items(g, hw, ts)
         counts = _stroke_item_counts(g, hw, ts)
         live = items[items >= 0]
-        assert len(live) == counts.sum()
+        # Sections are padded to a 4-multiple with DUPLICATES of their
+        # last real item (re-evaluation is a no-op under the fmax emit),
+        # so the live total exceeds the budget count by the padding only.
+        assert counts.sum() <= len(live) <= counts.sum() + 3 * len(isec)
+        bounds = [0] + [int(v) for v in isec]
+        n_pad = 0
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            sec = items[lo:hi]
+            k = len(sec)
+            while k > 1 and sec[k - 1] == sec[k - 2]:
+                k -= 1
+                n_pad += 1
+        assert len(live) == counts.sum() + n_pad
         assert (isec[1:] >= isec[:-1]).all() if len(isec) > 1 else True
-        assert isec[7] == len(items)
+        assert isec[11] == len(items)
         # every section boundary is 4-aligned
         assert all(int(v) % 4 == 0 for v in isec)
         # decode and verify each live item window intersects its
         # segment's margin bbox
-        m = int(np.ceil(hw)) + 2
+        m = int(np.ceil(hw)) + 1
         sg = live & 127
         r8 = (live >> 8) & 63
         x1, y1, x2, y2 = g[sg, 0], g[sg, 1], g[sg, 2], g[sg, 3]
