@@ -218,42 +218,14 @@ def assemble_tile_chunks_native(
     def c3(color):
         return (color[0] / 255.0, color[1] / 255.0, color[2] / 255.0)
 
-    # Pass 1: fills.
-    for entity, style in styled:
-        if style.fill_color is not None or style.fill_image is not None:
-            op = style.fill_opacity if style.fill_opacity is not None else 1.0
-            pat_idx = -1
-            if style.fill_color is None:
-                # Icon fill.
-                if patterns is None or patterns.icon_cache is None:
-                    has_icon_fills = True
-                    continue
-                got = patterns.index_for(style.fill_image)
-                if got is None:
-                    continue  # unloadable icon: the reference draws nothing
-                pat_idx = got
-            color = style.fill_color if style.fill_color is not None else (0, 0, 0)
-            key = rq.key_for(("fill", color, op, style.fill_image))
-            rq.kind.append(0)
-            rq.style_key.append(key)
-            rq.color.append(c3(color))
-            rq.opacity.append(op)
-            rq.hw.append(0.0)
-            rq.body_pidx.append(-1)
-            rq.outer_pidx.append(-1)
-            rq.cap.append(0)
-            rq.force_layer.append(0)
-            rq.pat.append(pat_idx)
-            rq.req_rings.append(add_rings(entity))
-            rq.entity.append(entity)
-            rq.dashes.append(None)
-            rq.use_caps.append(False)
-
-    # Pass 2 casings, pass 3 strokes (ways only).  Per-request work is
-    # one memo hit + two appends: the style payload (key, profiles,
-    # color, flags) is resolved once per shared Style object per pass.
+    # Request building: ONE pass over the styled list with a per-Style
+    # memo (styles are shared objects via the style cache, so the
+    # payload — keys, profile indices, colors, flags — resolves once per
+    # distinct style; per (entity, style) work is a dict hit plus list
+    # appends).  Rows collect into three lists that concatenate in the
+    # reference's pass order Fill -> Casing -> Stroke (drawer.rs:93-100);
+    # within each pass the styled order is preserved.
     use_caps = styler.use_caps_for_dashes
-    stroke_rows = rq.stroke_rows = []
 
     def stroke_meta(width, color, opacity, dashes, cap):
         hw = width / 2.0
@@ -267,46 +239,89 @@ def assemble_tile_chunks_native(
         return (
             (1, key, r, g, b, opacity, hw, body, outer, cap, force, -1),
             dashes_t,
+            use_caps,
         )
 
+    _ICON_SKIP = "icon-skip"  # icon fill with no pattern table: CPU fallback
+
+    def fill_meta(style):
+        op = style.fill_opacity if style.fill_opacity is not None else 1.0
+        pat_idx = -1
+        if style.fill_color is None:
+            if patterns is None or patterns.icon_cache is None:
+                return _ICON_SKIP
+            got = patterns.index_for(style.fill_image)
+            if got is None:
+                return None  # unloadable icon: the reference draws nothing
+            pat_idx = got
+        color = style.fill_color if style.fill_color is not None else (0, 0, 0)
+        key = rq.key_for(("fill", color, op, style.fill_image))
+        r, g, b = c3(color)
+        return ((0, key, r, g, b, op, 0.0, -1, -1, 0, 0, pat_idx), None, False)
+
+    fill_memo: dict = {}
     casing_memo: dict = {}
     stroke_memo: dict = {}
+    fill_rows: list = []
+    casing_rows: list = []
+    stroke_rows: list = []
+    _MISS = object()
     for entity, style in styled:
-        if (
-            isinstance(entity, Way)
-            and style.casing_color is not None
-            and style.casing_width is not None
-        ):
-            meta = casing_memo.get(id(style))
-            if meta is None:
-                meta = stroke_meta(
-                    style.casing_width * scale, style.casing_color, 1.0,
-                    [d * scale for d in style.casing_dashes]
-                    if style.casing_dashes is not None
-                    else None,
-                    _CAP_TO_INT[style.casing_line_cap],
-                )
-                casing_memo[id(style)] = meta
-            stroke_rows.append((meta, add_rings(entity), entity))
-    for entity, style in styled:
-        if isinstance(entity, Way) and style.color is not None:
-            meta = stroke_memo.get(id(style))
-            if meta is None:
-                meta = stroke_meta(
-                    scale * (style.width if style.width is not None else 1.0),
-                    style.color,
-                    style.opacity if style.opacity is not None else 1.0,
-                    [d * scale for d in style.dashes]
-                    if style.dashes is not None
-                    else None,
-                    _CAP_TO_INT[style.line_cap],
-                )
-                stroke_memo[id(style)] = meta
-            stroke_rows.append((meta, add_rings(entity), entity))
+        sid = id(style)
+        if style.fill_color is not None or style.fill_image is not None:
+            fm = fill_memo.get(sid, _MISS)
+            if fm is _MISS:
+                fm = fill_memo[sid] = fill_meta(style)
+            if fm is _ICON_SKIP:
+                has_icon_fills = True
+            elif fm is not None:
+                fill_rows.append((fm, add_rings(entity), entity))
+        if type(entity) is Way:
+            has_c = (
+                style.casing_color is not None and style.casing_width is not None
+            )
+            has_s = style.color is not None
+            if has_c or has_s:
+                rings = add_rings(entity)
+                # Profile-table indices must be assigned in the Python
+                # pipeline's pass order (every casing profile before any
+                # stroke profile), so the memo cells here are resolved
+                # in a deferred pass below, in first-encounter order.
+                if has_c:
+                    cm = casing_memo.get(sid)
+                    if cm is None:
+                        cm = casing_memo[sid] = [None, style]
+                    casing_rows.append((cm, rings, entity))
+                if has_s:
+                    sm = stroke_memo.get(sid)
+                    if sm is None:
+                        sm = stroke_memo[sid] = [None, style]
+                    stroke_rows.append((sm, rings, entity))
 
-    if stroke_rows:
-        rows = [m[0] for (m, _, _) in stroke_rows]
-        c = list(zip(*rows))
+    for cell in casing_memo.values():
+        st = cell[1]
+        cell[0] = stroke_meta(
+            st.casing_width * scale, st.casing_color, 1.0,
+            [d * scale for d in st.casing_dashes]
+            if st.casing_dashes is not None
+            else None,
+            _CAP_TO_INT[st.casing_line_cap],
+        )
+    for cell in stroke_memo.values():
+        st = cell[1]
+        cell[0] = stroke_meta(
+            scale * (st.width if st.width is not None else 1.0),
+            st.color,
+            st.opacity if st.opacity is not None else 1.0,
+            [d * scale for d in st.dashes] if st.dashes is not None else None,
+            _CAP_TO_INT[st.line_cap],
+        )
+
+    all_rows = fill_rows + [
+        (cell[0], r, e) for (cell, r, e) in casing_rows
+    ] + [(cell[0], r, e) for (cell, r, e) in stroke_rows]
+    if all_rows:
+        c = list(zip(*(m[0] for (m, _, _) in all_rows)))
         rq.kind.extend(c[0])
         rq.style_key.extend(c[1])
         rq.color.extend(zip(c[2], c[3], c[4]))
@@ -317,10 +332,10 @@ def assemble_tile_chunks_native(
         rq.cap.extend(c[9])
         rq.force_layer.extend(c[10])
         rq.pat.extend(c[11])
-        rq.req_rings.extend(r for (_, r, _) in stroke_rows)
-        rq.entity.extend(e for (_, _, e) in stroke_rows)
-        rq.dashes.extend(m[1] for (m, _, _) in stroke_rows)
-        rq.use_caps.extend(use_caps for _ in stroke_rows)
+        rq.req_rings.extend(r for (_, r, _) in all_rows)
+        rq.entity.extend(e for (_, _, e) in all_rows)
+        rq.dashes.extend(m[1] for (m, _, _) in all_rows)
+        rq.use_caps.extend(m[2] for (m, _, _) in all_rows)
 
     n_req = len(rq.kind)
     refs_ids = (

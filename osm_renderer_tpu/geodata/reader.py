@@ -21,6 +21,8 @@ from osm_renderer_tpu.core.tile import (
     tile_to_max_zoom_tile_range,
 )
 
+_MISSING = object()
+
 _NODE_DTYPE = np.dtype(
     [("id", "<u8"), ("lat", "<f8"), ("lon", "<f8"), ("tags", "<u4", (2,))]
 )
@@ -200,10 +202,34 @@ class Multipolygon:
         return True
 
 
-class OsmEntities(NamedTuple):
-    nodes: List[Node]
-    ways: List[Way]
-    multipolygons: List[Multipolygon]
+class OsmEntities:
+    """Entity views for one 3x3 tile query (`reader.rs:60-100`).
+
+    Node views materialize lazily: only the label path styles nodes
+    (`drawer.rs:107-116`), and a z15 batch query returns ~3k node ids
+    per tile whose eager materialization used to dominate the fetch.
+    Way/multipolygon views come memoized from the reader, so the 3x3
+    neighborhood overlap across a tile batch reuses the same view
+    objects (and downstream id()-keyed memos hit)."""
+
+    __slots__ = ("_reader", "_node_ids", "_osm_ids", "_nodes", "ways", "multipolygons")
+
+    def __init__(self, reader, node_ids, ways, multipolygons, osm_ids=None):
+        self._reader = reader
+        self._node_ids = node_ids
+        self._osm_ids = osm_ids
+        self._nodes = None
+        self.ways = ways
+        self.multipolygons = multipolygons
+
+    @property
+    def nodes(self) -> List[Node]:
+        if self._nodes is None:
+            nodes = [Node(self._reader, int(i)) for i in self._node_ids]
+            if self._osm_ids is not None:
+                nodes = [n for n in nodes if n.global_id in self._osm_ids]
+            self._nodes = nodes
+        return self._nodes
 
 
 class OsmEntityIds(NamedTuple):
@@ -237,6 +263,11 @@ class GeodataReader:
         self.ints = np.frombuffer(buf, "<u4", int_count, pos)
         pos += 4 * int_count
         self.strings = buf[pos:]
+        # Memoized way/multipolygon views (local id -> view); entity
+        # views are immutable value objects over the mmap, so reuse
+        # across tile queries is safe (empty multipolygons memo None).
+        self._way_views: dict = {}
+        self._mp_views: dict = {}
 
         # Combined sort key for the (x, y)-sorted tile index.
         self._tile_keys = (self.tiles["x"].astype(np.uint64) << np.uint64(32)) | self.tiles[
@@ -299,15 +330,27 @@ class GeodataReader:
         way_ids = np.unique(ids.ways)
         mp_ids = np.unique(ids.multipolygons)
 
-        nodes = [Node(self, int(i)) for i in node_ids]
-        ways = [Way(self, int(i)) for i in way_ids]
-        mps = [m for m in (Multipolygon(self, int(i)) for i in mp_ids) if m.polygon_count() > 0]
+        wmemo = self._way_views
+        ways = []
+        for i in way_ids.tolist():
+            w = wmemo.get(i)
+            if w is None:
+                w = wmemo[i] = Way(self, i)
+            ways.append(w)
+        mmemo = self._mp_views
+        mps = []
+        for i in mp_ids.tolist():
+            m = mmemo.get(i, _MISSING)
+            if m is _MISSING:
+                mp = Multipolygon(self, i)
+                m = mmemo[i] = mp if mp.polygon_count() > 0 else None
+            if m is not None:
+                mps.append(m)
 
         if osm_ids is not None:
-            nodes = [n for n in nodes if n.global_id in osm_ids]
             ways = [w for w in ways if w.global_id in osm_ids]
             mps = [m for m in mps if m.global_id in osm_ids]
-        return OsmEntities(nodes, ways, mps)
+        return OsmEntities(self, node_ids, ways, mps, osm_ids)
 
     # -- bulk accessors for the device feed --
 

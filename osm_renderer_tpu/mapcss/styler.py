@@ -220,37 +220,84 @@ class Styler:
         self.casing_width_multiplier = 1.0 if style_type == "mapsme" else 2.0
         self.font_size_multiplier = font_size_multiplier
         self.style_cache = StyleCache(rules)
+        # Styled-row memo: (entity class, local id, zoom) -> list of
+        # ((entity, style), sort_key, labels_sort_key), weakly keyed by
+        # reader.  An entity is styled in up to 9 neighboring tiles per
+        # batch; this skips cache-key reconstruction AND per-sort key()
+        # calls on every revisit (the serving cold path's hottest loop).
+        # The memoized entity view is reused verbatim — views are value
+        # objects over the mmap (reader + local id), so identity reuse
+        # is safe and lets downstream id()-keyed memos hit across tiles.
+        import weakref
+
+        self._rows_memo: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+    def _styled_rows(self, entities, zoom: int):
+        rows: list = []
+        memo_all = self._rows_memo
+        d = None
+        for entity in entities:
+            if d is None:
+                d = memo_all.get(entity.reader)
+                if d is None:
+                    d = {}
+                    memo_all[entity.reader] = d
+            k = (entity.__class__, entity.local_id, zoom)
+            got = d.get(k)
+            if got is None:
+                cached = self.style_cache.get(entity, zoom)
+                if cached is None:
+                    cached = self._compute_styles(entity, zoom)
+                    self.style_cache.insert(entity, zoom, cached)
+                gid = entity.global_id
+                got = [
+                    (
+                        (entity, s),
+                        (
+                            s.layer if s.layer is not None else 0,
+                            s.is_foreground_fill,
+                            s.z_index,
+                            gid,
+                        ),
+                        (s.layer if s.layer is not None else 0, s.z_index, gid),
+                    )
+                    for s in cached
+                ]
+                d[k] = got
+            rows.extend(got)
+        return rows
 
     def style_entities(self, entities, zoom: int, for_labels: bool):
-        styled: List[Tuple[object, Style]] = []
-        for entity in entities:
-            cached = self.style_cache.get(entity, zoom)
-            if cached is None:
-                cached = self._compute_styles(entity, zoom)
-                self.style_cache.insert(entity, zoom, cached)
-            for s in cached:
-                styled.append((entity, s))
-        styled.sort(key=_sort_key(for_labels))
-        return styled
+        import operator
+
+        rows = self._styled_rows(entities, zoom)
+        rows.sort(key=operator.itemgetter(2 if for_labels else 1))
+        return [r[0] for r in rows]
 
     def style_areas(self, ways, multipolygons, zoom: int, for_labels: bool):
         """Merge independently-styled ways and multipolygons into one
         paint-order list (`styler.rs:168-203`); ties prefer the
         multipolygon, matching the reference's merge."""
-        styled_ways = self.style_entities(ways, zoom, for_labels)
-        styled_mps = self.style_entities(multipolygons, zoom, for_labels)
-        key = _sort_key(for_labels)
+        import operator
+
+        col = 2 if for_labels else 1
+        key = operator.itemgetter(col)
+        rw = self._styled_rows(ways, zoom)
+        rw.sort(key=key)
+        rm = self._styled_rows(multipolygons, zoom)
+        rm.sort(key=key)
         result = []
         wi = mi = 0
-        while wi < len(styled_ways) or mi < len(styled_mps):
-            if mi >= len(styled_mps):
-                result.append(styled_ways[wi]); wi += 1
-            elif wi >= len(styled_ways):
-                result.append(styled_mps[mi]); mi += 1
-            elif key(styled_mps[mi]) <= key(styled_ways[wi]):
-                result.append(styled_mps[mi]); mi += 1
+        nw, nm = len(rw), len(rm)
+        while wi < nw or mi < nm:
+            if mi >= nm:
+                result.append(rw[wi][0]); wi += 1
+            elif wi >= nw:
+                result.append(rm[mi][0]); mi += 1
+            elif rm[mi][col] <= rw[wi][col]:
+                result.append(rm[mi][0]); mi += 1
             else:
-                result.append(styled_ways[wi]); wi += 1
+                result.append(rw[wi][0]); wi += 1
         return result
 
     def _compute_styles(self, entity, zoom: int) -> List[Style]:
@@ -291,27 +338,6 @@ class Styler:
                             for prop in rule.properties:
                                 v[prop.name] = prop.value
         return result
-
-
-def _sort_key(for_labels: bool):
-    if for_labels:
-        def key(item):
-            entity, style = item
-            return (
-                style.layer if style.layer is not None else 0,
-                style.z_index,
-                entity.global_id,
-            )
-    else:
-        def key(item):
-            entity, style = item
-            return (
-                style.layer if style.layer is not None else 0,
-                style.is_foreground_fill,
-                style.z_index,
-                entity.global_id,
-            )
-    return key
 
 
 def _warn(entity, prop_name: str, val, msg: str) -> None:

@@ -105,6 +105,15 @@ class BatchRenderer:
             from osm_renderer_tpu.draw.labels.icons import IconCache
 
             self.icon_cache = IconCache(stylesheet_dir)
+        if backend == "pallas":
+            # Eager import: pallas (and the native assembler) load at
+            # construction — server/bench startup — not inside the first
+            # prepare(), which would otherwise charge ~1 s of one-time
+            # module imports to the first request's cold-assembly time.
+            from osm_renderer_tpu.draw import native_assembler as _na  # noqa: F401
+            from osm_renderer_tpu.ops import render_pallas as _rp  # noqa: F401
+
+            _na.get_native()
 
     def prepare(
         self, tiles_entities: Sequence[Tuple[object, Tile]], scale: int = 1
