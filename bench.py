@@ -182,10 +182,17 @@ def main():
     # Steady-state serving pipelines device readback + host encode of
     # batch N against the (async-dispatched) render of batch N+1, so
     # throughput is the max of the stages, not their sum.
+    # Serving renderer: device-resident chunk arena (the server's
+    # configuration) — warm batches upload one small packed buffer
+    # instead of re-shipping the chunk arrays over the tunnel.
+    srv = BatchRenderer(
+        styler, backend="pallas", chunk_cache_tiles=256, arena=True
+    )
+
     def e2e_pipelined(n_batches: int, fetch_entities: bool, labeler=None):
         def encode(te, res):
             # Compressed readback: only the RLE wire crosses the tunnel.
-            rgb = dev.fetch_rgb_rle(res)
+            rgb = srv.fetch_rgb_rle(res)
             pngs = []
             for i, (ents, t) in enumerate(te):
                 img = rgb[i]
@@ -207,8 +214,8 @@ def main():
                 )
                 for t in tiles
             ]
-            p = dev.prepare(te, scale=1)
-            r = dev.render_prepared_rle(p)  # async dispatch
+            p = srv.prepare(te, scale=1)
+            r = srv.render_prepared_rle(p)  # async dispatch
             try:
                 r.wire.copy_to_host_async()
             except Exception:
@@ -222,11 +229,12 @@ def main():
 
     # Pre-warm the RLE encode jit + adaptive wire cap so the cold e2e
     # number measures serving work, not one-time compiles.
-    dev.fetch_rgb_rle(dev.render_prepared_rle(prepared))
-    dev.fetch_rgb_rle(dev.render_prepared_rle(prepared))
+    srv_prep = srv.prepare(tiles_entities, scale=1)
+    srv.fetch_rgb_rle(srv.render_prepared_rle(srv_prep))
+    srv.fetch_rgb_rle(srv.render_prepared_rle(srv.prepare([(None, t) for t in tiles], scale=1)))
 
     # Cold: empty cache, full assembly per tile (one batch, no overlap).
-    dev.cache_clear()
+    srv.cache_clear()
     e2e_cold_tps = e2e_pipelined(1, True)
     # Warm: chunk-cache hits (steady-state slippy serving).
     e2e_pipelined(1, False)  # pipeline warm-up
@@ -268,7 +276,7 @@ def main():
         prod_styler = Styler(parse_file(prod_dir, "osmosnimki-minimal.mapcss"), "mapsme")
         prod_dev = BatchRenderer(
             prod_styler, backend="pallas", chunk_cache_tiles=256,
-            stylesheet_dir=prod_dir,
+            stylesheet_dir=prod_dir, arena=True,
         )
         prod_labeler = Labeler(icon_base_path=prod_dir, label_cache_tiles=256)
         prod_te = [

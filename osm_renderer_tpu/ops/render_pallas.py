@@ -1760,6 +1760,110 @@ def planar_to_rgb(planar: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(planar[:, :3].transpose(0, 2, 3, 1))
 
 
+# ---------------------------------------------------------------------------
+# Arena path (parallel/arena.py): warm serving uploads ONE small packed
+# buffer per batch; the big per-chunk fields stay device-resident and the
+# render jit assembles the batch with a row gather.
+# ---------------------------------------------------------------------------
+
+N_SMALL = 16 + NSEC  # i32 lanes in the packed small-field buffer
+
+
+def pack_small_arena(
+    tile_chunks: List[TileChunks], offsets: List[Tuple[int, int]]
+) -> Tuple[np.ndarray, int]:
+    """Host side of a warm batch: per-chunk scalars + arena gather rows
+    packed into one (N_SMALL, C) i32 buffer.  Lane layout:
+
+      0 tile_id  1 first  2 kind  3 cnt  4 last  5 y0  6 nb
+      7 prim_y0  8 prim_nb  9 pat  10-12 color rgb (f32 bits)
+      13 opacity (f32 bits)  14 hw (f32 bits)  15 gather row
+      16.. isec (NSEC lanes)
+
+    Returns (packed, IT) where IT is the batch's bucketed item width.
+    Mirrors concat_pallas_batch's bucketing/padding exactly (pads:
+    kind=KIND_PAD, pat=-1, tile_id=last tile, gather row 0 = the
+    arena's reserved zero row)."""
+    T = len(tile_chunks)
+    counts = [c.kind.shape[0] for c in tile_chunks]
+    total = sum(counts)
+    Ctot = -(-next_bucket(max(total, 8), 8) // GROUP) * GROUP
+
+    packed = np.zeros((N_SMALL, Ctot), np.int32)
+    packed[9] = -1  # pat pad
+    pos = 0
+    for ti, (c, (off, n)) in enumerate(zip(tile_chunks, offsets)):
+        e = pos + n
+        packed[0, pos:e] = ti
+        packed[1, pos] = 1
+        packed[2, pos:e] = c.kind
+        packed[3, pos:e] = c.cnt
+        packed[4, pos:e] = c.last
+        packed[5, pos:e] = c.y0
+        packed[6, pos:e] = c.nb
+        packed[7, pos:e] = c.prim_y0
+        packed[8, pos:e] = c.prim_nb
+        packed[9, pos:e] = c.pat
+        packed[10:13, pos:e] = np.ascontiguousarray(
+            c.color.astype(np.float32).T
+        ).view(np.int32)
+        packed[13, pos:e] = c.opacity.astype(np.float32).view(np.int32)
+        packed[14, pos:e] = c.hw.astype(np.float32).view(np.int32)
+        packed[15, pos:e] = np.arange(off, off + n, dtype=np.int32)
+        packed[16:, pos:e] = c.isec.astype(np.int32).T
+        pos = e
+    if pos < Ctot:
+        packed[0, pos:] = max(T - 1, 0)
+
+    IT = max(c.items.shape[2] for c in tile_chunks)
+    IT = max(256, 1 << (IT - 1).bit_length())
+    return packed, IT
+
+
+@functools.lru_cache(maxsize=128)
+def _arena_render_jit(ts: int, T: int, IT: int, interpret: bool):
+    kernel = make_render_kernel(ts)
+
+    def run(packed, geomA, travA, sprofA, auxA, itemsA,
+            prof_rows, prof_total, patterns, canvas_rgb):
+        bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
+        idx = packed[15]
+        color = jnp.stack([bc(packed[10]), bc(packed[11]), bc(packed[12])], axis=1)
+        b = PallasBatch(
+            geom=geomA[idx],
+            traveled=travA[idx],
+            seg_prof=sprofA[idx],
+            seg_aux=auxA[idx],
+            tile_id=packed[0], first=packed[1], kind=packed[2],
+            cnt=packed[3], last=packed[4], y0=packed[5], nb=packed[6],
+            prim_y0=packed[7], prim_nb=packed[8],
+            color=color, opacity=bc(packed[13]), hw=bc(packed[14]),
+            profiles=prof_rows, profile_total=prof_total,
+            pat=packed[9], patterns=patterns,
+            items=itemsA[idx, :, :IT],
+            isec=packed[16:].T,
+        )
+        return _render_body(kernel, b, canvas_rgb, ts, T, interpret)
+
+    return jax.jit(run)
+
+
+def render_arena_planar(
+    packed: np.ndarray, arena, prof_rows, prof_total, patterns,
+    canvas_rgb, ts: int, n_tiles: int, IT: int, interpret: bool = False,
+):
+    """-> (T, 4, ts, ts) u8 planar, assembled on device from the arena.
+
+    `packed` is the host buffer from pack_small_arena; its upload is
+    the batch's only h2d transfer (prof/pattern/canvas arguments are
+    expected to be already-resident device arrays)."""
+    return _arena_render_jit(ts, int(n_tiles), int(IT), bool(interpret))(
+        jnp.asarray(packed), arena.geom, arena.trav, arena.sprof,
+        arena.aux, arena.items, prof_rows, prof_total, patterns,
+        canvas_rgb,
+    )
+
+
 
 
 def _render_body(kernel, b, canvas_rgb, ts: int, T: int, interpret: bool):

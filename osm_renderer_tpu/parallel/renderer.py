@@ -53,6 +53,12 @@ class PreparedBatch(NamedTuple):
     precision: str
     cpu_fallback_tiles: tuple = ()  # tile indices the device path can't draw
     chain: bool = False  # jnp: round-capped dashes need the walk-chain rule
+    # Arena path (parallel/arena.py): batch == None; the packed
+    # small-field buffer is the only per-batch h2d upload, and the big
+    # chunk fields are gathered from the device-resident arena.
+    arena_packed: object = None        # (N_SMALL, C) i32 np buffer
+    arena_it: int = 0                  # bucketed item width
+    arena_ctx: object = None           # (arena, prof_dev, tot_dev, pat_dev)
 
 
 class BatchRenderer:
@@ -74,6 +80,7 @@ class BatchRenderer:
         stylesheet_dir: Optional[str] = None,
         tile_bucket: bool = False,
         chunk_cache_tiles: int = 0,
+        arena: bool = False,
     ):
         self.styler = styler
         self.precision = precision
@@ -99,7 +106,17 @@ class BatchRenderer:
         self._rtot_by_key: dict = {}      # (ts, T) -> adaptive RLE wire cap
         self._persist_tables: dict = {}   # scale -> (ProfileTable, PatternTable)
         self._patterns_dev: dict = {}     # scale -> (n_tiles_in_table, jax.Array)
+        self._profiles_dev: dict = {}     # scale -> (n_rows, rows_dev, tot_dev)
+        self._canvas_dev: dict = {}       # dtype -> resident canvas array
         self._empty_chunks: dict = {}     # ts -> TileChunks (PAD-only)
+        # Device-resident chunk arena: warm batches assemble on device
+        # from one packed upload (see parallel/arena.py).  Pallas-only,
+        # single-device, and tied to the chunk cache's lifecycle.
+        self.chunk_arena = None
+        if arena and backend == "pallas" and chunk_cache_tiles:
+            from osm_renderer_tpu.parallel.arena import ChunkArena
+
+            self.chunk_arena = ChunkArena()
         self.icon_cache = None
         if stylesheet_dir is not None:
             from osm_renderer_tpu.draw.labels.icons import IconCache
@@ -156,12 +173,19 @@ class BatchRenderer:
         )
 
     def _canvas(self, dtype):
+        # Per-styler constant: upload once, not once per batch (every
+        # h2d transfer pays ~ms of fixed latency on tunnel hosts).
+        got = self._canvas_dev.get(dtype)
+        if got is not None:
+            return got
         canvas = self.styler.canvas_fill_color
         canvas_rgb = np.array(
             [canvas.r, canvas.g, canvas.b] if canvas is not None else [0, 0, 0],
             dtype=dtype,
         ) / 255.0
-        return jnp.asarray(canvas_rgb)
+        dev = jnp.asarray(canvas_rgb)
+        self._canvas_dev[dtype] = dev
+        return dev
 
     def _check_coords(self, geom) -> None:
         max_coord = int(np.abs(geom).max()) if geom.size else 0
@@ -197,6 +221,9 @@ class BatchRenderer:
             self._chunk_cache.clear()
             self._persist_tables.clear()
             self._patterns_dev.clear()
+            self._profiles_dev.clear()
+            if self.chunk_arena is not None:
+                self.chunk_arena.clear()
 
     # Host-rasterized layers (out-of-bound prims) accumulate in a
     # persistent pattern table as their tiles churn through the cache;
@@ -209,10 +236,12 @@ class BatchRenderer:
         ts_px = 256 * scale
         profiles, patterns = self._tables_for(scale)
         tile_chunks = []
+        tile_keys = []
         fallback = []
         cache_on = bool(self.chunk_cache_tiles)
         for idx, (entities, tile) in enumerate(tiles_entities):
             key = (tile.zoom, tile.x, tile.y, scale)
+            tile_keys.append(key)
             if cache_on:
                 with self._cache_lock:
                     hit = self._chunk_cache.get(key)
@@ -255,7 +284,9 @@ class BatchRenderer:
                 with self._cache_lock:
                     self._chunk_cache[key] = (chunks, has_icon_fills)
                     while len(self._chunk_cache) > self.chunk_cache_tiles:
-                        self._chunk_cache.popitem(last=False)
+                        ev_key, _ = self._chunk_cache.popitem(last=False)
+                        if self.chunk_arena is not None:
+                            self.chunk_arena.free(ev_key)
                 if len(patterns.tiles) > self.MAX_PERSISTED_PATTERNS:
                     # The rest of this batch keeps rendering with the
                     # (still-consistent) local tables, but nothing more
@@ -277,7 +308,18 @@ class BatchRenderer:
                 self._empty_chunks[ts_px] = empty
             while len(tile_chunks) < bucket:
                 tile_chunks.append(empty)
+                tile_keys.append(("__pad__", ts_px))
             n_tiles = bucket
+        if self.chunk_arena is not None and cache_on:
+            try:
+                return self._finalize_arena(
+                    tile_chunks, tile_keys, profiles, patterns, ts_px,
+                    n_tiles, fallback, scale,
+                )
+            except MemoryError:
+                # Arena exhausted: rebuild lazily; this batch takes the
+                # plain upload path.
+                self.chunk_arena.clear()
         pb = RP.concat_pallas_batch(tile_chunks, profiles, ts_px, patterns)
 
         # Ship the (potentially multi-MB) pattern planes once per table
@@ -298,6 +340,44 @@ class BatchRenderer:
         return PreparedBatch(
             pb, self._canvas(np.float32), ts_px, n_tiles, "pallas",
             tuple(fallback),
+        )
+
+    def _finalize_arena(
+        self, tile_chunks, tile_keys, profiles, patterns, ts_px,
+        n_tiles, fallback, scale,
+    ) -> PreparedBatch:
+        """Arena-path batch finalize: insert fresh tiles' big chunk
+        fields into the device arena (one upload), pack the per-chunk
+        scalars + gather rows into the small host buffer."""
+        from osm_renderer_tpu.ops import render_pallas as RP
+
+        arena = self.chunk_arena
+        arena.insert(list(zip(tile_keys, tile_chunks)))
+        offsets = [arena.offset(k) for k in tile_keys]
+        packed, it_width = RP.pack_small_arena(tile_chunks, offsets)
+
+        ver = len(profiles.rows)
+        got = self._profiles_dev.get(scale)
+        if got is None or got[0] != ver:
+            rows, tots = profiles.arrays(np.float32)
+            got = (ver, jnp.asarray(rows), jnp.asarray(tots))
+            self._profiles_dev[scale] = got
+        _, prof_dev, tot_dev = got
+
+        pver = len(patterns.tiles)
+        gp = self._patterns_dev.get(scale)
+        if gp is None or gp[0] != pver:
+            if patterns.tiles:
+                pat_arr = patterns.array()
+            else:
+                pat_arr = np.zeros((1, 4, ts_px, ts_px), dtype=np.float32)
+            gp = (pver, jnp.asarray(pat_arr))
+            self._patterns_dev[scale] = gp
+
+        return PreparedBatch(
+            None, self._canvas(np.float32), ts_px, n_tiles, "pallas",
+            tuple(fallback), arena_packed=packed, arena_it=it_width,
+            arena_ctx=(arena, prof_dev, tot_dev, gp[1], arena.generation),
         )
 
     def _shard_pallas(self, pb):
@@ -321,6 +401,9 @@ class BatchRenderer:
 
     def render_prepared(self, prepared: PreparedBatch) -> jax.Array:
         if prepared.precision == "pallas":
+            if prepared.arena_packed is not None:
+                out = self.render_prepared_planar(prepared)
+                return out[:, :3].transpose(0, 2, 3, 1)
             from osm_renderer_tpu.ops.render_pallas import render_batch_pallas
 
             return render_batch_pallas(
@@ -345,6 +428,20 @@ class BatchRenderer:
         """Pallas backend: (T, 4, ts, ts) u8 without the device-side
         interleave (the kernel's native output layout)."""
         assert prepared.precision == "pallas"
+        if prepared.arena_packed is not None:
+            from osm_renderer_tpu.ops.render_pallas import render_arena_planar
+
+            arena, prof_dev, tot_dev, pat_dev, gen = prepared.arena_ctx
+            if gen != arena.generation:
+                # The arena was cleared between prepare and render (cache
+                # reset); offsets are stale.  ValueError routes the server
+                # to its per-batch CPU fallback; bench/tests re-prepare.
+                raise ValueError("chunk arena reset between prepare and render")
+            return render_arena_planar(
+                prepared.arena_packed, arena, prof_dev, tot_dev, pat_dev,
+                prepared.canvas_rgb, prepared.ts, prepared.chunk,
+                prepared.arena_it, self.interpret,
+            )
         from osm_renderer_tpu.ops.render_pallas import render_batch_pallas_planar
 
         return render_batch_pallas_planar(

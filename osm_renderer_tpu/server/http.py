@@ -119,6 +119,11 @@ class TileService:
                     stylesheet_dir=stylesheet_dir,
                     tile_bucket=True,
                     chunk_cache_tiles=0 if osm_ids else 512,
+                    # Device-resident chunk arena: warm batches assemble
+                    # on device from one packed upload (the h2d link is
+                    # the warm-serving bottleneck on tunnel hosts).
+                    # Multi-device serving keeps per-device batches.
+                    arena=not osm_ids and len(self.devices) <= 1,
                 )
         else:
             self.batch_renderer = None

@@ -36,7 +36,7 @@ def pytest_collection_modifyitems(config, items):
     pre-merge runs.  No test is skipped by default."""
     import pytest
 
-    slow_modules = {"test_pallas", "test_drawer_e2e", "test_parallel"}
+    slow_modules = {"test_pallas", "test_drawer_e2e", "test_parallel", "test_arena"}
     for item in items:
         if item.module.__name__.split(".")[-1] in slow_modules:
             item.add_marker(pytest.mark.slow)
