@@ -321,7 +321,10 @@ def main():
             continue
         zout = dev.render_prepared_planar(zprep)
         zout.block_until_ready()
-        zreps = 4
+        # Low zooms are 1-4 tile batches: the measurement is a ~2-7 ms
+        # wall dominated by per-launch dispatch, so more reps are needed
+        # for a stable mean.
+        zreps = 16 if len(zte) < 8 else 4
         zpreps = []
         for i in range(zreps):
             color = np.asarray(zprep.batch.color) * (1.0 - 1e-4 * (i + 1))

@@ -202,19 +202,34 @@ class Labeler:
         ts = base_rgb.shape[0]
         if self.use_atlas:
             key = (tile.zoom, tile.x, tile.y, ts)
-            layer = None
+            compact = _MISS = object()
             if self.label_cache_tiles:
                 with self._layer_lock:
-                    layer = self._layer_cache.get(key)
-                    if layer is not None:
+                    compact = self._layer_cache.get(key, _MISS)
+                    if compact is not _MISS:
                         self._layer_cache.move_to_end(key)
-            if layer is None:
+            if compact is _MISS:
                 layer = self._label_layer_atlas(entities, tile, scale, styler, ts)
+                compact = _compact_label_layer(layer)
                 if self.label_cache_tiles:
                     with self._layer_lock:
-                        self._layer_cache[key] = layer
+                        self._layer_cache[key] = compact
                         while len(self._layer_cache) > self.label_cache_tiles:
                             self._layer_cache.popitem(last=False)
+            # Most tiles carry no labels (or a small cluster): composite
+            # only the non-zero-alpha bounding box, and skip entirely
+            # when the layer is empty.
+            if compact is None:
+                return base_rgb
+            y0, y1, x0, x1, rgb255, alpha = compact
+            out = base_rgb.copy()
+            sub = rgb255 + (1.0 - alpha) * base_rgb[y0:y1, x0:x1].astype(
+                np.float64
+            )
+            out[y0:y1, x0:x1] = np.clip(
+                np.trunc(sub + 1e-9), 0, 255
+            ).astype(np.uint8)
+            return out
         else:
             scale_i = ts // 256
             # Native tile buffers are expensive to allocate; reuse per
@@ -233,3 +248,21 @@ class Labeler:
         a = layer[..., 3:4]
         out = layer[..., :3] * 255.0 + (1.0 - a) * base_rgb.astype(np.float64)
         return np.clip(np.trunc(out + 1e-9), 0, 255).astype(np.uint8)
+
+
+def _compact_label_layer(layer: np.ndarray):
+    """(ts, ts, 4) premultiplied f64 label layer -> None (no labels) or
+    (y0, y1, x0, x1, rgb*255 f64, alpha f64) restricted to the non-zero
+    alpha bounding box.  The compact form is what the serving layer
+    cache stores: compositing then touches only the labeled pixels."""
+    a = layer[..., 3]
+    rows = np.nonzero(a.any(axis=1))[0]
+    if rows.size == 0:
+        return None
+    cols = np.nonzero(a.any(axis=0))[0]
+    y0, y1 = int(rows[0]), int(rows[-1]) + 1
+    x0, x1 = int(cols[0]), int(cols[-1]) + 1
+    sub = layer[y0:y1, x0:x1]
+    return (y0, y1, x0, x1,
+            np.ascontiguousarray(sub[..., :3] * 255.0),
+            np.ascontiguousarray(sub[..., 3:4]))
