@@ -189,6 +189,10 @@ class Labeler:
         with self._layer_lock:
             return (tile.zoom, tile.x, tile.y, ts) in self._layer_cache
 
+    def cache_clear(self) -> None:
+        with self._layer_lock:
+            self._layer_cache.clear()
+
     def composite_labels(
         self, base_rgb: np.ndarray, entities, tile: Tile, scale: float, styler: Styler
     ) -> np.ndarray:

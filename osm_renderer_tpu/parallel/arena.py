@@ -194,12 +194,18 @@ class ChunkArena:
             aux[pos : pos + n] = c.aux
             items[pos : pos + n, :, : c.items.shape[2]] = c.items
             pos += n
+        # geom / sprof / items ride as i16 pairs: |geom| is bounded by
+        # FAST_COORD_BOUND (12000) at assembly, sprof holds small
+        # profile-table indices, and an item word is sg | (r8 << 8)
+        # <= 0x7fff (pad -1 round-trips as i16 -1).  Halves the cold
+        # upload for those fields; the device insert jit sign-extends.
+        assert int(np.abs(sprof).max(initial=0)) < 32768
         parts = [
-            geom.reshape(-1),
+            geom.astype(np.int16).reshape(-1).view(np.int32),
             trav.reshape(-1).view(np.int32),
-            sprof.reshape(-1),
+            sprof.astype(np.int16).reshape(-1).view(np.int32),
             aux.reshape(-1).view(np.int32),
-            items.reshape(-1),
+            items.astype(np.int16).reshape(-1).view(np.int32),
             dst,
         ]
         payload = np.concatenate(parts)
@@ -230,7 +236,12 @@ def _grow_jit(old_cap: int, new_cap: int, donate: bool):
 
 @functools.lru_cache(maxsize=64)
 def _insert_jit(n: int, it_new: int, cap: int, donate: bool):
-    sizes = [n * 4 * CH, n * CH, n * CH, n * 4 * CH, n * it_new, n]
+    # i32 word counts per part (geom/sprof/items travel as i16 pairs).
+    sizes = [n * 2 * CH, n * CH, n * CH // 2, n * 4 * CH, n * it_new // 2, n]
+
+    def unpack_i16(seg, shape):
+        h = jax.lax.bitcast_convert_type(seg, jnp.int16)  # (k, 2) LE
+        return h.reshape(-1).astype(jnp.int32).reshape(shape)
 
     def ins(payload, geom, trav, sprof, aux, items):
         o = 0
@@ -238,11 +249,11 @@ def _insert_jit(n: int, it_new: int, cap: int, donate: bool):
         for s in sizes:
             segs.append(jax.lax.dynamic_slice(payload, (o,), (s,)))
             o += s
-        g = segs[0].reshape(n, 4, CH)
+        g = unpack_i16(segs[0], (n, 4, CH))
         t = jax.lax.bitcast_convert_type(segs[1], jnp.float32).reshape(n, 1, CH)
-        sp = segs[2].reshape(n, 1, CH)
+        sp = unpack_i16(segs[2], (n, 1, CH))
         ax = jax.lax.bitcast_convert_type(segs[3], jnp.float32).reshape(n, 4, CH)
-        it = segs[4].reshape(n, 1, it_new)
+        it = unpack_i16(segs[4], (n, 1, it_new))
         if it_new < IT_ARENA:
             it = jnp.pad(
                 it, ((0, 0), (0, 0), (0, IT_ARENA - it_new)), constant_values=-1

@@ -463,9 +463,15 @@ class BatchRenderer:
     def _note_total_runs(self, ts: int, T: int, total: int) -> None:
         from osm_renderer_tpu.ops.render_pallas import next_bucket
 
-        self._rtot_by_key[(ts, T)] = next_bucket(
-            max(int(total * 1.25), T * 1024), 4096
-        )
+        want = next_bucket(max(int(total * 1.25), T * 1024), 4096)
+        cur = self._rtot_by_key.get((ts, T))
+        # Hysteresis: every distinct cap is a fresh encode-graph compile
+        # (seconds), while an oversized wire only pads the d2h by one
+        # bucket step (~12%).  Grow monotonically; shrink only on a
+        # clear regime change (>= 2x smaller).
+        if cur is not None and want <= cur and want * 2 > cur:
+            return  # within one doubling below the current cap: keep it
+        self._rtot_by_key[(ts, T)] = want
 
     def render_prepared_rle(
         self, prepared: PreparedBatch, rtot: Optional[int] = None

@@ -61,6 +61,12 @@ def extract_tile_from_path(path: str) -> Optional[Tuple[Tile, int]]:
 class TileService:
     """Shared immutable state + rendering dispatch."""
 
+    # Sub-batch size for streaming cold-heavy groups: host assembly
+    # runs ~8 ms/tile on one core while a 16-tile sub-batch's device
+    # render + transfers take a similar wall — pipelining the two keeps
+    # both resources busy (see render_tiles_device).
+    COLD_SUB = 16
+
     def __init__(
         self,
         geodata_file: str,
@@ -160,40 +166,72 @@ class TileService:
         committed batch per chip, no cross-chip communication (the
         MeshTileRenderer model).  Returns (rgb, cpu-fallback indices,
         host prepare seconds)."""
+        devices = getattr(self, "devices", None) or [None]
+        n_tiles = len(tiles_entities)
+        if len(devices) <= 1 or n_tiles <= 1:
+            return self._collect_group_device(
+                self._dispatch_group_device(tiles_entities, scale, t_prep0)
+            )
+        return self._render_group_multi(tiles_entities, scale, t_prep0)
+
+    def _dispatch_group_device(self, tiles_entities, scale: int, t_prep0: float):
+        """Single-device: prepare + async render dispatch, WITHOUT
+        waiting for the device or the readback — callers can assemble
+        the next sub-batch while this one renders and transfers
+        (`render_tiles_device` streams cold groups this way)."""
+        import time as _time
+
+        prepared = self.batch_renderer.prepare(tiles_entities, scale)
+        prep_dt = _time.perf_counter() - t_prep0
+        needs_cpu = set(getattr(prepared, "cpu_fallback_tiles", ()))
+        if prepared.precision == "pallas":
+            # Compressed readback: the d2h link is the serving
+            # bottleneck on tunnel-attached hosts, so tiles cross it
+            # run-length encoded (see RleRendered).
+            t0 = _time.perf_counter()
+            res = self.batch_renderer.render_prepared_rle(prepared)
+            try:
+                res.wire.copy_to_host_async()
+            except Exception:
+                pass
+            return ("rle", res, needs_cpu, prep_dt, t0)
+        t0 = _time.perf_counter()
+        out = self.batch_renderer.render_prepared(prepared)
+        return ("raw", out, needs_cpu, prep_dt, t0)
+
+    def _collect_group_device(self, pending):
+        """Block on a dispatched sub-batch: (rgb, needs_cpu, prep_dt,
+        exec_dt, d2h_dt).  Execution (dispatch -> ready) and readback
+        (device -> host) are genuinely different resources (chip vs
+        interconnect), reported as distinct spans."""
+        import time as _time
+
+        kind, res, needs_cpu, prep_dt, t0 = pending
+        if kind == "rle":
+            res.wire.block_until_ready()
+            exec_dt = _time.perf_counter() - t0
+            t1 = _time.perf_counter()
+            rgb = self.batch_renderer.fetch_rgb_rle(res)
+            d2h_dt = _time.perf_counter() - t1
+            return rgb, needs_cpu, prep_dt, exec_dt, d2h_dt
+
+        out = res
+        out.block_until_ready()
+        exec_dt = _time.perf_counter() - t0
+        t1 = _time.perf_counter()
+        rgb = np.asarray(out)
+        d2h_dt = _time.perf_counter() - t1
+        return rgb, needs_cpu, prep_dt, exec_dt, d2h_dt
+
+    def _render_group_multi(self, tiles_entities, scale: int, t_prep0: float):
+        """Multi-accelerator split: one committed per-device batch per
+        chip, round-robin (the MeshTileRenderer model)."""
         import time as _time
 
         import jax
 
-        devices = getattr(self, "devices", None) or [None]
+        devices = self.devices
         n_tiles = len(tiles_entities)
-        if len(devices) <= 1 or n_tiles <= 1:
-            prepared = self.batch_renderer.prepare(tiles_entities, scale)
-            prep_dt = _time.perf_counter() - t_prep0
-            needs_cpu = set(getattr(prepared, "cpu_fallback_tiles", ()))
-            # Separate device execution (dispatch -> ready) from the
-            # device->host readback: genuinely different resources
-            # (chip vs interconnect), reported as distinct spans.
-            if prepared.precision == "pallas":
-                # Compressed readback: the d2h link is the serving
-                # bottleneck on tunnel-attached hosts, so tiles cross it
-                # run-length encoded (see RleRendered).
-                t0 = _time.perf_counter()
-                res = self.batch_renderer.render_prepared_rle(prepared)
-                res.wire.block_until_ready()
-                exec_dt0 = _time.perf_counter() - t0
-                t0 = _time.perf_counter()
-                rgb = self.batch_renderer.fetch_rgb_rle(res)
-                d2h_dt = _time.perf_counter() - t0
-                return rgb, needs_cpu, prep_dt, exec_dt0, d2h_dt
-            t0 = _time.perf_counter()
-            out = self.batch_renderer.render_prepared(prepared)
-            out.block_until_ready()
-            exec_dt0 = _time.perf_counter() - t0
-            t0 = _time.perf_counter()
-            rgb = np.asarray(out)
-            d2h_dt = _time.perf_counter() - t0
-            return rgb, needs_cpu, prep_dt, exec_dt0, d2h_dt
-
         shards = [list(range(d, n_tiles, len(devices))) for d in range(len(devices))]
         shards = [(dev, idxs) for dev, idxs in zip(devices, shards) if idxs]
         needs_cpu: set = set()
@@ -263,62 +301,115 @@ class TileService:
                 for _, t in group
             ]
             ent_dt = _time.perf_counter() - t0
-            t0 = _time.perf_counter()
-            try:
-                rgb, needs_cpu, prep_dt, exec_dt, d2h_dt = (
-                    self._render_group_device(tiles_entities, scale, t0)
-                )
-            except ValueError:
-                prep_dt = _time.perf_counter() - t0
-                exec_dt = d2h_dt = None
-                needs_cpu = set(range(len(group)))
-                rgb = None
             n = len(group)
-            for gi, ((i, t), (entities, _)) in enumerate(zip(group, tiles_entities)):
-                # Per-tile perf accounting: one fused kernel renders the
-                # whole batch, so device phases are attributed as equal
-                # shares — but measured per phase (execute = dispatch ->
-                # block_until_ready on the device array; readback =
-                # device->host transfer), not as one wall-clock lump.
-                perfstats.start_tile(t.zoom)
-                perfstats.add_span("Get tile entities (batch share)", ent_dt / n)
-                perfstats.add_span("Prepare device batch (batch share)", prep_dt / n)
-                if exec_dt is not None and d2h_dt is not None:
-                    perfstats.add_span("Device execute (batch share)", exec_dt / n)
-                    perfstats.add_span("Device readback (batch share)", d2h_dt / n)
+            # Cold-heavy groups stream in sub-batches: host assembly of
+            # sub-batch N+1 overlaps the device render + readback of
+            # sub-batch N (single accelerator; multi-device groups are
+            # already split per chip and keep the one-shot path).
+            n_uncached = sum(1 for e, _ in tiles_entities if e is not None)
+            single_dev = len(getattr(self, "devices", None) or [None]) <= 1
+            if (
+                single_dev
+                and n > self.COLD_SUB
+                and 2 * n_uncached > self.COLD_SUB
+            ):
+                bounds = list(range(0, n, self.COLD_SUB)) + [n]
+                subs = [slice(a, b) for a, b in zip(bounds, bounds[1:])]
+            else:
+                subs = [slice(0, n)]
 
-                with perfstats.measure("Compose and encode"):
-                    if gi in needs_cpu or rgb is None:
-                        if entities is None:
-                            entities = self.reader.get_entities_in_tile_with_neighbors(
-                                t, self.osm_ids
+            inflight = None
+            for sl in subs + [None]:
+                pending = None
+                if sl is not None:
+                    t0 = _time.perf_counter()
+                    try:
+                        if single_dev:
+                            pending = (
+                                "dispatched",
+                                self._dispatch_group_device(
+                                    tiles_entities[sl], scale, t0
+                                ),
                             )
-                        img = self._cpu_drawer().draw_to_pixels(
-                            entities, t, scale, self.styler
-                        )
-                        out[i] = rgb_to_png(img, self.png_level)
+                        else:
+                            pending = (
+                                "done",
+                                self._render_group_multi(
+                                    tiles_entities[sl], scale, t0
+                                ),
+                            )
+                    except ValueError:
+                        pending = ("err", _time.perf_counter() - t0)
+                if inflight is not None:
+                    psl, pp = inflight
+                    if pp[0] == "dispatched":
+                        res = self._collect_group_device(pp[1])
+                    elif pp[0] == "done":
+                        res = pp[1]
                     else:
-                        img = rgb[gi]
-                        if self.labeler is not None:
-                            if entities is None and not self.labeler.has_cached_layer(
-                                t, 256 * scale
-                            ):
-                                # The layer was evicted between the
-                                # _need_entities check and now (earlier
-                                # tiles of this batch inserted layers);
-                                # re-fetch rather than crash.
-                                entities = (
-                                    self.reader.get_entities_in_tile_with_neighbors(
-                                        t, self.osm_ids
-                                    )
-                                )
-                            img = self.labeler.composite_labels(
-                                img, entities, t, float(scale), self.styler
-                            )
-                        out[i] = rgb_to_png(img, self.png_level)
-                with self._perf_lock:
-                    perfstats.finish_tile(self.perf_stats)
+                        res = (
+                            None,
+                            set(range(psl.stop - psl.start)),
+                            pp[1],
+                            None,
+                            None,
+                        )
+                    self._encode_sub(
+                        group[psl], tiles_entities[psl], scale, out,
+                        ent_dt / n, *res,
+                    )
+                inflight = (sl, pending) if sl is not None else None
         return [out[i] for i in range(len(requests))]
+
+    def _encode_sub(
+        self, sub_group, sub_te, scale, out, ent_share,
+        rgb, needs_cpu, prep_dt, exec_dt, d2h_dt,
+    ) -> None:
+        n = len(sub_group)
+        for gi, ((i, t), (entities, _)) in enumerate(zip(sub_group, sub_te)):
+            # Per-tile perf accounting: one fused kernel renders the
+            # whole sub-batch, so device phases are attributed as equal
+            # shares — but measured per phase (execute = dispatch ->
+            # block_until_ready on the device array; readback =
+            # device->host transfer), not as one wall-clock lump.
+            perfstats.start_tile(t.zoom)
+            perfstats.add_span("Get tile entities (batch share)", ent_share)
+            perfstats.add_span("Prepare device batch (batch share)", prep_dt / n)
+            if exec_dt is not None and d2h_dt is not None:
+                perfstats.add_span("Device execute (batch share)", exec_dt / n)
+                perfstats.add_span("Device readback (batch share)", d2h_dt / n)
+
+            with perfstats.measure("Compose and encode"):
+                if gi in needs_cpu or rgb is None:
+                    if entities is None:
+                        entities = self.reader.get_entities_in_tile_with_neighbors(
+                            t, self.osm_ids
+                        )
+                    img = self._cpu_drawer().draw_to_pixels(
+                        entities, t, scale, self.styler
+                    )
+                    out[i] = rgb_to_png(img, self.png_level)
+                else:
+                    img = rgb[gi]
+                    if self.labeler is not None:
+                        if entities is None and not self.labeler.has_cached_layer(
+                            t, 256 * scale
+                        ):
+                            # The layer was evicted between the
+                            # _need_entities check and now (earlier
+                            # tiles of this batch inserted layers);
+                            # re-fetch rather than crash.
+                            entities = (
+                                self.reader.get_entities_in_tile_with_neighbors(
+                                    t, self.osm_ids
+                                )
+                            )
+                        img = self.labeler.composite_labels(
+                            img, entities, t, float(scale), self.styler
+                        )
+                    out[i] = rgb_to_png(img, self.png_level)
+            with self._perf_lock:
+                perfstats.finish_tile(self.perf_stats)
 
 
 async def run_server(

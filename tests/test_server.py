@@ -185,3 +185,55 @@ def test_device_backend_multi_device_sharding(tmp_path):
         # Atlas-label AA edges may deviate boundedly (see above).
         assert d.max() <= 96, (t, d.max())
         assert (d > 8).mean() < 1e-3, t
+
+
+def test_device_backend_cold_subbatch_pipeline(tmp_path, monkeypatch):
+    """Single-device cold groups stream in pipelined sub-batches
+    (assembly of sub-batch N+1 overlaps render/readback of N) with the
+    chunk arena on — output must match the CPU path tile-for-tile and
+    arrive in request order."""
+    from tests.fixtures import MINI_OSM
+    from osm_renderer_tpu.geodata.importer import import_osm
+    from osm_renderer_tpu.parallel.renderer import BatchRenderer
+
+    osm_path = os.path.join(str(tmp_path), "mini.osm")
+    with open(osm_path, "w") as f:
+        f.write(MINI_OSM)
+    bin_path = os.path.join(str(tmp_path), "mini.bin")
+    import_osm(osm_path, bin_path)
+
+    styler = Styler(parse_file(STYLESHEET_DIR, "default.mapcss"), "josm")
+    dev = TileService(bin_path, styler, STYLESHEET_DIR, backend="device")
+    cpu = TileService(bin_path, styler, STYLESHEET_DIR, backend="cpu")
+    # Force the single-accelerator serving shape (tests expose 8 virtual
+    # CPU devices) with the production single-device config: arena on.
+    dev.devices = dev.devices[:1]
+    dev.batch_renderer = BatchRenderer(
+        styler, backend="pallas", interpret=True,
+        stylesheet_dir=STYLESHEET_DIR, tile_bucket=True,
+        chunk_cache_tiles=512, arena=True,
+    )
+    monkeypatch.setattr(TileService, "COLD_SUB", 2)
+
+    t18 = coords_to_max_zoom_tile(47.1412, 9.5215)
+    base = Tile(16, t18.x >> 2, t18.y >> 2)
+    tiles = [
+        Tile(16, base.x + dx, base.y + dy) for dx in (0, 1) for dy in (0, 1)
+    ] + [Tile(15, base.x >> 1, base.y >> 1)]
+    pngs = dev.render_tiles_device([(t, 1) for t in tiles])
+    assert len(pngs) == len(tiles)
+
+    from PIL import Image
+    import io as _io
+
+    for t, png in zip(tiles, pngs):
+        a = np.asarray(Image.open(_io.BytesIO(png)))
+        b = np.asarray(Image.open(_io.BytesIO(cpu.render_tile_cpu(t, 1))))
+        d = np.abs(a.astype(int) - b.astype(int))
+        assert d.max() <= 96, (t, d.max())
+        assert (d > 8).mean() < 1e-3, t
+
+    # Warm repeat (chunk + label caches hit, pure arena path) is
+    # byte-identical batch-to-batch.
+    again = dev.render_tiles_device([(t, 1) for t in tiles])
+    assert again == pngs
