@@ -17,6 +17,7 @@ Extra (framework-specific, optional):
     precision = fast       ; or exact (device backend)
     png-level = 1          ; deflate level (1 = max throughput [default, matches the benchmarked configuration], 6 = smaller tiles)
     labels = yes
+    png-cache = 512        ; served-PNG LRU (device backend; 0 disables)
 """
 
 from __future__ import annotations
@@ -62,6 +63,7 @@ def main(argv=None) -> int:
     precision = config.get("render", "precision", fallback="fast")
     png_level = int(config.get("render", "png-level", fallback="1"))
     labels = config.getboolean("render", "labels", fallback=True)
+    png_cache = int(config.get("render", "png-cache", fallback="512"))
 
     from osm_renderer_tpu.mapcss.parser import parse_file
     from osm_renderer_tpu.mapcss.styler import Styler
@@ -84,6 +86,7 @@ def main(argv=None) -> int:
         enable_labels=labels,
         precision=precision,
         png_level=png_level,
+        png_cache_tiles=png_cache,
     )
     print(f"Serving tiles on http://{address} (backend={backend})")
     asyncio.run(run_server(address, service))

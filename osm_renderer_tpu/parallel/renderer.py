@@ -230,6 +230,10 @@ class BatchRenderer:
     # past this bound both are rebuilt from scratch.
     MAX_PERSISTED_PATTERNS = 48
 
+    # Scalar-prefetch SMEM bound: one pallas batch may not exceed this
+    # many chunks (compile fails around ~10k on v5e).
+    MAX_BATCH_CHUNKS = 8192
+
     def _prepare_pallas(self, tiles_entities, scale: int) -> PreparedBatch:
         from osm_renderer_tpu.ops import render_pallas as RP
 
@@ -297,6 +301,16 @@ class BatchRenderer:
                     self.cache_clear()
                     cache_on = False
             tile_chunks.append(chunks)
+        total_chunks = sum(int(c.kind.shape[0]) for c in tile_chunks)
+        if total_chunks > self.MAX_BATCH_CHUNKS:
+            # The kernel's scalar-prefetch arrays live in SMEM; past
+            # ~8k chunks the Mosaic compile fails outright (observed at
+            # 10240 on v5e).  Callers must split oversized batches —
+            # the server's micro-batcher (max_batch) never gets here.
+            raise ValueError(
+                f"batch has {total_chunks} chunks > MAX_BATCH_CHUNKS "
+                f"({self.MAX_BATCH_CHUNKS}); split the tile batch"
+            )
         n_tiles = len(tiles_entities)
         if self.tile_bucket:
             from osm_renderer_tpu.utils.jax_setup import next_pow2

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import asyncio
 import threading
+from collections import OrderedDict
 from typing import Dict, List, Optional, Set, Tuple
 
 import numpy as np
@@ -77,12 +78,23 @@ class TileService:
         enable_labels: bool = True,
         precision: str = "fast",
         png_level: int = 1,
+        png_cache_tiles: int = 512,
     ):
         self.reader = GeodataReader.load(geodata_file)
         self.styler = styler
         self.osm_ids = osm_ids
         self.backend = backend
         self.png_level = png_level
+        # Served-PNG LRU: geodata and stylesheet are immutable for the
+        # server's lifetime, so a repeat request is a byte-identical
+        # response — skip the whole pipeline.  (The reference re-renders
+        # every request; disabled under the osm_ids debug filter and on
+        # the CPU backend to keep its reference semantics.)
+        self._png_cache: "OrderedDict" = OrderedDict()
+        self._png_cache_lock = threading.Lock()
+        self.png_cache_tiles = (
+            0 if (osm_ids or backend != "device") else png_cache_tiles
+        )
         # Label-layer cache mirrors the chunk-stream cache (off under
         # the osm_ids debug filter; the CPU backend uses the exact
         # per-glyph path like the reference).
@@ -133,6 +145,25 @@ class TileService:
                 )
         else:
             self.batch_renderer = None
+
+    def png_cache_get(self, tile: Tile, scale: int) -> Optional[bytes]:
+        if not self.png_cache_tiles:
+            return None
+        key = (tile.zoom, tile.x, tile.y, scale)
+        with self._png_cache_lock:
+            png = self._png_cache.get(key)
+            if png is not None:
+                self._png_cache.move_to_end(key)
+            return png
+
+    def _png_cache_put(self, tile: Tile, scale: int, png: bytes) -> None:
+        if not self.png_cache_tiles:
+            return
+        key = (tile.zoom, tile.x, tile.y, scale)
+        with self._png_cache_lock:
+            self._png_cache[key] = png
+            while len(self._png_cache) > self.png_cache_tiles:
+                self._png_cache.popitem(last=False)
 
     def _cpu_drawer(self) -> CpuDrawer:
         drawer = getattr(self._local, "drawer", None)
@@ -408,6 +439,7 @@ class TileService:
                             img, entities, t, float(scale), self.styler
                         )
                     out[i] = rgb_to_png(img, self.png_level)
+            self._png_cache_put(t, scale, out[i])
             with self._perf_lock:
                 perfstats.finish_tile(self.perf_stats)
 
@@ -477,6 +509,10 @@ async def run_server(
                 await _respond(writer, b"not a tile\n", "text/plain", status="404 Not Found")
                 return
             tile, scale = parsed
+            cached = service.png_cache_get(tile, scale)
+            if cached is not None:
+                await _respond(writer, cached, "image/png")
+                return
             if service.backend == "device":
                 fut = loop.create_future()
                 await batch_queue.put((tile, scale, fut))

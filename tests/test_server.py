@@ -237,3 +237,37 @@ def test_device_backend_cold_subbatch_pipeline(tmp_path, monkeypatch):
     # byte-identical batch-to-batch.
     again = dev.render_tiles_device([(t, 1) for t in tiles])
     assert again == pngs
+
+
+def test_png_cache(tmp_path):
+    """Device backend caches served PNGs: a repeat request is a
+    byte-identical cache hit, LRU-bounded; CPU backend keeps the
+    reference's render-every-request semantics."""
+    from tests.fixtures import MINI_OSM
+    from osm_renderer_tpu.geodata.importer import import_osm
+
+    osm_path = os.path.join(str(tmp_path), "mini.osm")
+    with open(osm_path, "w") as f:
+        f.write(MINI_OSM)
+    bin_path = os.path.join(str(tmp_path), "mini.bin")
+    import_osm(osm_path, bin_path)
+
+    styler = Styler(parse_file(STYLESHEET_DIR, "default.mapcss"), "josm")
+    dev = TileService(
+        bin_path, styler, STYLESHEET_DIR, backend="device", png_cache_tiles=2
+    )
+    t18 = coords_to_max_zoom_tile(47.1412, 9.5215)
+    base = Tile(16, t18.x >> 2, t18.y >> 2)
+    assert dev.png_cache_get(base, 1) is None
+    pngs = dev.render_tiles_device([(base, 1)])
+    assert dev.png_cache_get(base, 1) == pngs[0]
+    # LRU bound: rendering two more tiles evicts the oldest entry.
+    others = [Tile(16, base.x + 1, base.y), Tile(16, base.x, base.y + 1)]
+    dev.render_tiles_device([(t, 1) for t in others])
+    assert dev.png_cache_get(base, 1) is None
+    assert dev.png_cache_get(others[1], 1) is not None
+
+    cpu = TileService(
+        bin_path, styler, STYLESHEET_DIR, backend="cpu", png_cache_tiles=2
+    )
+    assert cpu.png_cache_tiles == 0  # reference semantics preserved
