@@ -270,6 +270,39 @@ void fill_spans(const int64_t* edges, int64_t n_edges, int32_t ts,
 // Work items: ops/render_pallas.py _stroke_items transcription
 // ---------------------------------------------------------------------------
 
+// Per-(segment, column-half) clipped row-block range — transcription of
+// render_pallas.py _seg_half_blocks (the f64 interpolation expression
+// is written identically so both sides produce the same blocks).
+static bool seg_half_blocks(int64_t x1, int64_t y1, int64_t x2, int64_t y2,
+                            int64_t m, int32_t ts, int h,
+                            int64_t* b0_out, int64_t* nblk_out) {
+  if (x1 == x2 && y1 == y2) return false;
+  const int64_t c0 = int64_t(h) * 128;
+  const int64_t xa = std::min(x1, x2), xb = std::max(x1, x2);
+  const int64_t ya = std::min(y1, y2), yb = std::max(y1, y2);
+  const int64_t lo = std::max(xa, c0 - m), hi = std::min(xb, c0 + 127 + m);
+  if (lo > hi) return false;
+  int64_t sel_lo, sel_hi;
+  if (x1 == x2) {
+    sel_lo = ya;
+    sel_hi = yb;
+  } else {
+    const int64_t dy = y2 - y1, dxs = x2 - x1;
+    const double y_lo = double(y1) + double((lo - x1) * dy) / double(dxs);
+    const double y_hi = double(y1) + double((hi - x1) * dy) / double(dxs);
+    sel_lo =
+        std::max(int64_t(std::floor(std::min(y_lo, y_hi))) - 1, ya);
+    sel_hi = std::min(int64_t(std::ceil(std::max(y_lo, y_hi))) + 1, yb);
+  }
+  const int64_t blo =
+      std::min<int64_t>(std::max<int64_t>(sel_lo - m, 0), ts - 1) / RB_I;
+  const int64_t bhi =
+      std::min<int64_t>(std::max<int64_t>(sel_hi + m, 0), ts - 1) / RB_I;
+  *b0_out = blo;
+  *nblk_out = bhi - blo + 1;
+  return true;
+}
+
 int64_t stroke_item_count(const int64_t* g, int64_t n, double c_hw,
                           int32_t ts) {
   if (n == 0) return 0;
@@ -278,19 +311,11 @@ int64_t stroke_item_count(const int64_t* g, int64_t n, double c_hw,
   for (int64_t i = 0; i < n; ++i) {
     const int64_t x1 = g[i * 4], y1 = g[i * 4 + 1];
     const int64_t x2 = g[i * 4 + 2], y2 = g[i * 4 + 3];
-    if (x1 == x2 && y1 == y2) continue;
-    const int64_t ylo =
-        std::min<int64_t>(std::max<int64_t>(std::min(y1, y2) - m, 0), ts - 1);
-    const int64_t yhi =
-        std::min<int64_t>(std::max<int64_t>(std::max(y1, y2) + m, 0), ts - 1);
-    const int64_t nblk = yhi / RB_I - ylo / RB_I + 1;
-    const int64_t sxlo = std::min(x1, x2) - m, sxhi = std::max(x1, x2) + m;
-    int64_t halves = 0;
     for (int h = 0; h < ts / 128; ++h) {
-      const int64_t c0 = int64_t(h) * 128;
-      if (sxlo < c0 + 128 && sxhi >= c0) ++halves;
+      int64_t b0, nblk;
+      if (seg_half_blocks(x1, y1, x2, y2, m, ts, h, &b0, &nblk))
+        tot += nblk;
     }
-    tot += nblk * halves;
   }
   return tot;
 }
@@ -361,46 +386,33 @@ void stroke_items(const int64_t* g, int64_t n, double c_hw, int32_t ts,
   if (n == 0) return;
   const int64_t m = int64_t(std::ceil(c_hw)) + 1;
 
-  // Per-segment row-block words in segment order (sg | r8 << 8), with
-  // per-word class (0 axis / 1 general-alive / 2 general-dead) and
-  // x-extent attributes.
-  struct Word {
-    int32_t w;
-    int8_t cls;
-    int64_t sxlo, sxhi;
-  };
-  std::vector<Word> words;
+  // Per-segment class (0 axis / 1 general-alive / 2 general-dead).
+  std::vector<int8_t> cls_of(static_cast<size_t>(n));
   for (int64_t i = 0; i < n; ++i) {
     const int64_t x1 = g[i * 4], y1 = g[i * 4 + 1];
     const int64_t x2 = g[i * 4 + 2], y2 = g[i * 4 + 3];
-    if (x1 == x2 && y1 == y2) continue;
-    const int64_t ylo =
-        std::min<int64_t>(std::max<int64_t>(std::min(y1, y2) - m, 0), ts - 1);
-    const int64_t yhi =
-        std::min<int64_t>(std::max<int64_t>(std::max(y1, y2) + m, 0), ts - 1);
-    const int64_t b0 = ylo / RB_I;
-    const int64_t nblk = yhi / RB_I - b0 + 1;
-    int8_t cls;
     if (x1 == x2 || y1 == y2)
-      cls = 0;
+      cls_of[size_t(i)] = 0;
     else
-      cls = seg_all_alive(x1, y1, x2, y2, c_hw) ? 1 : 2;
-    const int64_t sxlo = std::min(x1, x2) - m, sxhi = std::max(x1, x2) + m;
-    for (int64_t p = 0; p < nblk; ++p)
-      words.push_back({int32_t(i | ((b0 + p) << 8)), cls, sxlo, sxhi});
+      cls_of[size_t(i)] = seg_all_alive(x1, y1, x2, y2, c_hw) ? 1 : 2;
   }
 
   int32_t end = 0;
   for (int cls = 0; cls < 3; ++cls) {
     const int slot_base = 4 * cls;
     for (int h = 0; h < n_halves; ++h) {
-      const int64_t c0 = int64_t(h) * 128;
       size_t count = 0;
-      for (const Word& w : words)
-        if (w.cls == cls && w.sxlo < c0 + 128 && w.sxhi >= c0) {
-          items->push_back(w.w);
-          ++count;
-        }
+      for (int64_t i = 0; i < n; ++i) {
+        if (cls_of[size_t(i)] != cls) continue;
+        const int64_t x1 = g[i * 4], y1 = g[i * 4 + 1];
+        const int64_t x2 = g[i * 4 + 2], y2 = g[i * 4 + 3];
+        int64_t b0, nblk;
+        if (!seg_half_blocks(x1, y1, x2, y2, m, ts, h, &b0, &nblk))
+          continue;
+        for (int64_t p = 0; p < nblk; ++p)
+          items->push_back(int32_t(i | ((b0 + p) << 8)));
+        count += size_t(nblk);
+      }
       // Pad with DUPLICATES of the last real item (the kernel emit is
       // an fmax, so re-evaluation is a no-op) — matches
       // render_pallas._stroke_items exactly.

@@ -208,6 +208,54 @@ IT_CAP = 2048   # max work items per chunk (SMEM staging bound); chunks
                 # exceeding it are split (same generation, last on tail)
 
 
+def _seg_half_blocks(gi: np.ndarray, m: int, ts: int):
+    """Per-(segment, column-half) row-block ranges for work items.
+
+    For each half h the relevant segment portion is x in
+    [c0 - m, c0 + 127 + m]; the y-extent of that portion (diagonals
+    only touch part of their global y-span inside one half) gives the
+    8-row block range, conservatively widened by one pixel to absorb
+    the f64 interpolation rounding (the C++ assembler evaluates the
+    bit-identical expression — native/assembler.cpp seg_half_blocks).
+
+    Returns (b0w, nblkw) int64 arrays of shape (n, n_halves); a
+    non-overlapping or degenerate (point) entry has nblkw == 0."""
+    n = gi.shape[0]
+    n_halves = ts // 128
+    x1, y1, x2, y2 = gi[:, 0], gi[:, 1], gi[:, 2], gi[:, 3]
+    nondeg = ~((x1 == x2) & (y1 == y2))
+    xa = np.minimum(x1, x2)
+    xb = np.maximum(x1, x2)
+    ya = np.minimum(y1, y2)
+    yb = np.maximum(y1, y2)
+    vert = x1 == x2
+    dx = x2 - x1
+    dy = y2 - y1
+    b0w = np.zeros((n, n_halves), dtype=np.int64)
+    nblkw = np.zeros((n, n_halves), dtype=np.int64)
+    for h in range(n_halves):
+        c0 = h * 128
+        lo = np.maximum(xa, c0 - m)
+        hi = np.minimum(xb, c0 + 127 + m)
+        overlap = nondeg & (lo <= hi)
+        # y at the clipped x endpoints (exact int64 products, one f64
+        # division; +-1 guard absorbs its rounding).
+        dxs = np.where(vert, 1, dx)
+        y_lo = y1 + (lo - x1) * dy / dxs
+        y_hi = y1 + (hi - x1) * dy / dxs
+        sel_lo = np.floor(np.minimum(y_lo, y_hi)) - 1
+        sel_hi = np.ceil(np.maximum(y_lo, y_hi)) + 1
+        sel_lo = np.maximum(sel_lo, ya).astype(np.int64)
+        sel_hi = np.minimum(sel_hi, yb).astype(np.int64)
+        sel_lo = np.where(vert, ya, sel_lo)
+        sel_hi = np.where(vert, yb, sel_hi)
+        blo = np.clip(sel_lo - m, 0, ts - 1) // RB_I
+        bhi = np.clip(sel_hi + m, 0, ts - 1) // RB_I
+        b0w[:, h] = np.where(overlap, blo, 0)
+        nblkw[:, h] = np.where(overlap, bhi - blo + 1, 0)
+    return b0w, nblkw
+
+
 def _stroke_item_counts(g: np.ndarray, c_hw: float, ts: int) -> np.ndarray:
     """Per-segment work-item count (8-row blocks x active column
     halves), matching _stroke_items' emission exactly."""
@@ -215,19 +263,9 @@ def _stroke_item_counts(g: np.ndarray, c_hw: float, ts: int) -> np.ndarray:
     if n == 0:
         return np.zeros(0, dtype=np.int64)
     gi = g.astype(np.int64)
-    x1, y1, x2, y2 = gi[:, 0], gi[:, 1], gi[:, 2], gi[:, 3]
     m = int(np.ceil(c_hw)) + 1
-    nondeg = ~((x1 == x2) & (y1 == y2))
-    ylo = np.clip(np.minimum(y1, y2) - m, 0, ts - 1)
-    yhi = np.clip(np.maximum(y1, y2) + m, 0, ts - 1)
-    nblk = np.where(nondeg, yhi // RB_I - ylo // RB_I + 1, 0)
-    sxlo = np.minimum(x1, x2) - m
-    sxhi = np.maximum(x1, x2) + m
-    halves = np.zeros(n, dtype=np.int64)
-    for h in range(ts // 128):
-        c0 = h * 128
-        halves += ((sxlo < c0 + 128) & (sxhi >= c0)).astype(np.int64)
-    return nblk * halves
+    _, nblkw = _seg_half_blocks(gi, m, ts)
+    return nblkw.sum(axis=1)
 
 
 def _seg_alive_exact(x1, y1, x2, y2, mn, mx, den, ft) -> bool:
@@ -325,34 +363,31 @@ def _stroke_items(g: np.ndarray, c_hw: float, ts: int):
     gi = g.astype(np.int64)
     x1, y1, x2, y2 = gi[:, 0], gi[:, 1], gi[:, 2], gi[:, 3]
     m = int(np.ceil(c_hw)) + 1
-    nondeg = ~((x1 == x2) & (y1 == y2))
-    ylo = np.clip(np.minimum(y1, y2) - m, 0, ts - 1)
-    yhi = np.clip(np.maximum(y1, y2) + m, 0, ts - 1)
-    b0 = ylo // RB_I
-    nblk = np.where(nondeg, yhi // RB_I - b0 + 1, 0)
-    tot = int(nblk.sum())
-    if tot == 0:
+    b0w, nblkw = _seg_half_blocks(gi, m, ts)
+    if int(nblkw.sum()) == 0:
         return np.zeros(0, dtype=np.int32), isec
-    sg_rep = np.repeat(np.arange(n, dtype=np.int64), nblk)
-    starts = np.repeat(b0, nblk)
-    offs = np.concatenate(([0], np.cumsum(nblk)[:-1]))
-    pos = np.arange(tot, dtype=np.int64) - np.repeat(offs, nblk)
-    words = (sg_rep | ((starts + pos) << 8)).astype(np.int32)
 
     axis = (x1 == x2) | (y1 == y2)
     alive = _seg_all_alive(g, c_hw)
-    cls = np.where(axis, 0, np.where(alive, 1, 2))[sg_rep]
-    sxlo = (np.minimum(x1, x2) - m)[sg_rep]
-    sxhi = (np.maximum(x1, x2) + m)[sg_rep]
+    cls = np.where(axis, 0, np.where(alive, 1, 2))
+    seg_ids = np.arange(n, dtype=np.int64)
 
     parts = []
     end = 0
     for path_cls in range(3):
         slot_base = 4 * path_cls
+        cmask = cls == path_cls
         for h in range(n_halves):
-            c0 = h * 128
-            mask = (cls == path_cls) & (sxlo < c0 + 128) & (sxhi >= c0)
-            sec = words[mask]
+            nb = np.where(cmask, nblkw[:, h], 0)
+            tot = int(nb.sum())
+            if tot:
+                sg_rep = np.repeat(seg_ids, nb)
+                starts = np.repeat(b0w[:, h], nb)
+                offs = np.concatenate(([0], np.cumsum(nb)[:-1]))
+                pos = np.arange(tot, dtype=np.int64) - np.repeat(offs, nb)
+                sec = (sg_rep | ((starts + pos) << 8)).astype(np.int32)
+            else:
+                sec = np.zeros(0, dtype=np.int32)
             pad = (-len(sec)) % 4
             if pad:
                 # Pad with DUPLICATES of the last real item: the kernel
