@@ -176,3 +176,56 @@ def test_dead_classification_finds_real_dead_starts():
         # nearly all dead-routed segments have a genuinely dead start
         # (the 1e-6 epsilon band is the only allowed conservatism)
         assert n_true >= n_dead * 0.9
+
+
+def test_item_windows_cover_visited_pixels():
+    """Item-window safety: every pixel the walk/ownership model can
+    paint must lie inside some emitted (8-row block, column-half)
+    window — the per-half y-clipped emission (_seg_half_blocks) must
+    never drop a window the kernel would have painted in."""
+    from osm_renderer_tpu.ops.render_pallas import _stroke_items, RB_I
+
+    ts = 256
+    rng = np.random.default_rng(23)
+    checked = 0
+    for trial in range(300):
+        span = int(rng.integers(1, 220))
+        x1, y1 = (int(v) for v in rng.integers(-40, ts + 40, 2))
+        x2 = x1 + int(rng.integers(-span, span + 1))
+        y2 = y1 + int(rng.integers(-span, span + 1))
+        if x1 == x2 and y1 == y2:
+            continue
+        hw = float(rng.choice([0.25, 0.5, 1.0, 2.5, 4.0, 7.5]))
+        g = np.array([[x1, y1, x2, y2]], np.int64)
+        items, isec = _stroke_items(g, hw, ts)
+
+        covered = np.zeros((ts, ts), dtype=bool)
+        start = 0
+        for slot in range(12):
+            end = int(isec[slot])
+            h = slot % 4
+            c0 = h * 128
+            for w in items[start:end]:
+                r0 = ((int(w) >> 8) & 63) * RB_I
+                covered[r0 : r0 + RB_I, c0 : c0 + 128] = True
+            start = end
+
+        m = int(np.ceil(hw)) + 2
+        lo = min(x1, x2, y1, y2) - m
+        hi = max(x1, x2, y1, y2) + m + 1
+        _, dead_m = _visited_masks(x1, y1, x2, y2, hw, lo, hi)
+        ys, xs = np.nonzero(dead_m)
+        ys = ys + lo
+        xs = xs + lo
+        inside = (ys >= 0) & (ys < ts) & (xs >= 0) & (xs < ts)
+        ys, xs = ys[inside], xs[inside]
+        if ys.size == 0:
+            continue
+        checked += 1
+        missing = ~covered[ys, xs]
+        assert not missing.any(), (
+            f"seg=({x1},{y1})-({x2},{y2}) hw={hw}: "
+            f"{int(missing.sum())} visited pixels outside item windows, "
+            f"e.g. {list(zip(ys[missing][:3], xs[missing][:3]))}"
+        )
+    assert checked > 120
