@@ -188,23 +188,6 @@ class TileService:
             perfstats.finish_tile(self.perf_stats)
         return png
 
-    def _render_group_device(self, tiles_entities, scale: int, t_prep0: float):
-        """One scale group on the device backend.
-
-        With multiple accelerators (reference analogue: the
-        thread-per-core worker pool, `http_server.rs:50-83`), the group
-        is split round-robin and dispatched concurrently — one
-        committed batch per chip, no cross-chip communication (the
-        MeshTileRenderer model).  Returns (rgb, cpu-fallback indices,
-        host prepare seconds)."""
-        devices = getattr(self, "devices", None) or [None]
-        n_tiles = len(tiles_entities)
-        if len(devices) <= 1 or n_tiles <= 1:
-            return self._collect_group_device(
-                self._dispatch_group_device(tiles_entities, scale, t_prep0)
-            )
-        return self._render_group_multi(tiles_entities, scale, t_prep0)
-
     def _dispatch_group_device(self, tiles_entities, scale: int, t_prep0: float):
         """Single-device: prepare + async render dispatch, WITHOUT
         waiting for the device or the readback — callers can assemble
