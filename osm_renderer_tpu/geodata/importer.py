@@ -2,8 +2,8 @@
 
 Semantics match the reference importer (`src/geodata/importer.rs`):
 
-* streaming XML event parsing (here: `xml.etree.ElementTree.iterparse`,
-  which is expat/C underneath);
+* streaming XML event parsing (raw `xml.parsers.expat` callbacks — no
+  per-element DOM objects);
 * way node refs are translated from global to local ids, dropping refs
   to nodes that were not seen;
 * consecutive duplicate node pairs are removed (`postprocess_node_refs`,
@@ -16,8 +16,6 @@ Semantics match the reference importer (`src/geodata/importer.rs`):
 from __future__ import annotations
 
 import os
-import sys
-import xml.etree.ElementTree as ET
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
@@ -135,76 +133,88 @@ def _finish_relation(
 
 
 def parse_osm_xml(path: str) -> EntityStorages:
+    """Streaming parse via raw expat callbacks.
+
+    `iterparse` builds (and clears) an Element per XML element; for an
+    OSM file that is millions of throwaway objects.  Direct expat
+    handlers keep the same semantics (start sets the current entity,
+    empty children attach on their start event, end finalizes) at a
+    fraction of the cost."""
+    import xml.parsers.expat as _expat
+
     storages = EntityStorages()
     elem_count = 0
     print("Parsing XML")
 
-    # Current entity being assembled (set on start events, completed on end).
-    context = ET.iterparse(path, events=("start", "end"))
-    root = None
+    node_xlat = storages.node_storage.global_id_to_local_id.get
+    way_xlat = storages.way_storage.global_id_to_local_id.get
+
+    # Current entity being assembled (set on start, completed on end).
     cur_node: Optional[RawNode] = None
     cur_way: Optional[RawWay] = None
     cur_rel_id: Optional[int] = None
     cur_rel_tags: Optional[RawTags] = None
     cur_rel_ways: Optional[List[Tuple[int, bool]]] = None
 
-    for event, elem in context:
-        tag = elem.tag.rpartition("}")[2]  # strip any namespace
-        if event == "start":
-            if root is None:
-                root = elem
-            if tag == "node":
-                cur_node = RawNode(
-                    global_id=int(elem.get("id")),
-                    lat=float(elem.get("lat")),
-                    lon=float(elem.get("lon")),
-                )
-            elif tag == "way":
-                cur_way = RawWay(global_id=int(elem.get("id")))
-            elif tag == "relation":
-                cur_rel_id = int(elem.get("id"))
-                cur_rel_tags = {}
-                cur_rel_ways = []
-            continue
-
-        # end events
-        if tag == "tag":
-            k, v = elem.get("k"), elem.get("v")
-            if cur_node is not None:
-                cur_node.tags[k] = v
-            elif cur_way is not None:
-                cur_way.tags[k] = v
-            elif cur_rel_tags is not None:
-                cur_rel_tags[k] = v
-        elif tag == "nd":
+    def start(name, attrs):
+        nonlocal cur_node, cur_way, cur_rel_id, cur_rel_tags, cur_rel_ways
+        name = name.rpartition(":")[2]  # strip any namespace prefix
+        if name == "nd":
             if cur_way is not None:
-                local = storages.node_storage.translate_id(int(elem.get("ref")))
+                local = node_xlat(int(attrs["ref"]))
                 if local is not None:
                     cur_way.node_ids.append(local)
-        elif tag == "member":
-            if cur_rel_ways is not None and elem.get("type") == "way":
-                local = storages.way_storage.translate_id(int(elem.get("ref")))
+        elif name == "tag":
+            if cur_node is not None:
+                cur_node.tags[attrs["k"]] = attrs["v"]
+            elif cur_way is not None:
+                cur_way.tags[attrs["k"]] = attrs["v"]
+            elif cur_rel_tags is not None:
+                cur_rel_tags[attrs["k"]] = attrs["v"]
+        elif name == "node":
+            cur_node = RawNode(
+                global_id=int(attrs["id"]),
+                lat=float(attrs["lat"]),
+                lon=float(attrs["lon"]),
+            )
+        elif name == "way":
+            cur_way = RawWay(global_id=int(attrs["id"]))
+        elif name == "member":
+            if cur_rel_ways is not None and attrs.get("type") == "way":
+                local = way_xlat(int(attrs["ref"]))
                 if local is not None:
-                    cur_rel_ways.append((local, elem.get("role") == "inner"))
-        elif tag == "node":
+                    cur_rel_ways.append((local, attrs.get("role") == "inner"))
+        elif name == "relation":
+            cur_rel_id = int(attrs["id"])
+            cur_rel_tags = {}
+            cur_rel_ways = []
+
+    def end(name):
+        nonlocal cur_node, cur_way, cur_rel_id, cur_rel_tags, cur_rel_ways
+        nonlocal elem_count
+        name = name.rpartition(":")[2]
+        if name == "node":
             storages.node_storage.add(cur_node.global_id, cur_node)
             cur_node = None
-            elem_count += 1
-        elif tag == "way":
+        elif name == "way":
             cur_way.node_ids = postprocess_node_refs(cur_way.node_ids)
             storages.way_storage.add(cur_way.global_id, cur_way)
             cur_way = None
-            elem_count += 1
-        elif tag == "relation":
+        elif name == "relation":
             _finish_relation(cur_rel_id, cur_rel_tags, cur_rel_ways, storages)
             cur_rel_id = cur_rel_tags = cur_rel_ways = None
-            elem_count += 1
-
-        elem.clear()
-        if tag in ("node", "way", "relation") and root is not None:
-            root.clear()  # drop completed top-level subtrees to bound memory
-        if tag in ("node", "way", "relation") and elem_count % 100_000 == 0:
+        else:
+            return
+        elem_count += 1
+        if elem_count % 100_000 == 0:
             _print_storage_stats(storages)
+
+    parser = _expat.ParserCreate()
+    parser.buffer_text = True
+    parser.StartElementHandler = start
+    parser.EndElementHandler = end
+    with open(path, "rb") as f:
+        parser.ParseFile(f)
 
     _print_storage_stats(storages)
     return storages

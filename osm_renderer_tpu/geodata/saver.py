@@ -41,6 +41,7 @@ class _BufferedData:
         self.all_ints = array("I")
         self.string_to_offset: Dict[bytes, int] = {}
         self.all_strings = bytearray()
+        self.tags_memo: Dict[tuple, List[int]] = {}
 
     def add_string(self, s: str) -> Tuple[int, int]:
         b = s.encode("utf-8")
@@ -59,17 +60,33 @@ class _BufferedData:
 
 def _save_refs(writer: BinaryIO, refs, data: _BufferedData) -> None:
     offset = len(data.all_ints)
-    for r in refs:
-        data.all_ints.append(_to_u32_safe(r))
+    if isinstance(refs, np.ndarray):
+        if refs.size and (int(refs.min()) < 0 or int(refs.max()) >= _U32_LIMIT):
+            raise ValueError("ref doesn't fit into u32")
+        data.all_ints.frombytes(refs.astype("<u4").tobytes())
+    else:
+        try:
+            # array("I") range-checks each element in C; same u32 bound
+            # as _to_u32_safe, ~10x faster than a Python append loop.
+            data.all_ints.extend(refs)
+        except OverflowError as e:
+            raise ValueError(f"ref doesn't fit into u32: {e}") from e
     writer.write(struct.pack("<II", _to_u32_safe(offset), len(data.all_ints) - offset))
 
 
 def _save_tags(writer: BinaryIO, tags: Dict[str, str], data: _BufferedData) -> None:
-    kv_refs: List[int] = []
-    for k, v in sorted(tags.items(), key=lambda kv: kv[0].encode("utf-8")):
-        k_off, k_len = data.add_string(k)
-        v_off, v_len = data.add_string(v)
-        kv_refs.extend((k_off, k_len, v_off, v_len))
+    # Tag dicts repeat massively across entities ({'building': 'yes'}
+    # etc.); the interned (offset, len) quads are stable once the
+    # strings enter the pool, so memoize per distinct sorted kv tuple.
+    key = tuple(sorted(tags.items(), key=lambda kv: kv[0].encode("utf-8")))
+    kv_refs = data.tags_memo.get(key)
+    if kv_refs is None:
+        kv_refs = []
+        for k, v in key:
+            k_off, k_len = data.add_string(k)
+            v_off, v_len = data.add_string(v)
+            kv_refs.extend((k_off, k_len, v_off, v_len))
+        data.tags_memo[key] = kv_refs
     _save_refs(writer, kv_refs, data)
 
 
@@ -101,25 +118,63 @@ def save_to_internal_format(writer: BinaryIO, storages) -> None:
         _save_refs(writer, mp.polygon_ids, data)
         _save_tags(writer, mp.tags, data)
 
-    tile_refs = _get_tile_references(storages)
-    writer.write(struct.pack("<I", _to_u32_safe(len(tile_refs))))
-    for (x, y) in sorted(tile_refs.keys()):
-        node_ids, way_ids, mp_ids = tile_refs[(x, y)]
-        writer.write(struct.pack("<II", x, y))
-        _save_refs(writer, sorted(node_ids), data)
-        _save_refs(writer, sorted(way_ids), data)
-        _save_refs(writer, sorted(mp_ids), data)
+    tile_keys, slots = _get_tile_references(storages)
+    writer.write(struct.pack("<I", _to_u32_safe(len(tile_keys))))
+    bounds = [
+        (
+            np.searchsorted(skeys, tile_keys, side="left"),
+            np.searchsorted(skeys, tile_keys, side="right"),
+            sids,
+        )
+        for skeys, sids in slots
+    ]
+    pack_ii = struct.Struct("<II").pack
+    for i, key in enumerate(tile_keys.tolist()):
+        writer.write(pack_ii(key >> 32, key & 0xFFFFFFFF))
+        for a_all, b_all, sids in bounds:
+            _save_refs(writer, sids[a_all[i] : b_all[i]], data)
 
     data.save(writer)
 
 
+def _bbox_triplets(ref_lists, ntx, nty):
+    """(key = x<<32|y, entity id) pairs for every MAX_ZOOM tile in each
+    entity's node bounding box, vectorized across entities."""
+    counts = np.array([len(r) for r in ref_lists], dtype=np.int64)
+    live = np.nonzero(counts)[0]
+    if live.size == 0:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64))
+    flat = np.concatenate(
+        [np.asarray(ref_lists[i], dtype=np.int64) for i in live]
+    )
+    offs = np.zeros(live.size, dtype=np.int64)
+    offs[1:] = np.cumsum(counts[live])[:-1]
+    xmin = np.minimum.reduceat(ntx[flat], offs)
+    xmax = np.maximum.reduceat(ntx[flat], offs)
+    ymin = np.minimum.reduceat(nty[flat], offs)
+    ymax = np.maximum.reduceat(nty[flat], offs)
+    w = xmax - xmin + 1
+    h = ymax - ymin + 1
+    cells = w * h
+    total = int(cells.sum())
+    ent_rep = np.repeat(live, cells)
+    starts = np.zeros(live.size, dtype=np.int64)
+    starts[1:] = np.cumsum(cells)[:-1]
+    local = np.arange(total, dtype=np.int64) - np.repeat(starts, cells)
+    h_rep = np.repeat(h, cells)
+    x = np.repeat(xmin, cells) + local // h_rep
+    y = np.repeat(ymin, cells) + local % h_rep
+    return ((x << 32) | y, ent_rep)
+
+
 def _get_tile_references(storages):
-    """tile (x, y) -> (node id set, way id set, multipolygon id set).
+    """Sorted tile keys plus per-slot (sorted keys, ids) arrays.
 
     Entity-to-tile assignment matches `saver.rs:167-226`: a node goes to
     its MAX_ZOOM tile; ways/multipolygons go to every tile in the
-    bounding box of their nodes' tiles.
-    """
+    bounding box of their nodes' tiles.  Keys are x << 32 | y so key
+    order is the reference's (x, y) tile order; within a tile each
+    slot's ids are ascending (the reference's sorted-set iteration)."""
     nodes = storages.node_storage.entities
     lat = np.array([n.lat for n in nodes], dtype=np.float64)
     lon = np.array([n.lon for n in nodes], dtype=np.float64)
@@ -130,34 +185,26 @@ def _get_tile_references(storages):
     else:
         ntx = nty = np.zeros(0, dtype=np.int64)
 
-    refs: Dict[Tuple[int, int], Tuple[set, set, set]] = {}
-
-    def tile_ref(x: int, y: int):
-        key = (int(x), int(y))
-        entry = refs.get(key)
-        if entry is None:
-            entry = (set(), set(), set())
-            refs[key] = entry
-        return entry
-
-    for i in range(len(nodes)):
-        tile_ref(ntx[i], nty[i])[0].add(i)
-
-    def insert_bbox(node_ids: List[int], slot: int, entity_id: int) -> None:
-        if not node_ids:
-            return
-        ids = np.asarray(node_ids, dtype=np.int64)
-        txs, tys = ntx[ids], nty[ids]
-        for x in range(int(txs.min()), int(txs.max()) + 1):
-            for y in range(int(tys.min()), int(tys.max()) + 1):
-                tile_ref(x, y)[slot].add(entity_id)
-
-    for i, way in enumerate(storages.way_storage.entities):
-        insert_bbox(way.node_ids, 1, i)
-
+    node_keys = (ntx << 32) | nty
+    node_ids = np.arange(len(nodes), dtype=np.int64)
+    way_keys, way_ids = _bbox_triplets(
+        [w.node_ids for w in storages.way_storage.entities], ntx, nty
+    )
     polygons = storages.polygon_storage
-    for i, mp in enumerate(storages.multipolygon_storage.entities):
-        all_ids = [nid for pid in mp.polygon_ids for nid in polygons[pid]]
-        insert_bbox(all_ids, 2, i)
+    mp_keys, mp_ids = _bbox_triplets(
+        [
+            [nid for pid in mp.polygon_ids for nid in polygons[pid]]
+            for mp in storages.multipolygon_storage.entities
+        ],
+        ntx, nty,
+    )
 
-    return refs
+    slots = []
+    for keys, ids in ((node_keys, node_ids), (way_keys, way_ids), (mp_keys, mp_ids)):
+        order = np.lexsort((ids, keys))
+        slots.append((keys[order], ids[order]))
+
+    tile_keys = np.unique(
+        np.concatenate([node_keys, way_keys, mp_keys])
+    )
+    return tile_keys, slots
