@@ -144,6 +144,14 @@ class Labeler:
             )
             if placements:
                 r, g, b = rgb
+                # Atlas patches are cached for the atlas's lifetime, so
+                # the colored premultiplied buffers (and the coverage
+                # masks) can be memoized per (patch, color) — text color
+                # repeats constantly, and coloring was ~a third of the
+                # per-glyph blit cost.
+                colored = getattr(self, "_colored_patches", None)
+                if colored is None:
+                    colored = self._colored_patches = {}
                 for glyph, kind, params in placements:
                     if kind == "center":
                         got = atlas.get_center(glyph.ch, glyph, gscale, *params)
@@ -152,12 +160,17 @@ class Labeler:
                     if got is None:
                         continue
                     patch, px, py = got
-                    rgba = np.empty(patch.shape + (4,), dtype=np.float64)
-                    rgba[..., 0] = (r / 255.0) * patch
-                    rgba[..., 1] = (g / 255.0) * patch
-                    rgba[..., 2] = (b / 255.0) * patch
-                    rgba[..., 3] = patch
-                    layer.stage(px, py, rgba, patch > 0.0, accumulate=True)
+                    ckey = (id(patch), r, g, b)
+                    cached = colored.get(ckey)
+                    if cached is None:
+                        rgba = np.empty(patch.shape + (4,), dtype=np.float64)
+                        rgba[..., 0] = (r / 255.0) * patch
+                        rgba[..., 1] = (g / 255.0) * patch
+                        rgba[..., 2] = (b / 255.0) * patch
+                        rgba[..., 3] = patch
+                        cached = (rgba, patch > 0.0)
+                        colored[ckey] = cached
+                    layer.stage(px, py, cached[0], cached[1], accumulate=True)
         layer.commit_label()
 
     def _label_layer_atlas(

@@ -102,10 +102,17 @@ class TextPlacer:
                     return None, 0.0, rgb
                 cur_dist = (total_way_length - total_width) / 2.0
                 glyph_center_y = (descent + ascent) / 2.0
+                angles = [
+                    math.atan2(
+                        float(points[i + 1, 1] - points[i, 1]),
+                        float(points[i + 1, 0] - points[i, 0]),
+                    )
+                    for i in range(points.shape[0] - 1)
+                ]
                 for glyph in glyphs:
                     glyph_center_x = glyph.width / 2.0
                     wx, wy, angle = _compute_way_position(
-                        points, cur_dist + glyph_center_x
+                        points, cur_dist + glyph_center_x, seg_lens, angles
                     )
                     sin_a = math.sin(-angle)
                     cos_a = math.cos(-angle)
@@ -233,28 +240,29 @@ class TextPlacer:
             rasterizer.draw_path(np.array(flat, dtype=np.float64).reshape(-1, 7))
 
 
-def _compute_way_position(points: np.ndarray, advance_by: float):
-    """Arc-length walk along integer waypoints (`text_placer.rs:270-296`)."""
+def _compute_way_position(
+    points: np.ndarray, advance_by: float, seg_lens, angles
+):
+    """Arc-length walk along integer waypoints (`text_placer.rs:270-296`).
 
-    def angle_at(i: int) -> float:
-        dx = float(points[i + 1, 0] - points[i, 0])
-        dy = float(points[i + 1, 1] - points[i, 1])
-        return math.atan2(dy, dx)
-
+    `seg_lens`/`angles` are precomputed once per way; the per-glyph
+    walk keeps the reference's exact sequential `to_travel -= seg`
+    arithmetic (seg lengths are sqrt of exact integer sums, so the
+    precomputed values are bit-identical to recomputing them here)."""
     to_travel = advance_by
     idx = 0
     n = points.shape[0]
     while to_travel > 0.0 and idx + 1 < n:
-        dx = float(points[idx + 1, 0] - points[idx, 0])
-        dy = float(points[idx + 1, 1] - points[idx, 1])
-        seg = math.sqrt(dx * dx + dy * dy)
+        seg = seg_lens[idx]
         if seg >= to_travel:
             ratio = to_travel / seg
+            dx = float(points[idx + 1, 0] - points[idx, 0])
+            dy = float(points[idx + 1, 1] - points[idx, 1])
             return (
                 float(points[idx, 0]) + dx * ratio,
                 float(points[idx, 1]) + dy * ratio,
-                angle_at(idx),
+                angles[idx],
             )
         to_travel -= seg
         idx += 1
-    return float(points[-1, 0]), float(points[-1, 1]), angle_at(n - 2)
+    return float(points[-1, 0]), float(points[-1, 1]), angles[n - 2]
