@@ -119,3 +119,24 @@ def test_arena_tile_bucket_padding(styled_tiles):
     ref = np.asarray(plain.render_prepared_planar(plain.prepare(sub, scale=1)))
     got = np.asarray(bucketed.render_prepared_planar(bucketed.prepare(sub, scale=1)))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_arena_matches_concat_path_2x(styled_tiles):
+    """Arena path at @2x (ts=512): per-scale tile keys, item widths and
+    pattern tables must round-trip the arena identically to the plain
+    concat path."""
+    styler, te, tiles = styled_tiles
+    sub = te[:2]
+    plain = _renderer(styler)
+    arena = _renderer(styler, arena=True)
+    ref = np.asarray(plain.render_prepared_planar(plain.prepare(sub, scale=2)))
+    prep = arena.prepare(sub, scale=2)
+    assert prep.batch is None and prep.ts == 512
+    got = np.asarray(arena.render_prepared_planar(prep))
+    np.testing.assert_array_equal(got, ref)
+    # Mixed-scale serving on one renderer: 1x after 2x still matches.
+    ref1 = np.asarray(plain.render_prepared_planar(plain.prepare(sub, scale=1)))
+    got1 = np.asarray(
+        arena.render_prepared_planar(arena.prepare(sub, scale=1))
+    )
+    np.testing.assert_array_equal(got1, ref1)
