@@ -18,6 +18,8 @@ Extra (framework-specific, optional):
     png-level = 1          ; deflate level (1 = max throughput [default, matches the benchmarked configuration], 6 = smaller tiles)
     labels = yes
     png-cache = 512        ; served-PNG LRU (device backend; 0 disables)
+    warmup = yes           ; device backend: pre-compile serving
+                           ; signatures before accepting traffic
 """
 
 from __future__ import annotations
@@ -88,6 +90,10 @@ def main(argv=None) -> int:
         png_level=png_level,
         png_cache_tiles=png_cache,
     )
+    if backend == "device" and config.getboolean("render", "warmup", fallback=True):
+        print("Warming up device serving signatures...")
+        n = service.warmup()
+        print(f"Warmed {n} tiles")
     print(f"Serving tiles on http://{address} (backend={backend})")
     asyncio.run(run_server(address, service))
     return 0

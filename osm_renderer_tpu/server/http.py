@@ -146,6 +146,31 @@ class TileService:
         else:
             self.batch_renderer = None
 
+    def warmup(self, n_tiles: int = 16) -> int:
+        """Pre-compile the serving signatures before accepting traffic.
+
+        Renders up to `n_tiles` real tiles around the extract (z15 via
+        the z18 tile index) through the full device path: first-request
+        latency then drops from ~40 s (Mosaic compile) to the steady
+        per-batch cost.  Returns the number of tiles warmed."""
+        if self.backend != "device" or not len(self.reader.tiles):
+            return 0
+        xs = self.reader.tiles["x"] >> 3
+        ys = self.reader.tiles["y"] >> 3
+        seen = []
+        seen_set = set()
+        for x, y in zip(xs.tolist(), ys.tolist()):
+            if (x, y) not in seen_set:
+                seen_set.add((x, y))
+                seen.append(Tile(15, x, y))
+                if len(seen) >= n_tiles:
+                    break
+        try:
+            self.render_tiles_device([(t, 1) for t in seen])
+        except Exception as e:  # pragma: no cover - warmup is best-effort
+            print(f"warmup failed (serving continues): {e}")
+        return len(seen)
+
     def png_cache_get(self, tile: Tile, scale: int) -> Optional[bytes]:
         if not self.png_cache_tiles:
             return None

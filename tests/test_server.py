@@ -121,6 +121,10 @@ def test_device_backend_service(tmp_path):
     dev = TileService(bin_path, styler, STYLESHEET_DIR, backend="device")
     cpu = TileService(bin_path, styler, STYLESHEET_DIR, backend="cpu")
 
+    # Startup warm-up pre-compiles serving signatures (and the render
+    # below reuses them).
+    assert dev.warmup(1) == 1
+
     t18 = coords_to_max_zoom_tile(47.1412, 9.5215)
     tile = Tile(16, t18.x >> 2, t18.y >> 2)
     pngs = dev.render_tiles_device([(tile, 1)])
