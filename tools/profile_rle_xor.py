@@ -67,4 +67,7 @@ print(
     f"xor runs/tile: mean={xor_runs.mean():.0f} p90={np.percentile(xor_runs,90):.0f}"
     f" max={xor_runs.max()}  -> {4*xor_runs.mean()/1e3:.1f} KB/tile"
 )
-print(f"improvement: {raw_runs.mean()/xor_runs.mean():.2f}x fewer runs")
+print(
+    f"xor/raw run ratio (>1 means Up predictor is WORSE): "
+    f"{xor_runs.mean()/raw_runs.mean():.2f}x"
+)
