@@ -410,6 +410,14 @@ def assemble_tile_chunks_native(
             tc, placeholders, o_ph, rq, tile, scale, profiles, patterns, ts_px
         )
         has_icon_fills = has_icon_fills or extra_icon
+    # The C++ assembler emits the raw chunk sequence; GROUP alignment
+    # and pattern-per-step alignment (render_pallas._pad_group) are
+    # host-side layout concerns applied here — skipping this at
+    # GROUP > 1 lets grid steps straddle tiles, which routes a tile's
+    # chunks into its neighbor's output block.
+    from osm_renderer_tpu.ops.render_pallas import _pad_group
+
+    tc = _pad_group(tc)
     return tc, has_icon_fills
 
 

@@ -53,12 +53,12 @@ CH = 128          # geometry slots per chunk (= TPU lane width)
 RB = 32           # rows per stroke processing block
 RB_F = 32         # rows per fill/blend processing block
 DS = 4            # dash-profile rows per profile
-GROUP = 1         # chunks per grid step.  >1 amortizes per-step DMA
-                  # issues (tiles pad to a multiple of GROUP; at most
-                  # one pattern index per step) but measured neutral on
-                  # this hardware — the step floor is bandwidth-bound,
-                  # not issue-bound — while quadrupling Mosaic compile
-                  # time, so it stays at 1.
+GROUP = 8         # chunks per grid step (tiles pad to a multiple of
+                  # GROUP; at most one pattern index per step).  Device
+                  # time (tools/kdevice.py, 97-tile z15 batch): 7.37 ms
+                  # at GROUP=1 vs 6.8 ms at GROUP=8/32 — grouping
+                  # amortizes the per-step index-map/sequencing cost
+                  # ~8x; beyond 8 is flat while padding waste grows.
 
 KIND_PAD = 0
 KIND_FILL = 1
@@ -643,6 +643,11 @@ def concat_pallas_batch(
     total = sum(counts)
     # Per-tile counts are GROUP-aligned (_pad_group); the global bucket
     # must stay a multiple of GROUP so trailing pads form whole steps.
+    # A misaligned tile would let a grid step straddle tiles and render
+    # into the wrong output block — fail loudly instead.
+    assert all(c % GROUP == 0 for c in counts), (
+        f"per-tile chunk counts not GROUP={GROUP}-aligned: {counts}"
+    )
     Ctot = -(-next_bucket(max(total, 8), 8) // GROUP) * GROUP
     pad = Ctot - total
 
@@ -1822,6 +1827,9 @@ def pack_small_arena(
     T = len(tile_chunks)
     counts = [c.kind.shape[0] for c in tile_chunks]
     total = sum(counts)
+    assert all(c % GROUP == 0 for c in counts), (
+        f"per-tile chunk counts not GROUP={GROUP}-aligned: {counts}"
+    )
     Ctot = -(-next_bucket(max(total, 8), 8) // GROUP) * GROUP
 
     packed = np.zeros((N_SMALL, Ctot), np.int32)

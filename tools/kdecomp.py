@@ -47,7 +47,7 @@ def main():
     te = [(reader.get_entities_in_tile_with_neighbors(t), t) for t in tiles]
     n = len(te)
 
-    dev = BatchRenderer(styler, backend="pallas", chunk_cache_tiles=256)
+    dev = BatchRenderer(styler, backend="pallas")
     prep = dev.prepare(te, scale=1)
 
     kind = np.asarray(prep.batch.kind)
