@@ -125,7 +125,12 @@ def main():
     # The device runtime may memoize executions with identical input
     # buffers, so each timed rep gets a (visually equivalent) perturbed
     # copy of the style table, prepared outside the timed region.
-    reps = 16
+    # 64 reps: the tunnel adds a fixed ~35 ms sync latency to the final
+    # block_until_ready regardless of work (measured round 4 — an empty
+    # kernel costs ~2.6 ms/batch at 16 reps but ~15 us on-device, see
+    # tools/kdevice.py), so more pipelined reps amortize that constant
+    # instead of folding ~2 ms of it into every batch.
+    reps = 64
     preps = []
     for i in range(reps):
         color = np.asarray(prepared.batch.color) * (1.0 - 1e-4 * (i + 1))
@@ -166,6 +171,26 @@ def main():
     jax.block_until_ready(outs)
     big_dt = (time.perf_counter() - t0) / reps
     big_tps = big_n / big_dt
+
+    # True on-device kernel time for the headline batch (profiler
+    # trace), separating kernel cost from dispatch/sync overhead; see
+    # tools/kdevice.py for why wall-clock alone misleads on this box.
+    device_kernel_ms = None
+    try:
+        import tempfile
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tools.kdevice import device_ms_per_call
+
+        tdir = tempfile.mkdtemp(prefix="bench_trace_")
+        with jax.profiler.trace(tdir):
+            outs = [dev.render_prepared_planar(p) for p in big_preps[:8]]
+            jax.block_until_ready(outs)
+        device_kernel_ms = round(
+            device_ms_per_call(tdir, 8)["device_ms_per_call"], 3
+        )
+    except Exception as e:
+        print(f"device-kernel trace skipped: {e}", file=sys.stderr)
 
     # --- PNG encode (host, native libdeflate path) ---
     from osm_renderer_tpu.draw.png_writer import rgb_to_png
@@ -288,7 +313,7 @@ def main():
         p2x = dev.prepare(te2x, scale=2)
         dev.render_prepared_planar(p2x).block_until_ready()
         p2xs = []
-        for i in range(8):
+        for i in range(32):
             color = np.asarray(p2x.batch.color) * (1.0 - 1e-4 * (i + 1))
             p2xs.append(
                 p2x._replace(batch=p2x.batch._replace(color=jnp.asarray(color)))
@@ -297,7 +322,7 @@ def main():
         t0 = time.perf_counter()
         outs2x = [dev.render_prepared_planar(p) for p in p2xs]
         jax.block_until_ready(outs2x)
-        at2x_tps = len(tiles2x) / ((time.perf_counter() - t0) / 8)
+        at2x_tps = len(tiles2x) / ((time.perf_counter() - t0) / 32)
     except Exception as e:
         print(f"@2x bench skipped: {e}", file=sys.stderr)
 
@@ -355,9 +380,9 @@ def main():
         zout = dev.render_prepared_planar(zprep)
         zout.block_until_ready()
         # Low zooms are 1-4 tile batches: the measurement is a ~2-7 ms
-        # wall dominated by per-launch dispatch, so more reps are needed
-        # for a stable mean.
-        zreps = 16 if len(zte) < 8 else 4
+        # wall dominated by per-launch dispatch plus the fixed ~35 ms
+        # final-sync latency, so many reps are needed to amortize it.
+        zreps = 48 if len(zte) < 8 else 16
         zpreps = []
         for i in range(zreps):
             color = np.asarray(zprep.batch.color) * (1.0 - 1e-4 * (i + 1))
@@ -380,6 +405,7 @@ def main():
             "backend": backend,
             "n_tiles": big_n,
             "big_ms_per_batch": round(big_dt * 1e3, 2),
+            "big_device_kernel_ms": device_kernel_ms,
             "minicity_30tile_tiles_per_sec": round(dev_tps, 2),
             "cpu_oracle_tiles_per_sec_1core": round(cpu_tps, 2),
             "cpu_cores": os.cpu_count(),
