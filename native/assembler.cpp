@@ -31,14 +31,15 @@ namespace {
 
 constexpr int CH = 128;       // geometry slots per chunk
 constexpr int RB_F = 32;      // blend row-block height
-constexpr int RB_I = 8;       // work-item row-block height
+constexpr int RB_I = 8;       // shallow/dead work-item row-block height
+constexpr int RB16 = 16;      // steep (16, 64) work-item row-block height
 constexpr int IT_CAP = 2048;  // max work items per chunk
 constexpr int64_t FAST_COORD_BOUND = 12000;
 
 constexpr int KIND_FILL = 1;
 constexpr int KIND_STROKE = 2;
 constexpr int KIND_STROKE_SOLID = 3;
-constexpr int NSEC = 12;  // item section slots (axis/alive/dead x 4 halves)
+constexpr int NSEC = 12;  // item section slots (shallow/steep16/dead x 4 halves)
 constexpr int KIND_FILL_IMAGE = 5;
 constexpr int KIND_STROKE_DASH = 7;
 constexpr int KIND_PLACEHOLDER = -2;  // layer-path request marker
@@ -270,17 +271,21 @@ void fill_spans(const int64_t* edges, int64_t n_edges, int32_t ts,
 // Work items: ops/render_pallas.py _stroke_items transcription
 // ---------------------------------------------------------------------------
 
-// Per-(segment, column-half) clipped row-block range — transcription of
-// render_pallas.py _seg_half_blocks (the f64 interpolation expression
-// is written identically so both sides produce the same blocks).
-static bool seg_half_blocks(int64_t x1, int64_t y1, int64_t x2, int64_t y2,
-                            int64_t m, int32_t ts, int h,
-                            int64_t* b0_out, int64_t* nblk_out) {
+// Per-(segment, column subrange) clipped row-block range —
+// transcription of render_pallas.py _seg_sub_blocks (the f64
+// interpolation expression is written identically so both sides
+// produce the same blocks).  `colw` is the subrange width (128 for
+// shallow/dead sections, 64 for steep), `rowb` the block height
+// (8 / 16), `h` the subrange index.
+static bool seg_sub_blocks(int64_t x1, int64_t y1, int64_t x2, int64_t y2,
+                           int64_t m, int32_t ts, int h, int colw, int rowb,
+                           int64_t* b0_out, int64_t* nblk_out) {
   if (x1 == x2 && y1 == y2) return false;
-  const int64_t c0 = int64_t(h) * 128;
+  const int64_t c0 = int64_t(h) * colw;
   const int64_t xa = std::min(x1, x2), xb = std::max(x1, x2);
   const int64_t ya = std::min(y1, y2), yb = std::max(y1, y2);
-  const int64_t lo = std::max(xa, c0 - m), hi = std::min(xb, c0 + 127 + m);
+  const int64_t lo = std::max(xa, c0 - m);
+  const int64_t hi = std::min(xb, c0 + (colw - 1) + m);
   if (lo > hi) return false;
   int64_t sel_lo, sel_hi;
   if (x1 == x2) {
@@ -295,14 +300,21 @@ static bool seg_half_blocks(int64_t x1, int64_t y1, int64_t x2, int64_t y2,
     sel_hi = std::min(int64_t(std::ceil(std::max(y_lo, y_hi))) + 1, yb);
   }
   const int64_t blo =
-      std::min<int64_t>(std::max<int64_t>(sel_lo - m, 0), ts - 1) / RB_I;
+      std::min<int64_t>(std::max<int64_t>(sel_lo - m, 0), ts - 1) / rowb;
   const int64_t bhi =
-      std::min<int64_t>(std::max<int64_t>(sel_hi + m, 0), ts - 1) / RB_I;
+      std::min<int64_t>(std::max<int64_t>(sel_hi + m, 0), ts - 1) / rowb;
   *b0_out = blo;
   *nblk_out = bhi - blo + 1;
   return true;
 }
 
+// Forward decl (defined below with the aliveness machinery).
+static bool seg_all_alive(int64_t x1, int64_t y1, int64_t x2, int64_t y2,
+                          double c_hw);
+
+// Raw (pre-padding) window count per segment — steep alive segments
+// use (16, 64) windows, everything else (8, 128); mirrors
+// render_pallas._stroke_item_counts.
 int64_t stroke_item_count(const int64_t* g, int64_t n, double c_hw,
                           int32_t ts) {
   if (n == 0) return 0;
@@ -311,10 +323,26 @@ int64_t stroke_item_count(const int64_t* g, int64_t n, double c_hw,
   for (int64_t i = 0; i < n; ++i) {
     const int64_t x1 = g[i * 4], y1 = g[i * 4 + 1];
     const int64_t x2 = g[i * 4 + 2], y2 = g[i * 4 + 3];
+    const bool steep = std::llabs(y2 - y1) > std::llabs(x2 - x1);
+    const bool use16 = steep && seg_all_alive(x1, y1, x2, y2, c_hw);
+    int64_t c8 = 0, c16 = 0;
     for (int h = 0; h < ts / 128; ++h) {
       int64_t b0, nblk;
-      if (seg_half_blocks(x1, y1, x2, y2, m, ts, h, &b0, &nblk))
-        tot += nblk;
+      if (seg_sub_blocks(x1, y1, x2, y2, m, ts, h, 128, RB_I, &b0, &nblk))
+        c8 += nblk;
+    }
+    if (use16) {
+      for (int h = 0; h < ts / 64; ++h) {
+        int64_t b0, nblk;
+        if (seg_sub_blocks(x1, y1, x2, y2, m, ts, h, 64, RB16, &b0, &nblk))
+          c16 += nblk;
+      }
+      // Steep segments emit whichever shape is cheaper per half (see
+      // stroke_items); the per-seg min lower-bounds either choice,
+      // which is what the IT_CAP chunk-split budget needs.
+      tot += std::min(c8, c16);
+    } else {
+      tot += c8;
     }
   }
   return tot;
@@ -386,28 +414,98 @@ void stroke_items(const int64_t* g, int64_t n, double c_hw, int32_t ts,
   if (n == 0) return;
   const int64_t m = int64_t(std::ceil(c_hw)) + 1;
 
-  // Per-segment class (0 axis / 1 general-alive / 2 general-dead).
+  // Per-segment class (0 shallow-alive (8,128) / 1 steep-alive (16,64)
+  // / 2 general-dead (8,128)).  Axis segments need no special class:
+  // the general-alive math collapses for mn = 0 and seg_all_alive
+  // routes them alive (for hw > 0) — matches
+  // render_pallas._stroke_items.
   std::vector<int8_t> cls_of(static_cast<size_t>(n));
   for (int64_t i = 0; i < n; ++i) {
     const int64_t x1 = g[i * 4], y1 = g[i * 4 + 1];
     const int64_t x2 = g[i * 4 + 2], y2 = g[i * 4 + 3];
-    if (x1 == x2 || y1 == y2)
-      cls_of[size_t(i)] = 0;
+    const bool steep = std::llabs(y2 - y1) > std::llabs(x2 - x1);
+    if (!seg_all_alive(x1, y1, x2, y2, c_hw))
+      cls_of[size_t(i)] = 2;
     else
-      cls_of[size_t(i)] = seg_all_alive(x1, y1, x2, y2, c_hw) ? 1 : 2;
+      cls_of[size_t(i)] = steep ? 1 : 0;
+  }
+
+  // Per half: steep (16, 64) emission pays only when its
+  // paired-and-padded cost beats plain (8, 128) windows for the same
+  // segments (equalizing unbalanced sub-half lists with duplicates can
+  // double them); spilled halves route steep items into the shallow
+  // section instead.  Mirrors render_pallas._stroke_items exactly.
+  std::vector<std::vector<int32_t>> steep_secs(static_cast<size_t>(n_halves));
+  std::vector<uint8_t> spill8(static_cast<size_t>(n_halves), 0);
+  std::vector<int32_t> L0, L1;
+  for (int h = 0; h < n_halves; ++h) {
+    L0.clear();
+    L1.clear();
+    int64_t raw8 = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      if (cls_of[size_t(i)] != 1) continue;
+      const int64_t x1 = g[i * 4], y1 = g[i * 4 + 1];
+      const int64_t x2 = g[i * 4 + 2], y2 = g[i * 4 + 3];
+      int64_t b0, nblk;
+      if (seg_sub_blocks(x1, y1, x2, y2, m, ts, h, 128, RB_I, &b0, &nblk))
+        raw8 += nblk;
+    }
+    for (int sub = 0; sub < 2; ++sub) {
+      std::vector<int32_t>* L = sub ? &L1 : &L0;
+      const int hs = 2 * h + sub;
+      for (int64_t i = 0; i < n; ++i) {
+        if (cls_of[size_t(i)] != 1) continue;
+        const int64_t x1 = g[i * 4], y1 = g[i * 4 + 1];
+        const int64_t x2 = g[i * 4 + 2], y2 = g[i * 4 + 3];
+        int64_t b0, nblk;
+        if (!seg_sub_blocks(x1, y1, x2, y2, m, ts, hs, 64, RB16, &b0,
+                            &nblk))
+          continue;
+        for (int64_t p = 0; p < nblk; ++p)
+          L->push_back(int32_t(i | ((b0 + p) << 8) | (sub << 14)));
+      }
+    }
+    const size_t n_pairs = std::max((L0.size() + 1) / 2, (L1.size() + 1) / 2);
+    const int64_t cost16 = int64_t(4 * n_pairs);
+    if (n_pairs && cost16 < raw8) {
+      const int32_t fill0 = L0.empty() ? L1.back() : L0.back();
+      const int32_t fill1 = L1.empty() ? L0.back() : L1.back();
+      L0.resize(2 * n_pairs, fill0);
+      L1.resize(2 * n_pairs, fill1);
+      std::vector<int32_t>& sec = steep_secs[size_t(h)];
+      sec.reserve(4 * n_pairs);
+      for (size_t k = 0; k < n_pairs; ++k) {
+        sec.push_back(L0[2 * k]);
+        sec.push_back(L0[2 * k + 1]);
+        sec.push_back(L1[2 * k]);
+        sec.push_back(L1[2 * k + 1]);
+      }
+    } else {
+      spill8[size_t(h)] = raw8 > 0;
+    }
   }
 
   int32_t end = 0;
   for (int cls = 0; cls < 3; ++cls) {
     const int slot_base = 4 * cls;
     for (int h = 0; h < n_halves; ++h) {
+      if (cls == 1) {
+        const std::vector<int32_t>& sec = steep_secs[size_t(h)];
+        items->insert(items->end(), sec.begin(), sec.end());
+        end += int32_t(sec.size());
+        isec[slot_base + h] = end;
+        continue;
+      }
       size_t count = 0;
       for (int64_t i = 0; i < n; ++i) {
-        if (cls_of[size_t(i)] != cls) continue;
+        const int8_t ci = cls_of[size_t(i)];
+        const bool take =
+            ci == cls || (cls == 0 && ci == 1 && spill8[size_t(h)]);
+        if (!take) continue;
         const int64_t x1 = g[i * 4], y1 = g[i * 4 + 1];
         const int64_t x2 = g[i * 4 + 2], y2 = g[i * 4 + 3];
         int64_t b0, nblk;
-        if (!seg_half_blocks(x1, y1, x2, y2, m, ts, h, &b0, &nblk))
+        if (!seg_sub_blocks(x1, y1, x2, y2, m, ts, h, 128, RB_I, &b0, &nblk))
           continue;
         for (int64_t p = 0; p < nblk; ++p)
           items->push_back(int32_t(i | ((b0 + p) << 8)));

@@ -76,11 +76,13 @@ KIND_LAYER = 6      # host-rasterized premultiplied layer (src-over of a pattern
 KIND_STROKE_DASH = 7
 KIND_STROKE_DASH_WIDE = 8   # legacy (r2): no longer emitted
 
-NSEC = 12         # item section slots per chunk: [0,4) axis-aligned,
-                  # [4,8) general all-alive (invert-free), [8,12)
-                  # general with (possibly) dead walk starts (full
-                  # dead-start machinery); within each family one slot
-                  # per 128-column half
+NSEC = 12         # item section slots per chunk: [0,4) shallow alive
+                  # (8x128 windows; subsumes axis-aligned — mn = 0
+                  # collapses the general formulas), [4,8) steep alive
+                  # (16x64 windows, sub-half bit 14 in the item word),
+                  # [8,12) segments with (possibly) dead walk starts
+                  # (8x128, full dead-start machinery); within each
+                  # family one slot per 128-column half
 
 
 class PallasBatch(NamedTuple):
@@ -203,25 +205,28 @@ class TileChunks(NamedTuple):
         return sum(a.nbytes for a in self)
 
 
-RB_I = 8        # rows per stroke work-item window
+RB_I = 8        # rows per shallow/dead stroke work-item window
+RB16 = 16       # rows per steep (16, 64) work-item window
 IT_CAP = 2048   # max work items per chunk (SMEM staging bound); chunks
                 # exceeding it are split (same generation, last on tail)
 
 
-def _seg_half_blocks(gi: np.ndarray, m: int, ts: int):
-    """Per-(segment, column-half) row-block ranges for work items.
+def _seg_sub_blocks(gi: np.ndarray, m: int, ts: int, colw: int, rowb: int):
+    """Per-(segment, column subrange of width `colw`) row-block ranges
+    for work items, with `rowb`-row blocks.
 
-    For each half h the relevant segment portion is x in
-    [c0 - m, c0 + 127 + m]; the y-extent of that portion (diagonals
-    only touch part of their global y-span inside one half) gives the
-    8-row block range, conservatively widened by one pixel to absorb
-    the f64 interpolation rounding (the C++ assembler evaluates the
-    bit-identical expression — native/assembler.cpp seg_half_blocks).
+    For each subrange the relevant segment portion is x in
+    [c0 - m, c0 + colw - 1 + m]; the y-extent of that portion
+    (diagonals only touch part of their global y-span inside one
+    subrange) gives the block range, conservatively widened by one
+    pixel to absorb the f64 interpolation rounding (the C++ assembler
+    evaluates the bit-identical expression — native/assembler.cpp
+    seg_sub_blocks).
 
-    Returns (b0w, nblkw) int64 arrays of shape (n, n_halves); a
+    Returns (b0w, nblkw) int64 arrays of shape (n, ts // colw); a
     non-overlapping or degenerate (point) entry has nblkw == 0."""
     n = gi.shape[0]
-    n_halves = ts // 128
+    n_sub = ts // colw
     x1, y1, x2, y2 = gi[:, 0], gi[:, 1], gi[:, 2], gi[:, 3]
     nondeg = ~((x1 == x2) & (y1 == y2))
     xa = np.minimum(x1, x2)
@@ -231,12 +236,12 @@ def _seg_half_blocks(gi: np.ndarray, m: int, ts: int):
     vert = x1 == x2
     dx = x2 - x1
     dy = y2 - y1
-    b0w = np.zeros((n, n_halves), dtype=np.int64)
-    nblkw = np.zeros((n, n_halves), dtype=np.int64)
-    for h in range(n_halves):
-        c0 = h * 128
+    b0w = np.zeros((n, n_sub), dtype=np.int64)
+    nblkw = np.zeros((n, n_sub), dtype=np.int64)
+    for h in range(n_sub):
+        c0 = h * colw
         lo = np.maximum(xa, c0 - m)
-        hi = np.minimum(xb, c0 + 127 + m)
+        hi = np.minimum(xb, c0 + colw - 1 + m)
         overlap = nondeg & (lo <= hi)
         # y at the clipped x endpoints (exact int64 products, one f64
         # division; +-1 guard absorbs its rounding).
@@ -249,23 +254,37 @@ def _seg_half_blocks(gi: np.ndarray, m: int, ts: int):
         sel_hi = np.minimum(sel_hi, yb).astype(np.int64)
         sel_lo = np.where(vert, ya, sel_lo)
         sel_hi = np.where(vert, yb, sel_hi)
-        blo = np.clip(sel_lo - m, 0, ts - 1) // RB_I
-        bhi = np.clip(sel_hi + m, 0, ts - 1) // RB_I
+        blo = np.clip(sel_lo - m, 0, ts - 1) // rowb
+        bhi = np.clip(sel_hi + m, 0, ts - 1) // rowb
         b0w[:, h] = np.where(overlap, blo, 0)
         nblkw[:, h] = np.where(overlap, bhi - blo + 1, 0)
     return b0w, nblkw
 
 
+def _seg_half_blocks(gi: np.ndarray, m: int, ts: int):
+    """(8-row, 128-col) window ranges — see _seg_sub_blocks."""
+    return _seg_sub_blocks(gi, m, ts, 128, RB_I)
+
+
 def _stroke_item_counts(g: np.ndarray, c_hw: float, ts: int) -> np.ndarray:
-    """Per-segment work-item count (8-row blocks x active column
-    halves), matching _stroke_items' emission exactly."""
+    """Per-segment raw work-item count (before section padding),
+    matching _stroke_items' window emission: steep alive segments get
+    (16-row, 64-col) windows, everything else (8-row, 128-col)."""
     n = g.shape[0]
     if n == 0:
         return np.zeros(0, dtype=np.int64)
     gi = g.astype(np.int64)
     m = int(np.ceil(c_hw)) + 1
-    _, nblkw = _seg_half_blocks(gi, m, ts)
-    return nblkw.sum(axis=1)
+    steep = np.abs(gi[:, 3] - gi[:, 1]) > np.abs(gi[:, 2] - gi[:, 0])
+    alive = _seg_all_alive(g, c_hw)
+    use16 = steep & alive
+    _, nblk8 = _seg_sub_blocks(gi, m, ts, 128, RB_I)
+    _, nblk16 = _seg_sub_blocks(gi, m, ts, 64, RB16)
+    # Steep segments emit whichever shape is cheaper per half (see
+    # _stroke_items); the per-seg min lower-bounds either choice, which
+    # is what the IT_CAP chunk-split budget needs.
+    s8 = nblk8.sum(axis=1)
+    return np.where(use16, np.minimum(nblk16.sum(axis=1), s8), s8)
 
 
 def _seg_alive_exact(x1, y1, x2, y2, mn, mx, den, ft) -> bool:
@@ -338,19 +357,49 @@ def _seg_all_alive(g: np.ndarray, c_hw: float) -> np.ndarray:
     return alive
 
 
+def _emit_windows(seg_ids, b0col, nbcol):
+    """Flat item words `sg | (block << 8)` for one column subrange."""
+    tot = int(nbcol.sum())
+    if not tot:
+        return np.zeros(0, dtype=np.int32)
+    sg_rep = np.repeat(seg_ids, nbcol)
+    starts = np.repeat(b0col, nbcol)
+    offs = np.concatenate(([0], np.cumsum(nbcol)[:-1]))
+    pos = np.arange(tot, dtype=np.int64) - np.repeat(offs, nbcol)
+    return (sg_rep | ((starts + pos) << 8)).astype(np.int32)
+
+
 def _stroke_items(g: np.ndarray, c_hw: float, ts: int):
     """Work items for a solid (or chain-free dashed) stroke chunk.
 
-    An item is one (segment, 8-row block, 128-column half) window that
-    the segment's paint margin can touch, packed as `sg | (r8 << 8)`.
-    Items are grouped into sections by (path, half) — axis-aligned
-    segments (mn = 0, cheap closed form) in section slots [0, n_halves);
-    general segments whose every walk start is provably alive
-    (_seg_all_alive) in slots [4, 4 + n_halves) (invert-free band
-    test); general segments with (possibly) dead starts in slots
-    [8, 8 + n_halves) (full dead-start machinery) — and each section is
-    padded with -1 to a multiple of 4: the kernel evaluates 4 items per
-    (32, 128) vector tile with per-8-row-group parameters.
+    An item is one window that the segment's paint margin can touch.
+    Window shape is chosen per segment for lane occupancy — the
+    predicates the kernel evaluates (in-line, ownership, aliveness) are
+    global geometry, so a window only partitions work; evaluating a
+    pixel from any window paints exactly the reference value, which is
+    what makes duplicate padding and shape choices output-invariant:
+
+    * shallow alive segments (|dy| <= |dx|, incl. horizontal axis):
+      (8-row, 128-col half) windows, `sg | (r8 << 8)`, section slots
+      [0, n_halves) — 4 items per (32, 128) vector tile;
+    * steep alive segments (|dy| > |dx|, incl. vertical axis):
+      (16-row, 64-col) windows, `sg | (r16 << 8) | (sub << 14)` with
+      `sub` the 64-col parity inside the 128-half, slots
+      [4, 4 + n_halves) — 4 items per (32, 128) tile as 2 row-pairs x
+      2 lane-halves (verticals paint ~5 of 128 columns, so half-width
+      windows quarter their evaluated pixels);
+    * segments with (possibly) dead walk starts: (8, 128) windows in
+      slots [8, 8 + n_halves) (full dead-start machinery).
+
+    Axis-aligned segments need no special section: with mn = 0 the
+    general ownership math collapses (T = m0, no gap/edge bands) and
+    every owner start lies on the line, so _seg_all_alive routes them
+    alive and the general-alive formulas reproduce the old axis path
+    bit-for-bit.
+
+    Steep sections interleave sub-half lists as group quadruples
+    (sub0, sub0, sub1, sub1); a missing side is padded with duplicates
+    from the other (safe by the global-predicate argument above).
 
     Returns (items int32 (IT,), isec int32 (NSEC,) cumulative section
     ends)."""
@@ -363,37 +412,75 @@ def _stroke_items(g: np.ndarray, c_hw: float, ts: int):
     gi = g.astype(np.int64)
     x1, y1, x2, y2 = gi[:, 0], gi[:, 1], gi[:, 2], gi[:, 3]
     m = int(np.ceil(c_hw)) + 1
-    b0w, nblkw = _seg_half_blocks(gi, m, ts)
-    if int(nblkw.sum()) == 0:
+    b0w8, nblkw8 = _seg_sub_blocks(gi, m, ts, 128, RB_I)
+    b0w16, nblkw16 = _seg_sub_blocks(gi, m, ts, 64, RB16)
+
+    steep = np.abs(y2 - y1) > np.abs(x2 - x1)
+    alive = _seg_all_alive(g, c_hw)
+    cls = np.where(~alive, 2, np.where(steep, 1, 0))
+    seg_ids = np.arange(n, dtype=np.int64)
+
+    if int(np.where(cls == 1, nblkw16.sum(axis=1), nblkw8.sum(axis=1)).sum()) == 0:
         return np.zeros(0, dtype=np.int32), isec
 
-    axis = (x1 == x2) | (y1 == y2)
-    alive = _seg_all_alive(g, c_hw)
-    cls = np.where(axis, 0, np.where(alive, 1, 2))
-    seg_ids = np.arange(n, dtype=np.int64)
+    # Per (steep segment, half): the (16, 64) emission pays only when
+    # its paired-and-padded cost beats plain (8, 128) windows (a lone
+    # street's items all land in one 64-col sub-half, and equalizing the
+    # two sub-half lists with duplicates can double them).  The choice
+    # is purely count-arithmetic, so the C++ assembler reproduces it
+    # bit-for-bit (native/assembler.cpp stroke_items).
+    steep_secs = []   # per half: interleaved quadruple array
+    spill8 = []       # per half: bool mask of steep segs spilled to (8,128)
+    for h in range(n_halves):
+        subs = []
+        for sub in range(2):
+            nb = np.where(cls == 1, nblkw16[:, 2 * h + sub], 0)
+            sec_s = _emit_windows(seg_ids, b0w16[:, 2 * h + sub], nb)
+            subs.append(sec_s | np.int32(sub << 14))
+        L0, L1 = subs
+        n_pairs = max((len(L0) + 1) // 2, (len(L1) + 1) // 2)
+        cost16 = 4 * n_pairs
+        raw8 = int(np.where(cls == 1, nblkw8[:, h], 0).sum())
+        if n_pairs and cost16 < raw8:
+            fill0 = L0[-1] if len(L0) else L1[-1]
+            fill1 = L1[-1] if len(L1) else L0[-1]
+            A = np.concatenate(
+                [L0, np.full(2 * n_pairs - len(L0), fill0, np.int32)]
+            )
+            B = np.concatenate(
+                [L1, np.full(2 * n_pairs - len(L1), fill1, np.int32)]
+            )
+            sec = np.empty(4 * n_pairs, np.int32)
+            sec[0::4] = A[0::2]
+            sec[1::4] = A[1::2]
+            sec[2::4] = B[0::2]
+            sec[3::4] = B[1::2]
+            steep_secs.append(sec)
+            spill8.append(False)
+        else:
+            steep_secs.append(np.zeros(0, dtype=np.int32))
+            spill8.append(raw8 > 0)
 
     parts = []
     end = 0
     for path_cls in range(3):
         slot_base = 4 * path_cls
-        cmask = cls == path_cls
         for h in range(n_halves):
-            nb = np.where(cmask, nblkw[:, h], 0)
-            tot = int(nb.sum())
-            if tot:
-                sg_rep = np.repeat(seg_ids, nb)
-                starts = np.repeat(b0w[:, h], nb)
-                offs = np.concatenate(([0], np.cumsum(nb)[:-1]))
-                pos = np.arange(tot, dtype=np.int64) - np.repeat(offs, nb)
-                sec = (sg_rep | ((starts + pos) << 8)).astype(np.int32)
+            if path_cls == 1:
+                sec = steep_secs[h]
             else:
-                sec = np.zeros(0, dtype=np.int32)
-            pad = (-len(sec)) % 4
-            if pad:
-                # Pad with DUPLICATES of the last real item: the kernel
-                # emit is an fmax, so re-evaluating an item is a no-op,
-                # and the kernel drops the per-group pad masking.
-                sec = np.concatenate([sec, np.repeat(sec[-1:], pad)])
+                cmask = cls == path_cls
+                if path_cls == 0 and spill8[h]:
+                    cmask = cmask | (cls == 1)
+                nb = np.where(cmask, nblkw8[:, h], 0)
+                sec = _emit_windows(seg_ids, b0w8[:, h], nb)
+                pad = (-len(sec)) % 4
+                if pad:
+                    # Pad with DUPLICATES of the last real item: the
+                    # kernel emit is an fmax, so re-evaluating an item
+                    # is a no-op, and the kernel drops per-group pad
+                    # masking.
+                    sec = np.concatenate([sec, np.repeat(sec[-1:], pad)])
             parts.append(sec)
             end += len(sec)
             isec[slot_base + h] = end
@@ -1345,6 +1432,11 @@ def make_render_kernel(ts: int):
                     om_pos = jnp.fmin(2.0 * hw, 1.0) > 0.0
                     grp_sel = sub_col >> 3       # (32, 1): item index 0..3
                     row_in = sub_col & 7
+                    # steep16 slot geometry: 2 row-pairs (16 sublanes) x
+                    # 2 lane-halves (64 lanes) per (32, 128) tile.
+                    pair_sel = sub_col >> 4      # (32, 1): row-pair 0/1
+                    row_in16 = sub_col & 15
+                    lane_lo = lane_col < 64      # (32, 128)
 
                     def vec4(a, b, c, d):
                         return jnp.where(
@@ -1352,13 +1444,31 @@ def make_render_kernel(ts: int):
                             jnp.where(grp_sel == 1, b, jnp.where(grp_sel == 2, c, d)),
                         )
 
+                    def vsel16(a, b, c, d):
+                        # steep16 quadruple (sub0a, sub0b, sub1a, sub1b):
+                        # slot = row-pair + 2*lane-half -> (32, 128).
+                        lo = jnp.where(pair_sel == 0, a, b)
+                        hi = jnp.where(pair_sel == 0, c, d)
+                        return jnp.where(
+                            lane_lo,
+                            jnp.broadcast_to(lo, (32, 128)),
+                            jnp.broadcast_to(hi, (32, 128)),
+                        )
+
                     def eval_group(base, col0, mode):
-                        # mode: "axis" (mn = 0 closed form), "alive" (all
-                        # walk starts provably alive: closed-form
-                        # A-interval test, no staircase math), "dead"
-                        # (full dead-start machinery).  Sections are
-                        # padded with duplicates of a real item (emit is
-                        # an idempotent fmax), so no pad masking.
+                        # mode: "alive" (all walk starts provably alive:
+                        # closed-form A-interval test, no staircase math;
+                        # subsumes axis-aligned segments, whose mn = 0
+                        # collapses the same formulas), "steep16" (alive
+                        # math on (16, 64) windows for steep segments),
+                        # "dead" (full dead-start machinery).  Sections
+                        # are padded with duplicates of a real item (the
+                        # predicates are global geometry and emit is an
+                        # idempotent fmax, so re-evaluating any item in
+                        # any window position is output-invariant) — no
+                        # pad masking.
+                        steep = mode == "steep16"
+                        vsel = vsel16 if steep else vec4
                         r0s = []
                         p1xs, p1ys, p2xs, p2ys, invs = ([] for _ in range(5))
                         rats, hKs = [], []
@@ -1366,7 +1476,7 @@ def make_render_kernel(ts: int):
                         for j in range(4):
                             w = items_smem[0, base + j]
                             sg = w & 127
-                            r0 = ((w >> 8) & 63) * RB_I
+                            r0 = ((w >> 8) & 63) * (RB16 if steep else RB_I)
                             r0s.append(r0)
                             p1xs.append(geom_smem[0, sg])
                             p1ys.append(geom_smem[1, sg])
@@ -1375,20 +1485,17 @@ def make_render_kernel(ts: int):
                             invs.append(aux_smem[0, sg])
                             if mode == "dead":
                                 rats.append(aux_smem[1, sg])
-                            if mode != "axis":
-                                hKs.append(aux_smem[2, sg])
+                            hKs.append(aux_smem[2, sg])
                             if dashed:
                                 travs.append(trav_smem[0, sg])
                                 pidxs.append(sprof_smem[0, sg])
 
-                        p1x = vec4(*p1xs); p1y = vec4(*p1ys)
-                        p2x = vec4(*p2xs); p2y = vec4(*p2ys)
-                        inv_denom = vec4(*invs)
+                        p1x = vsel(*p1xs); p1y = vsel(*p1ys)
+                        p2x = vsel(*p2xs); p2y = vsel(*p2ys)
+                        inv_denom = vsel(*invs)
                         if mode == "dead":
-                            ratio = vec4(*rats)
-                        if mode != "axis":
-                            hK = vec4(*hKs).astype(jnp.int32)
-                        r0_v = vec4(*r0s)
+                            ratio = vsel(*rats)
+                        hK = vsel(*hKs).astype(jnp.int32)
 
                         dxs = jnp.abs(p2x - p1x)
                         dys = jnp.abs(p2y - p1y)
@@ -1409,13 +1516,24 @@ def make_render_kernel(ts: int):
                         sdy = p2y - p1y
                         K = mx_d
 
-                        ys = r0_v + row_in                       # (32, 1)
+                        if steep:
+                            # Row depends on the lane-half's slot pair.
+                            ys_lo = jnp.where(pair_sel == 0, r0s[0], r0s[1]) + row_in16
+                            ys_hi = jnp.where(pair_sel == 0, r0s[2], r0s[3]) + row_in16
+                            ys = jnp.where(
+                                lane_lo,
+                                jnp.broadcast_to(ys_lo, (32, 128)),
+                                jnp.broadcast_to(ys_hi, (32, 128)),
+                            )
+                            ys_b = ys
+                        else:
+                            ys = vec4(*r0s) + row_in             # (32, 1)
+                            ys_b = jnp.broadcast_to(ys, (32, 128))
                         xsv = col0 + lane_col                    # (32, 128)
                         raw = sdy * xsv + (nc - sdx * ys)
                         cd = jnp.abs(raw.astype(jnp.float32)) * inv_denom
                         op = _feather(cd, hw)
                         in_line = op > 0.0
-                        ys_b = jnp.broadcast_to(ys, (32, 128))
                         MN = jnp.where(swap, ys_b, xsv)
                         MX = jnp.where(swap, xsv, ys_b)
 
@@ -1424,11 +1542,11 @@ def make_render_kernel(ts: int):
                             # stroke_opacity, chain-free: hlw == hw so the
                             # geometric masks above are untouched; only the
                             # emitted alpha picks up min(sd_op, cd_op)).
-                            trav_v = vec4(*travs)
+                            trav_v = vsel(*travs)
                             dot = (xsv - p1x) * sdx + (ys - p1y) * sdy
                             sd = jnp.abs(dot.astype(jnp.float32)) * inv_denom
                             dist = trav_v + sd
-                            ptot = vec4(
+                            ptot = vsel(
                                 *[prof_total_s[pidxs[j]] for j in range(4)]
                             )
                             dist = jnp.where(
@@ -1442,7 +1560,7 @@ def make_render_kernel(ts: int):
                                 fld = []
                                 for f in range(8):
                                     fld.append(
-                                        vec4(
+                                        vsel(
                                             *[
                                                 prof_s[pidxs[j] * (DS * 8) + i * 8 + f]
                                                 for j in range(4)
@@ -1468,18 +1586,6 @@ def make_render_kernel(ts: int):
                             op_emit = jnp.fmin(sd_op, op)
                         else:
                             op_emit = op
-
-                        if mode == "axis":
-                            m0 = (MX - mx0) * mx_i
-                            visited = in_line & (m0 >= 0) & (m0 <= K)
-                            alpha = jnp.where(visited, opacity * op_emit, 0.0)
-                            for j in range(4):
-                                blk = alpha[j * 8 : (j + 1) * 8, :]
-                                cur = pending_ref[pl.ds(r0s[j], RB_I), col0 : col0 + 128]
-                                pending_ref[pl.ds(r0s[j], RB_I), col0 : col0 + 128] = (
-                                    jnp.fmax(cur, blk)
-                                )
-                            return
 
                         n0 = (MN - mn0) * mn_i
                         m0 = (MX - mx0) * mx_i
@@ -1546,6 +1652,18 @@ def make_render_kernel(ts: int):
 
                         def emit(add_mask):
                             alpha = jnp.where(add_mask, opacity * op_emit, 0.0)
+                            if steep:
+                                # slot j: row-pair j & 1, lane-half j >> 1.
+                                for j in range(4):
+                                    rlo = 16 * (j & 1)
+                                    clo = 64 * (j >> 1)
+                                    blk = alpha[rlo : rlo + 16, clo : clo + 64]
+                                    sl = (
+                                        pl.ds(r0s[j], RB16),
+                                        slice(col0 + clo, col0 + clo + 64),
+                                    )
+                                    pending_ref[sl] = jnp.fmax(pending_ref[sl], blk)
+                                return
                             for j in range(4):
                                 blk = alpha[j * 8 : (j + 1) * 8, :]
                                 cur = pending_ref[pl.ds(r0s[j], RB_I), col0 : col0 + 128]
@@ -1553,7 +1671,7 @@ def make_render_kernel(ts: int):
                                     jnp.fmax(cur, blk)
                                 )
 
-                        if mode == "alive":
+                        if mode in ("alive", "steep16"):
                             # Every walk start is provably alive (host
                             # _seg_all_alive), so aliveness never gates a
                             # pixel and ownership only decides band-edge
@@ -1630,8 +1748,8 @@ def make_render_kernel(ts: int):
                         lax.fori_loop(0, n_grp, grp, 0)
 
                     for half in range(n_halves):
-                        do_section(half, half * 128, "axis")
-                        do_section(4 + half, half * 128, "alive")
+                        do_section(half, half * 128, "alive")
+                        do_section(4 + half, half * 128, "steep16")
                         do_section(8 + half, half * 128, "dead")
 
                 @pl.when(kind == KIND_STROKE)

@@ -183,7 +183,7 @@ def test_item_windows_cover_visited_pixels():
     paint must lie inside some emitted (8-row block, column-half)
     window — the per-half y-clipped emission (_seg_half_blocks) must
     never drop a window the kernel would have painted in."""
-    from osm_renderer_tpu.ops.render_pallas import _stroke_items, RB_I
+    from osm_renderer_tpu.ops.render_pallas import _stroke_items, RB16, RB_I
 
     ts = 256
     rng = np.random.default_rng(23)
@@ -205,9 +205,16 @@ def test_item_windows_cover_visited_pixels():
             end = int(isec[slot])
             h = slot % 4
             c0 = h * 128
+            steep_sec = 4 <= slot < 8
             for w in items[start:end]:
-                r0 = ((int(w) >> 8) & 63) * RB_I
-                covered[r0 : r0 + RB_I, c0 : c0 + 128] = True
+                if steep_sec:
+                    # (16, 64) windows; bit 14 is the 64-col sub-half
+                    r0 = ((int(w) >> 8) & 63) * RB16
+                    cs = c0 + 64 * ((int(w) >> 14) & 1)
+                    covered[r0 : r0 + RB16, cs : cs + 64] = True
+                else:
+                    r0 = ((int(w) >> 8) & 63) * RB_I
+                    covered[r0 : r0 + RB_I, c0 : c0 + 128] = True
             start = end
 
         m = int(np.ceil(hw)) + 2

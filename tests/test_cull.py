@@ -123,12 +123,14 @@ def test_cull_keeps_crossing_segment():
 
 def test_stroke_items_cover_paint_windows():
     """Work items (ops/render_pallas._stroke_items) must cover every
-    (8-row, 128-col) window a segment's paint margin can touch, carry
-    valid packed fields, keep sections 4-aligned, and agree with
-    _stroke_item_counts (the chunk-split budget)."""
+    window a segment's paint margin can touch — (8, 128) for
+    shallow/dead sections, (16, 64) for steep sections — carry valid
+    packed fields, keep sections 4-aligned, and stay within the
+    padding bound over _stroke_item_counts (the chunk-split budget)."""
     import numpy as np
 
     from osm_renderer_tpu.ops.render_pallas import (
+        RB16,
         RB_I,
         _stroke_item_counts,
         _stroke_items,
@@ -146,31 +148,37 @@ def test_stroke_items_cover_paint_windows():
         items, isec = _stroke_items(g, hw, ts)
         counts = _stroke_item_counts(g, hw, ts)
         live = items[items >= 0]
-        # Sections are padded to a 4-multiple with DUPLICATES of their
-        # last real item (re-evaluation is a no-op under the fmax emit),
-        # so the live total exceeds the budget count by the padding only.
-        assert counts.sum() <= len(live) <= counts.sum() + 3 * len(isec)
-        bounds = [0] + [int(v) for v in isec]
-        n_pad = 0
-        for lo, hi in zip(bounds[:-1], bounds[1:]):
-            sec = items[lo:hi]
-            k = len(sec)
-            while k > 1 and sec[k - 1] == sec[k - 2]:
-                k -= 1
-                n_pad += 1
-        assert len(live) == counts.sum() + n_pad
+        # Sections pad with DUPLICATE items (re-evaluation is a no-op
+        # under the fmax emit): shallow/dead pad to a 4-multiple (<= 3
+        # each); steep sections interleave two sub-half lists padded to
+        # a common even length (at most doubling + 2).
+        assert counts.sum() <= len(live) <= 2 * counts.sum() + 4 * len(isec)
         assert (isec[1:] >= isec[:-1]).all() if len(isec) > 1 else True
         assert isec[11] == len(items)
         # every section boundary is 4-aligned
         assert all(int(v) % 4 == 0 for v in isec)
         # decode and verify each live item window intersects its
-        # segment's margin bbox
+        # segment's margin y-extent, per section geometry
         m = int(np.ceil(hw)) + 1
-        sg = live & 127
-        r8 = (live >> 8) & 63
-        x1, y1, x2, y2 = g[sg, 0], g[sg, 1], g[sg, 2], g[sg, 3]
-        ylo = np.clip(np.minimum(y1, y2) - m, 0, ts - 1)
-        yhi = np.clip(np.maximum(y1, y2) + m, 0, ts - 1)
-        assert ((r8 * RB_I <= yhi) & (r8 * RB_I + RB_I - 1 >= ylo // RB_I * RB_I)).all()
-        nondeg = ~((x1 == x2) & (y1 == y2))
-        assert nondeg.all()
+        bounds = [0] + [int(v) for v in isec]
+        for slot in range(12):
+            sec = items[bounds[slot] : bounds[slot + 1]]
+            sec = sec[sec >= 0]
+            if not len(sec):
+                continue
+            rowb = RB16 if 4 <= slot < 8 else RB_I
+            sg = sec & 127
+            rblk = (sec >> 8) & 63
+            x1, y1, x2, y2 = g[sg, 0], g[sg, 1], g[sg, 2], g[sg, 3]
+            ylo = np.clip(np.minimum(y1, y2) - m, 0, ts - 1)
+            yhi = np.clip(np.maximum(y1, y2) + m, 0, ts - 1)
+            assert (
+                (rblk * rowb <= yhi)
+                & (rblk * rowb + rowb - 1 >= ylo // rowb * rowb)
+            ).all()
+            nondeg = ~((x1 == x2) & (y1 == y2))
+            assert nondeg.all()
+            if 4 <= slot < 8:
+                # steep sections: |dy| > |dx| and sub-half bit present
+                assert (np.abs(y2 - y1) > np.abs(x2 - x1)).all()
+                assert ((sec >> 14) <= 1).all()

@@ -78,15 +78,15 @@ def main():
 
     isec = np.asarray(prep.batch.isec)
     item_chunks = np.isin(kind, ITEM_KINDS)
-    axis_items = int(isec[item_chunks, 3].sum())
-    alive_items = int((isec[item_chunks, 7] - isec[item_chunks, 3]).sum())
+    shallow_items = int(isec[item_chunks, 3].sum())
+    steep_items = int((isec[item_chunks, 7] - isec[item_chunks, 3]).sum())
     dead_items = int((isec[item_chunks, 11] - isec[item_chunks, 7]).sum())
-    print(f"items: axis {axis_items}, alive {alive_items}, dead {dead_items}")
+    print(f"items: shallow {shallow_items}, steep16 {steep_items}, dead {dead_items}")
 
-    # axis-only: empty the general sections (slots 4..11 end at isec[3])
+    # shallow-only: empty the steep/dead sections (slots 4..11 end at isec[3])
     isec_axis = isec.copy()
     isec_axis[:, 4:] = isec_axis[:, 3:4]
-    # axis+alive: empty the dead sections
+    # shallow+steep: empty the dead sections
     isec_ad = isec.copy()
     isec_ad[:, 8:] = isec_ad[:, 7:8]
     # last zeroed: no per-primitive blends (floor = steps+init+finalize)
@@ -98,8 +98,8 @@ def main():
         ("steps_only", variant("", ())[1], None, last0),
         ("fills_only", variant("", (rp.KIND_FILL, rp.KIND_FILL_IMAGE, rp.KIND_LAYER))[1], None, None),
         ("items_only", variant("", ITEM_KINDS)[1], None, None),
-        ("items_axis", variant("", ITEM_KINDS)[1], isec_axis, None),
-        ("items_axis_alive", variant("", ITEM_KINDS)[1], isec_ad, None),
+        ("items_shallow", variant("", ITEM_KINDS)[1], isec_axis, None),
+        ("items_shallow_steep", variant("", ITEM_KINDS)[1], isec_ad, None),
         ("seg_stroke_only", variant("", (rp.KIND_STROKE,))[1], None, None),
     ]
 
