@@ -48,7 +48,12 @@ class ChunkArena:
 
     MAX_CAP = 65536  # 65k rows x ~13 KB/row ~= 850 MB HBM ceiling
 
-    def __init__(self, min_cap: int = 4096):
+    def __init__(self, min_cap: int = 4096, device=None):
+        # `device`: pin the arena arrays (and the insert/grow jits that
+        # consume them) to one accelerator — multi-chip serving runs one
+        # arena per chip so every chip executes the same single-chip
+        # program (committed inputs route the jit executions).
+        self.device = device
         self.min_cap = min_cap
         self.cap = 0
         self.geom = None   # (cap, 4, CH) i32
@@ -118,13 +123,18 @@ class ChunkArena:
 
     # --------------------------------------------------------- device --
 
+    def _put(self, a):
+        if self.device is not None:
+            return jax.device_put(a, self.device)
+        return jnp.asarray(a)
+
     def _init_device(self, cap: int) -> None:
         self.cap = cap
-        self.geom = jnp.zeros((cap, 4, CH), jnp.int32)
-        self.trav = jnp.zeros((cap, 1, CH), jnp.float32)
-        self.sprof = jnp.zeros((cap, 1, CH), jnp.int32)
-        self.aux = jnp.zeros((cap, 4, CH), jnp.float32)
-        self.items = jnp.full((cap, 1, IT_ARENA), -1, jnp.int32)
+        self.geom = self._put(jnp.zeros((cap, 4, CH), jnp.int32))
+        self.trav = self._put(jnp.zeros((cap, 1, CH), jnp.float32))
+        self.sprof = self._put(jnp.zeros((cap, 1, CH), jnp.int32))
+        self.aux = self._put(jnp.zeros((cap, 4, CH), jnp.float32))
+        self.items = self._put(jnp.full((cap, 1, IT_ARENA), -1, jnp.int32))
 
     def _grow(self, need_rows: int) -> None:
         new_cap = max(self.cap * 2 if self.cap else self.min_cap, self.min_cap)
@@ -196,9 +206,10 @@ class ChunkArena:
             pos += n
         # geom / sprof / items ride as i16 pairs: |geom| is bounded by
         # FAST_COORD_BOUND (12000) at assembly, sprof holds small
-        # profile-table indices, and an item word is sg | (r8 << 8)
-        # <= 0x7fff (pad -1 round-trips as i16 -1).  Halves the cold
-        # upload for those fields; the device insert jit sign-extends.
+        # profile-table indices, and an item word is sg | (blk << 8)
+        # [| sub << 14 for steep16] <= 24447 < 0x8000 (pad -1
+        # round-trips as i16 -1).  Halves the cold upload for those
+        # fields; the device insert jit sign-extends.
         assert int(np.abs(sprof).max(initial=0)) < 32768
         parts = [
             geom.astype(np.int16).reshape(-1).view(np.int32),
@@ -211,7 +222,7 @@ class ChunkArena:
         payload = np.concatenate(parts)
         ins = _insert_jit(n_bucket, it_new, self.cap, self._donate)
         self.geom, self.trav, self.sprof, self.aux, self.items = ins(
-            jnp.asarray(payload),
+            self._put(payload),
             self.geom, self.trav, self.sprof, self.aux, self.items,
         )
 

@@ -81,7 +81,14 @@ class BatchRenderer:
         tile_bucket: bool = False,
         chunk_cache_tiles: int = 0,
         arena: bool = False,
+        device=None,
     ):
+        # `device`: pin every resident array (arena, profile/pattern
+        # tables, canvas, prepared batches) to one accelerator, so
+        # multi-chip serving runs N independent copies of the
+        # single-chip program — one BatchRenderer per chip (the
+        # committed inputs route each jit execution to its chip).
+        self.device = device
         self.styler = styler
         self.precision = precision
         self.chunk_size = chunk_size
@@ -116,7 +123,7 @@ class BatchRenderer:
         if arena and backend == "pallas" and chunk_cache_tiles:
             from osm_renderer_tpu.parallel.arena import ChunkArena
 
-            self.chunk_arena = ChunkArena()
+            self.chunk_arena = ChunkArena(device=device)
         self.icon_cache = None
         if stylesheet_dir is not None:
             from osm_renderer_tpu.draw.labels.icons import IconCache
@@ -172,6 +179,15 @@ class BatchRenderer:
             fallback, profiles.has_round_caps(),
         )
 
+    def _dev(self, a):
+        """Place an array on this renderer's device (committed) or the
+        default device when unpinned."""
+        if self.device is not None:
+            import jax
+
+            return jax.device_put(a, self.device)
+        return jnp.asarray(a)
+
     def _canvas(self, dtype):
         # Per-styler constant: upload once, not once per batch (every
         # h2d transfer pays ~ms of fixed latency on tunnel hosts).
@@ -183,7 +199,7 @@ class BatchRenderer:
             [canvas.r, canvas.g, canvas.b] if canvas is not None else [0, 0, 0],
             dtype=dtype,
         ) / 255.0
-        dev = jnp.asarray(canvas_rgb)
+        dev = self._dev(canvas_rgb)
         self._canvas_dev[dtype] = dev
         return dev
 
@@ -345,12 +361,12 @@ class BatchRenderer:
             if got is not None and got[0] == ver:
                 pat_dev = got[1]
             else:
-                pat_dev = jnp.asarray(pb.patterns)
+                pat_dev = self._dev(pb.patterns)
                 self._patterns_dev[scale] = (ver, pat_dev)
         if pat_dev is not None:
             # Already-resident device array; jnp.asarray below is a no-op.
             pb = pb._replace(patterns=pat_dev)
-        pb = RP.PallasBatch(*(jnp.asarray(a) for a in pb))
+        pb = RP.PallasBatch(*(self._dev(a) for a in pb))
         return PreparedBatch(
             pb, self._canvas(np.float32), ts_px, n_tiles, "pallas",
             tuple(fallback),
@@ -374,7 +390,7 @@ class BatchRenderer:
         got = self._profiles_dev.get(scale)
         if got is None or got[0] != ver:
             rows, tots = profiles.arrays(np.float32)
-            got = (ver, jnp.asarray(rows), jnp.asarray(tots))
+            got = (ver, self._dev(rows), self._dev(tots))
             self._profiles_dev[scale] = got
         _, prof_dev, tot_dev = got
 
@@ -385,7 +401,7 @@ class BatchRenderer:
                 pat_arr = patterns.array()
             else:
                 pat_arr = np.zeros((1, 4, ts_px, ts_px), dtype=np.float32)
-            gp = (pver, jnp.asarray(pat_arr))
+            gp = (pver, self._dev(pat_arr))
             self._patterns_dev[scale] = gp
 
         return PreparedBatch(
@@ -451,9 +467,12 @@ class BatchRenderer:
                 # reset); offsets are stale.  ValueError routes the server
                 # to its per-batch CPU fallback; bench/tests re-prepare.
                 raise ValueError("chunk arena reset between prepare and render")
+            # Committed upload: device-pinned renderers send the packed
+            # buffer straight to their chip (everything else in the call
+            # is already arena-resident there).
             return render_arena_planar(
-                prepared.arena_packed, arena, prof_dev, tot_dev, pat_dev,
-                prepared.canvas_rgb, prepared.ts, prepared.chunk,
+                self._dev(prepared.arena_packed), arena, prof_dev, tot_dev,
+                pat_dev, prepared.canvas_rgb, prepared.ts, prepared.chunk,
                 prepared.arena_it, self.interpret,
             )
         from osm_renderer_tpu.ops.render_pallas import render_batch_pallas_planar
@@ -559,39 +578,39 @@ class MeshTileRenderer:
 
     Chunk streams interleave tiles, so instead of sharding one array set
     the batch is split into per-device sub-batches (round-robin over the
-    mesh's devices) and dispatched concurrently; results are gathered on
-    the host. This is the scaling model of SURVEY §2 row 24: independent
-    tile work, no cross-chip communication.
+    mesh's devices), each prepared and dispatched by a device-pinned
+    BatchRenderer — the full single-chip program per chip, including the
+    arena when enabled — and gathered on the host. This is the scaling
+    model of SURVEY §2 row 24: independent tile work, no cross-chip
+    communication.
     """
 
     def __init__(self, styler: Styler, devices=None, **kwargs):
         import jax
 
         self.devices = list(devices) if devices is not None else jax.devices()
-        self.renderer = BatchRenderer(styler, backend="pallas", **kwargs)
+        self.renderers = [
+            BatchRenderer(styler, backend="pallas", device=d, **kwargs)
+            for d in self.devices
+        ]
+        # Back-compat alias (single-renderer callers/tests).
+        self.renderer = self.renderers[0]
 
     def render(self, tiles_entities, scale: int = 1) -> np.ndarray:
         import jax
 
         n_dev = len(self.devices)
         shards = [tiles_entities[d::n_dev] for d in range(n_dev)]
-        shards = [(d, s) for d, s in zip(self.devices, shards) if s]
+        shards = [(r, s) for r, s in zip(self.renderers, shards) if s]
 
         outs = []
-        for device, shard in shards:
-            prepared = self.renderer.prepare(shard, scale)
-            batch = jax.tree_util.tree_map(
-                lambda a: jax.device_put(a, device), prepared.batch
-            )
-            canvas = jax.device_put(prepared.canvas_rgb, device)
-            prepared = prepared._replace(batch=batch, canvas_rgb=canvas)
-            outs.append(self.renderer.render_prepared(prepared))
+        for renderer, shard in shards:
+            outs.append(renderer.render_prepared(renderer.prepare(shard, scale)))
         jax.block_until_ready(outs)
 
         T = len(tiles_entities)
         ts = 256 * scale
         result = np.empty((T, ts, ts, 3), dtype=np.uint8)
-        n_dev = len(self.devices)
         out_iter = iter(outs)
         for d in range(n_dev):
             indices = list(range(d, T, n_dev))

@@ -123,6 +123,7 @@ class TileService:
                 self.batch_renderer = BatchRenderer(
                     styler, backend="jnp", precision="exact"
                 )
+                self.batch_renderers = [self.batch_renderer]
                 self.devices = self.devices[:1]
             else:
                 # The Pallas kernel needs a real TPU; elsewhere (tests,
@@ -130,21 +131,39 @@ class TileService:
                 # cache amortizes host assembly across repeated tile
                 # requests (disabled under the osm_ids debug filter,
                 # which changes tile content).
-                self.batch_renderer = BatchRenderer(
-                    styler,
-                    backend="pallas",
-                    interpret=jax.default_backend() != "tpu",
-                    stylesheet_dir=stylesheet_dir,
-                    tile_bucket=True,
-                    chunk_cache_tiles=0 if osm_ids else 512,
-                    # Device-resident chunk arena: warm batches assemble
-                    # on device from one packed upload (the h2d link is
-                    # the warm-serving bottleneck on tunnel hosts).
-                    # Multi-device serving keeps per-device batches.
-                    arena=not osm_ids and len(self.devices) <= 1,
-                )
+                #
+                # Multi-chip serving runs ONE BatchRenderer PER CHIP —
+                # each with its own device-pinned chunk arena and
+                # caches, executing the identical single-chip program —
+                # with a stable tile -> chip mapping (_dev_idx) so a
+                # tile always hits the chip that cached it.  This is
+                # the reference's scaling model (a thread-per-core pool
+                # running the real serving loop, http_server.rs:50-116)
+                # lifted to accelerators.
+                def _mk(dev):
+                    return BatchRenderer(
+                        styler,
+                        backend="pallas",
+                        interpret=jax.default_backend() != "tpu",
+                        stylesheet_dir=stylesheet_dir,
+                        tile_bucket=True,
+                        chunk_cache_tiles=0 if osm_ids else 512,
+                        # Device-resident chunk arena: warm batches
+                        # assemble on device from one packed upload (the
+                        # h2d link is the warm-serving bottleneck on
+                        # tunnel hosts).
+                        arena=not osm_ids,
+                        device=dev,
+                    )
+
+                if len(self.devices) <= 1:
+                    self.batch_renderers = [_mk(None)]
+                else:
+                    self.batch_renderers = [_mk(d) for d in self.devices]
+                self.batch_renderer = self.batch_renderers[0]
         else:
             self.batch_renderer = None
+            self.batch_renderers = []
 
     def warmup(self, n_tiles: int = 16) -> int:
         """Pre-compile the serving signatures before accepting traffic.
@@ -262,41 +281,51 @@ class TileService:
         d2h_dt = _time.perf_counter() - t1
         return rgb, needs_cpu, prep_dt, exec_dt, d2h_dt
 
+    def _dev_idx(self, tile: Tile) -> int:
+        """Stable tile -> chip mapping: a tile always renders on the
+        chip whose arena/chunk cache holds it (multi-chip warm serving
+        would otherwise re-assemble tiles on every chip they bounce
+        to)."""
+        n = len(self.batch_renderers)
+        if n <= 1:
+            return 0
+        return ((tile.x * 0x9E3779B1) ^ (tile.y * 0x85EBCA77) ^ tile.zoom) % n
+
     def _render_group_multi(self, tiles_entities, scale: int, t_prep0: float):
-        """Multi-accelerator split: one committed per-device batch per
-        chip, round-robin (the MeshTileRenderer model)."""
+        """Multi-accelerator split: each chip runs the FULL single-chip
+        serving program — its own BatchRenderer with a device-pinned
+        chunk arena and the RLE readback — over its stable tile shard
+        (see _dev_idx).  The reference's analogous scaling is a
+        thread-per-core pool running its real serving loop
+        (http_server.rs:50-116); this is that model per accelerator,
+        with no cross-chip communication."""
         import time as _time
 
         import jax
 
-        devices = self.devices
         n_tiles = len(tiles_entities)
-        shards = [list(range(d, n_tiles, len(devices))) for d in range(len(devices))]
-        shards = [(dev, idxs) for dev, idxs in zip(devices, shards) if idxs]
+        by_dev: Dict[int, List[int]] = {}
+        for i, (_, t) in enumerate(tiles_entities):
+            by_dev.setdefault(self._dev_idx(t), []).append(i)
         needs_cpu: set = set()
         staged = []
-        for dev, idxs in shards:
-            prep = self.batch_renderer.prepare(
-                [tiles_entities[i] for i in idxs], scale
-            )
+        for d, idxs in by_dev.items():
+            r = self.batch_renderers[d]
+            prep = r.prepare([tiles_entities[i] for i in idxs], scale)
             needs_cpu.update(idxs[f] for f in getattr(prep, "cpu_fallback_tiles", ()))
-            batch = jax.tree_util.tree_map(
-                lambda a: jax.device_put(a, dev), prep.batch
-            )
-            canvas = jax.device_put(prep.canvas_rgb, dev)
-            staged.append((idxs, prep._replace(batch=batch, canvas_rgb=canvas)))
+            staged.append((r, idxs, prep))
         prep_dt = _time.perf_counter() - t_prep0
         results = [
-            (idxs, self.batch_renderer.render_prepared_rle(p)) for idxs, p in staged
+            (r, idxs, r.render_prepared_rle(p)) for r, idxs, p in staged
         ]
         t0 = _time.perf_counter()
-        jax.block_until_ready([r.wire for _, r in results])
+        jax.block_until_ready([res.wire for _, _, res in results])
         exec_dt = _time.perf_counter() - t0
         t0 = _time.perf_counter()
         ts = 256 * scale
         rgb = np.empty((n_tiles, ts, ts, 3), dtype=np.uint8)
-        for idxs, res in results:
-            shard_rgb = self.batch_renderer.fetch_rgb_rle(res)
+        for r, idxs, res in results:
+            shard_rgb = r.fetch_rgb_rle(res)
             for j, i in enumerate(idxs):
                 rgb[i] = shard_rgb[j]
         d2h_dt = _time.perf_counter() - t0
@@ -324,7 +353,8 @@ class TileService:
             def _need_entities(t: Tile) -> bool:
                 if self.batch_renderer is None:
                     return True
-                if not self.batch_renderer.has_cached_chunks(t, scale):
+                r = self.batch_renderers[self._dev_idx(t)]
+                if not r.has_cached_chunks(t, scale):
                     return True
                 return self.labeler is not None and not self.labeler.has_cached_layer(
                     t, 256 * scale

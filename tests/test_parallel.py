@@ -93,3 +93,72 @@ def test_mesh_tile_renderer_pallas_interpret(tmp_path):
     a = single.render(te, 1)
     b = multi.render(te, 1)
     assert np.array_equal(a, b)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_multi_device_serving_matches_single(tmp_path):
+    """The PRODUCTION multi-chip serving path — TileService's
+    _render_group_multi with per-chip BatchRenderers, device-pinned
+    chunk arenas and the RLE readback — must serve bytes identical to
+    the 1-device server, warm and cold."""
+    import os
+
+    from osm_renderer_tpu.parallel.renderer import BatchRenderer
+    from osm_renderer_tpu.server.http import TileService
+    from tests.conftest import REPO_ROOT
+    from tests.fixtures import MINI_OSM
+    from osm_renderer_tpu.geodata.importer import import_osm
+
+    osm_path = os.path.join(str(tmp_path), "mini.osm")
+    with open(osm_path, "w") as f:
+        f.write(MINI_OSM)
+    bin_path = os.path.join(str(tmp_path), "mini.bin")
+    import_osm(osm_path, bin_path)
+    sd = os.path.join(REPO_ROOT, "assets", "stylesheets")
+    from osm_renderer_tpu.mapcss.parser import parse_file
+
+    styler = Styler(parse_file(sd, "default.mapcss"), "josm")
+
+    def mk(n_dev):
+        svc = TileService(bin_path, styler, sd, backend="device")
+        svc.devices = jax.devices()[:n_dev]
+        svc.batch_renderers = [
+            BatchRenderer(
+                styler, backend="pallas", interpret=True, stylesheet_dir=sd,
+                tile_bucket=True, chunk_cache_tiles=64, arena=True,
+                device=d if n_dev > 1 else None,
+            )
+            for d in svc.devices
+        ]
+        svc.batch_renderer = svc.batch_renderers[0]
+        return svc
+
+    one = mk(1)
+    many = mk(8)
+    t18 = coords_to_max_zoom_tile(47.1412, 9.5215)
+    base = Tile(16, t18.x >> 2, t18.y >> 2)
+    tiles = [
+        Tile(16, base.x + dx, base.y + dy) for dx in range(2) for dy in range(2)
+    ] + [Tile(15, base.x >> 1, base.y >> 1)]
+    reqs = [(t, 1) for t in tiles]
+
+    cold_one = one.render_tiles_device(reqs)
+    cold_many = many.render_tiles_device(reqs)
+    assert cold_one == cold_many  # byte-identical PNGs, cold
+    # Warm pass: chunk caches + arenas hit on every chip.
+    # (PNG-cache bypass: query the render path directly again.)
+    one._png_cache.clear()
+    many._png_cache.clear()
+    warm_one = one.render_tiles_device(reqs)
+    warm_many = many.render_tiles_device(reqs)
+    assert warm_one == warm_many == cold_one
+    # The multi service really used more than one renderer (stable
+    # mapping spread the tiles).
+    used = {many._dev_idx(t) for t in tiles}
+    assert len(used) > 1
+    # ... and the used renderers' arenas hold rows (the warm path ran
+    # the arena program, not the fallback).
+    for d in used:
+        arena = many.batch_renderers[d].chunk_arena
+        assert arena is not None and len(arena._offsets) > 0
