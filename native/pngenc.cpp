@@ -87,6 +87,50 @@ int32_t osmr_rle_decode_packed(const int32_t* packed, int32_t n_runs,
   return pos == total ? 1 : 0;
 }
 
+// Decode one tile's slice of the INDEXED 16-bit-word wire (ops/rle.py
+// encode_batch_words): palette run = one word (idx << 8 | len-1) with
+// idx < 255 resolved through `table`; literal run = three words
+// (0xFF00 | len-1, rgb_lo16, rgb_hi8).  Words arrive as an int32 array
+// of packed pairs with a word offset.  Returns 1 on success, 0 if the
+// runs don't cover exactly h*w pixels or words run out mid-literal.
+int32_t osmr_rle_decode_words(const int32_t* packed32, int64_t word_off,
+                              int32_t n_words, const int32_t* table,
+                              int32_t h, int32_t w, uint8_t* out_rgb) {
+  const int64_t total = int64_t(h) * w;
+  int64_t pos = 0;
+  int64_t i = word_off;
+  const int64_t end = word_off + n_words;
+  auto word_at = [&](int64_t k) -> uint32_t {
+    const uint32_t pair = uint32_t(packed32[k >> 1]);
+    return (k & 1) ? (pair >> 16) : (pair & 0xFFFF);
+  };
+  while (i < end) {
+    const uint32_t hdr = word_at(i);
+    const uint32_t pidx = hdr >> 8;
+    const int64_t len = int64_t(hdr & 0xFF) + 1;
+    uint32_t v;
+    if (pidx == 0xFF) {
+      if (i + 3 > end) return 0;
+      v = word_at(i + 1) | ((word_at(i + 2) & 0xFF) << 16);
+      i += 3;
+    } else {
+      v = uint32_t(table[pidx]);
+      i += 1;
+    }
+    if (pos + len > total) return 0;
+    const uint8_t c0 = uint8_t(v >> 16), c1 = uint8_t(v >> 8), c2 = uint8_t(v);
+    uint8_t* p = out_rgb + pos * 3;
+    for (int64_t k = 0; k < len; ++k) {
+      p[0] = c0;
+      p[1] = c1;
+      p[2] = c2;
+      p += 3;
+    }
+    pos += len;
+  }
+  return pos == total ? 1 : 0;
+}
+
 // rgb: h*w*3 bytes.  out must have capacity out_cap; returns the PNG
 // size, or 0 if out_cap was too small.
 size_t osmr_png_encode(const uint8_t* rgb, int32_t h, int32_t w,

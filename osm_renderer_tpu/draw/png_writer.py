@@ -65,6 +65,11 @@ def _get_native():
                 _I32P, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, _U8P,
             ]
             lib.osmr_rle_decode_packed.restype = ctypes.c_int32
+            lib.osmr_rle_decode_words.argtypes = [
+                _I32P, ctypes.c_int64, ctypes.c_int32, _I32P,
+                ctypes.c_int32, ctypes.c_int32, _U8P,
+            ]
+            lib.osmr_rle_decode_words.restype = ctypes.c_int32
             _native = lib
         except Exception:
             _native_failed = True
@@ -118,6 +123,52 @@ def rle_decode_packed(packed: np.ndarray, h: int, w: int) -> np.ndarray:
     if lens.sum() != h * w:
         raise ValueError("packed RLE runs do not cover the tile")
     flat = np.repeat(packed & 0xFFFFFF, lens)
+    out = np.empty((h * w, 3), np.uint8)
+    out[:, 0] = (flat >> 16) & 0xFF
+    out[:, 1] = (flat >> 8) & 0xFF
+    out[:, 2] = flat & 0xFF
+    return out.reshape(h, w, 3)
+
+
+def rle_decode_words(
+    packed32: np.ndarray, word_off: int, n_words: int, table: np.ndarray,
+    h: int, w: int,
+) -> np.ndarray:
+    """One tile's slice of the indexed 16-bit-word wire (ops/rle.py
+    encode_batch_words) -> (h, w, 3) u8.  Native C++ loop when
+    available; numpy fallback via the reference decoder."""
+    packed32 = np.ascontiguousarray(packed32, dtype=np.int32)
+    table = np.ascontiguousarray(table, dtype=np.int32)
+    lib = _get_native()
+    if lib is not None:
+        out = np.empty((h, w, 3), np.uint8)
+        if lib.osmr_rle_decode_words(
+            packed32, int(word_off), int(n_words), table, h, w, out
+        ):
+            return out
+        raise ValueError("indexed RLE words do not cover the tile")
+    # numpy fallback: expand this tile's words scalar-wise.
+    w16 = np.empty(2 * packed32.shape[0], np.int64)
+    w16[0::2] = packed32 & 0xFFFF
+    w16[1::2] = (packed32 >> 16) & 0xFFFF
+    words = w16[word_off : word_off + n_words]
+    flat = np.empty(h * w, np.int64)
+    fp = 0
+    i = 0
+    while i < n_words:
+        hdr = int(words[i])
+        pidx = hdr >> 8
+        ln = (hdr & 0xFF) + 1
+        if pidx == 0xFF:
+            val = int(words[i + 1]) | ((int(words[i + 2]) & 0xFF) << 16)
+            i += 3
+        else:
+            val = int(table[pidx])
+            i += 1
+        flat[fp : fp + ln] = val
+        fp += ln
+    if fp != h * w:
+        raise ValueError("indexed RLE words do not cover the tile")
     out = np.empty((h * w, 3), np.uint8)
     out[:, 0] = (flat >> 16) & 0xFF
     out[:, 1] = (flat >> 8) & 0xFF

@@ -1,0 +1,265 @@
+"""Pallas RLE emit kernel: compaction without XLA gathers.
+
+The XLA wire encoder (ops/rle.py encode_batch) compacts runs with a
+vectorized binary search over the global run-id prefix sum — ~21
+rounds of (rtot,)-sized gathers, and TPU gathers move only ~50M
+elements/s, so a 30-tile batch costs ~67 ms of device time (profiled
+round 4; the round-3 "0.1 ms" figure was a timing artifact).  That
+made the warm serving path ENCODE-bound, not wire-bound.
+
+This kernel exploits the format's 256-pixel forced-boundary blocks
+(ops/rle.py BLOCK): runs never straddle blocks, so compaction is
+block-local.  Per block the kernel
+
+* computes boundary flags and local run ranks (an inclusive prefix sum
+  via an upper-triangular ones matmul — exact: counts <= 256 in f32);
+* compacts (start, R, G, B) with two rank one-hot matmuls (ranks
+  0-127 and 128-255 along lanes) — each output is a single selected
+  term and all magnitudes are < 256, so bf16 operands with f32
+  accumulation are exact;
+* packs runs as (len-1) << 24 | rgb into a (2, 128) lane-major tile
+  and appends the n_b live runs into a VMEM carry at the block's run
+  offset: a dynamic lane rotation (tpu dynamic_rotate) plus masked
+  read-modify-write of three carry rows emulates the unaligned write.
+
+Mosaic requires HBM DMA offsets/shapes provably aligned to the tiling,
+so the kernel is a buffered writer: the carry is (rows, 128) lane-major
+run storage, and whenever the next block's offset crosses a 1024-run
+boundary the finished 8-row chunk DMAs out at row offset chunk*8
+(provably aligned) and the carry shifts down.  Offsets are exactly
+cumulative (XLA prepass: per-block boundary counts + one small
+cumsum), so flushed chunks contain only live runs.
+
+Output is bit-identical to ops/rle.py encode_batch_wire (pinned by
+tests/test_rle.py) at a fraction of its device cost.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from osm_renderer_tpu.ops.rle import BLOCK, pack_rgb
+
+GB = 8            # blocks per grid step
+CHUNK = 1024      # flush granularity in runs (= 8 rows of 128)
+CHUNK_ROWS = CHUNK // 128
+CARRY_ROWS = 2 * CHUNK_ROWS  # carry: current chunk + spill headroom
+
+
+def _emit_kernel(off_s, nb_s, v_ref, tri_ref, out_ref,
+                 carry_vm, cchunk_sm, sem):
+    """Grid step: GB consecutive 256-px blocks -> packed (2, 128) run
+    tiles appended to the carry; full chunks flush to out_ref."""
+    step = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    g0 = step * GB
+
+    iota_row = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
+    sub2 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 0)
+    kmat = sub2 * 128 + lane2                    # rank at (d, l)
+    lane3 = jax.lax.broadcasted_iota(jnp.int32, (3, 128), 1)
+
+    @pl.when(step == 0)
+    def _init():
+        cchunk_sm[0] = 0
+
+    def do_block(bi, _):
+        b = g0 + bi
+        v = v_ref[bi, :].reshape(1, BLOCK)
+        prev = pltpu.roll(v, 1, 1)
+        boundary = (iota_row == 0) | (v != prev)
+        bf = boundary.astype(jnp.bfloat16)
+        # Inclusive prefix count of boundaries: c = bf @ L with
+        # L[q, px] = 1 for q <= px (exact: sums <= 256 in f32).
+        c_f = jax.lax.dot_general(
+            bf, tri_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                          # (1, BLOCK)
+        # Rank/boundary as columns (f32 transposes lower on Mosaic;
+        # bool/int ones don't — values are small ints, exact in f32).
+        rank_col = jnp.transpose(c_f).reshape(BLOCK, 1) - 1.0
+        bnd_col = jnp.transpose(boundary.astype(jnp.float32)).reshape(BLOCK, 1)
+
+        # bf16 represents integers exactly only up to 256, so the value
+        # splits into its three 8-bit channels (and positions are < 256).
+        vr = ((v >> 16) & 0xFF).astype(jnp.bfloat16)
+        vg = ((v >> 8) & 0xFF).astype(jnp.bfloat16)
+        vb = (v & 0xFF).astype(jnp.bfloat16)
+        qpos = iota_row.astype(jnp.bfloat16)
+        data = jnp.concatenate([qpos, vr, vg, vb], axis=0)  # (4, BLOCK)
+
+        kk = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 128), 1).astype(
+            jnp.float32
+        )
+        halves = []
+        for d in range(2):
+            Od = ((rank_col == kk + 128.0 * d) & (bnd_col > 0.0)).astype(
+                jnp.bfloat16
+            )
+            halves.append(
+                jax.lax.dot_general(
+                    data, Od, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                  # (4, 128) ranks d*128..
+            )
+        start = jnp.concatenate(
+            [halves[0][0:1], halves[1][0:1]], axis=0
+        ).astype(jnp.int32)                        # (2, 128)
+
+        def chan(i):
+            return jnp.concatenate(
+                [halves[0][i : i + 1], halves[1][i : i + 1]], axis=0
+            ).astype(jnp.int32)
+
+        val = (chan(1) << 16) | (chan(2) << 8) | chan(3)
+        n_b = nb_s[b]
+        # next start along the rank order (cross-row at lane 127).
+        s_l = pltpu.roll(start, 127, 1)            # S[d, (l+1)%128]
+        s_x = pltpu.roll(s_l, 1, 0)                # swap rows
+        nxt = jnp.where(lane2 < 127, s_l, s_x)
+        length = jnp.where(kmat == n_b - 1, BLOCK - start, nxt - start)
+        packed = ((length - 1) << 24) | val        # (2, 128) by rank
+        valid = (kmat < n_b).astype(jnp.int32)
+
+        # Unaligned masked append at run offset r: rotate the run tile
+        # by s = r % 128 lanes and merge three carry rows at r // 128.
+        cchunk = cchunk_sm[0]
+        r = off_s[b] - cchunk * CHUNK
+        # Clamped-offset batches (rtot overflow) stall r; keep writes in
+        # bounds — content is garbage either way, the host falls back.
+        r = jnp.clip(r, 0, CARRY_ROWS * 128 - 3 * 128)
+        r0 = r >> 7
+        s = r & 127
+        A = pltpu.roll(packed, s, 1)
+        Av = pltpu.roll(valid, s, 1)
+        cur = carry_vm[pl.ds(r0, 3), :]
+        ge = lane3[0:1] >= s                       # (1, 128)
+        lt = ~ge
+        new0 = jnp.where(ge & (Av[0:1] > 0), A[0:1], cur[0:1])
+        src1 = jnp.where(lt, A[0:1], A[1:2])
+        ok1 = jnp.where(lt, Av[0:1], Av[1:2]) > 0
+        new1 = jnp.where(ok1, src1, cur[1:2])
+        new2 = jnp.where(lt & (Av[1:2] > 0), A[1:2], cur[2:3])
+        carry_vm[pl.ds(r0, 3), :] = jnp.concatenate([new0, new1, new2], axis=0)
+
+        # Flush once the NEXT offset (== off_b + n_b; offsets are
+        # cumulative) crosses the current chunk boundary — the chunk is
+        # then fully live.  Blocks advance <= BLOCK < CHUNK runs, so one
+        # flush per block suffices.
+        nxt_off = off_s[b] + nb_s[b]
+
+        @pl.when(nxt_off >= (cchunk + 1) * CHUNK)
+        def _flush():
+            cp = pltpu.make_async_copy(
+                carry_vm.at[pl.ds(0, CHUNK_ROWS)],
+                out_ref.at[pl.ds(cchunk * CHUNK_ROWS, CHUNK_ROWS)],
+                sem,
+            )
+            cp.start()
+            cp.wait()
+            carry_vm[pl.ds(0, CHUNK_ROWS), :] = carry_vm[
+                pl.ds(CHUNK_ROWS, CHUNK_ROWS), :
+            ]
+            cchunk_sm[0] = cchunk + 1
+
+        return 0
+
+    jax.lax.fori_loop(0, GB, do_block, 0)
+
+    # Final partial chunks: flush the whole carry (pad garbage past the
+    # batch total is masked on the XLA side).
+    @pl.when(step == nsteps - 1)
+    def _tail():
+        cchunk = cchunk_sm[0]
+        for part in range(2):
+            cp = pltpu.make_async_copy(
+                carry_vm.at[pl.ds(part * CHUNK_ROWS, CHUNK_ROWS)],
+                out_ref.at[pl.ds((cchunk + part) * CHUNK_ROWS, CHUNK_ROWS)],
+                sem,
+            )
+            cp.start()
+            cp.wait()
+
+
+@functools.lru_cache(maxsize=32)
+def _emit_call(nblk: int, rtot: int):
+    tri = np.triu(np.ones((BLOCK, BLOCK), np.float32)).astype(jnp.bfloat16)
+    out_rows = (rtot // CHUNK + 3) * CHUNK_ROWS
+
+    def run(v_blocks, off, nb):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nblk // GB,),
+            in_specs=[
+                pl.BlockSpec((GB, BLOCK), lambda i, *_: (i, 0)),
+                pl.BlockSpec((BLOCK, BLOCK), lambda i, *_: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            scratch_shapes=[
+                pltpu.VMEM((CARRY_ROWS, 128), jnp.int32),
+                pltpu.SMEM((1,), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )
+        return pl.pallas_call(
+            _emit_kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((out_rows, 128), jnp.int32),
+        )(off, nb, v_blocks, jnp.asarray(tri))
+
+    return jax.jit(run)
+
+
+def encode_batch_wire_pallas(planar_u8: jax.Array, rtot: int) -> jax.Array:
+    """Drop-in replacement for ops/rle.py encode_batch_wire — identical
+    wire bytes, Pallas-compacted."""
+    T = planar_u8.shape[0]
+    ts = planar_u8.shape[2]
+    N = ts * ts
+    TN = T * N
+    assert N % BLOCK == 0
+    nblk = TN // BLOCK
+    v = pack_rgb(planar_u8).reshape(nblk, BLOCK)
+    first = jnp.concatenate(
+        [jnp.ones((nblk, 1), jnp.bool_), v[:, 1:] != v[:, :-1]], axis=1
+    )
+    nb = jnp.sum(first, axis=1, dtype=jnp.int32)          # (nblk,)
+    cum = jnp.cumsum(nb)
+    off = cum - nb
+    total_runs = cum[-1]
+    # Overflow guard: offsets clamp inside the buffer (content is then
+    # garbage, but the host's total_runs > rtot check routes to the raw
+    # fallback before reading it).
+    off_c = jnp.minimum(off, jnp.int32(rtot - 1))
+    packed = _emit_call(nblk, int(rtot))(v, off_c, nb).reshape(-1)[:rtot]
+    j = jnp.arange(rtot, dtype=jnp.int32)
+    packed = jnp.where(j < total_runs, packed, 0)
+    blocks_per_tile = N // BLOCK
+    n_runs_tile = jnp.sum(
+        nb.reshape(T, blocks_per_tile), axis=1, dtype=jnp.int32
+    )
+    head = jnp.concatenate(
+        [
+            jnp.full((1,), T, jnp.int32),
+            total_runs[None].astype(jnp.int32),
+            n_runs_tile,
+        ]
+    )
+    return jnp.concatenate([head, packed])
+
+
+@functools.lru_cache(maxsize=64)
+def _encode_wire_pallas_jit(rtot: int):
+    return jax.jit(lambda p: encode_batch_wire_pallas(p, rtot))
+
+
+def encode_wire_pallas_device(planar_u8: jax.Array, rtot: int) -> jax.Array:
+    return _encode_wire_pallas_jit(int(rtot))(planar_u8)

@@ -40,9 +40,10 @@ class RleRendered(NamedTuple):
     overflows the wire capacity, the caller falls back to fetching the
     raw planar output."""
     planar: jax.Array   # (T, 4, ts, ts) u8, device-resident
-    wire: jax.Array     # (2 + T + rtot,) i32
+    wire: jax.Array     # v1: (2 + T + rtot,) i32; v2: indexed-word wire
     ts: int
-    rtot: int
+    rtot: int           # v1: run cap; v2: word cap
+    fmt: str = "v1"     # "v2" = indexed-color 16-bit-word wire
 
 
 class PreparedBatch(NamedTuple):
@@ -82,6 +83,7 @@ class BatchRenderer:
         chunk_cache_tiles: int = 0,
         arena: bool = False,
         device=None,
+        indexed_wire: bool = False,
     ):
         # `device`: pin every resident array (arena, profile/pattern
         # tables, canvas, prepared batches) to one accelerator, so
@@ -111,6 +113,18 @@ class BatchRenderer:
         # mutation is not thread-safe.
         self._cache_lock = threading.RLock()
         self._rtot_by_key: dict = {}      # (ts, T) -> adaptive RLE wire cap
+        self._wtot_by_key: dict = {}      # (ts, T) -> adaptive indexed word cap
+        # Adaptive serving palette (ops/rle.py indexed wire): learned
+        # from the first v1 batch's run colors, relearned by demoting to
+        # v1 for one batch when the literal fraction drifts too high.
+        # Opt-in (measured round 4: the indexed wire cuts d2h bytes
+        # ~33% but its extra XLA compaction pass costs more device time
+        # than the transfer saves on this box; revisit once the indexed
+        # variant also has a Pallas emitter).
+        self.indexed_wire = indexed_wire
+        self._pal_table: Optional[np.ndarray] = None
+        self._pal_dev = None
+        self._pal_cooldown = 0  # v2 batches before a relearn may trigger
         self._persist_tables: dict = {}   # scale -> (ProfileTable, PatternTable)
         self._patterns_dev: dict = {}     # scale -> (n_tiles_in_table, jax.Array)
         self._profiles_dev: dict = {}     # scale -> (n_rows, rows_dev, tot_dev)
@@ -506,6 +520,30 @@ class BatchRenderer:
             return  # within one doubling below the current cap: keep it
         self._rtot_by_key[(ts, T)] = want
 
+    def _pick_wtot(self, ts: int, T: int) -> int:
+        """Indexed-wire word capacity (16-bit words, stored as i32
+        pairs) for a signature; seeded from the observed run cap when
+        available (words ~= runs x 1.1-1.5 at typical palette hit
+        rates)."""
+        from osm_renderer_tpu.ops.render_pallas import next_bucket
+
+        got = self._wtot_by_key.get((ts, T))
+        if got is not None:
+            return got
+        seed = self._rtot_by_key.get((ts, T))
+        if seed is not None:
+            return next_bucket(seed * 2, 8192)
+        return next_bucket(T * 16 * 1024, 8192)
+
+    def _note_total_words(self, ts: int, T: int, total: int) -> None:
+        from osm_renderer_tpu.ops.render_pallas import next_bucket
+
+        want = next_bucket(max(int(total * 1.25), T * 2048), 8192)
+        cur = self._wtot_by_key.get((ts, T))
+        if cur is not None and want <= cur and want * 2 > cur:
+            return
+        self._wtot_by_key[(ts, T)] = want
+
     def render_prepared_rle(
         self, prepared: PreparedBatch, rtot: Optional[int] = None
     ) -> RleRendered:
@@ -513,38 +551,96 @@ class BatchRenderer:
 
         Two launches (render kernel, encode graph) — kept as separate
         jits so adapting the wire capacity never re-triggers a Mosaic
-        kernel compile."""
+        kernel compile.  Once a serving palette is learned (from the
+        first v1 batch), batches ship on the indexed-color wire (v2,
+        ~1.5-1.7x fewer d2h bytes at measured palette coverage)."""
         assert prepared.precision == "pallas"
         from osm_renderer_tpu.ops import rle as rle_mod
 
         T = prepared.chunk  # n_tiles (pallas)
         planar = self.render_prepared_planar(prepared)
+        if self._pal_dev is not None and rtot is None:
+            wcap = self._pick_wtot(prepared.ts, T)
+            wire = rle_mod.encode_wire_indexed_device(
+                planar, wcap, self._pal_dev
+            )
+            return RleRendered(planar, wire, prepared.ts, wcap, "v2")
         cap = int(rtot) if rtot is not None else self._pick_rtot(prepared.ts, T)
-        wire = rle_mod.encode_wire_device(planar, cap)
+        if not self.interpret:
+            # Pallas emit kernel: ~8x less device time than the XLA
+            # gather-based compaction (67 -> 8.4 ms per 30-tile batch,
+            # profiled round 4) for bit-identical wire bytes.
+            from osm_renderer_tpu.ops import rle_pallas
+
+            wire = rle_pallas.encode_wire_pallas_device(planar, cap)
+        else:
+            wire = rle_mod.encode_wire_device(planar, cap)
         return RleRendered(planar, wire, prepared.ts, cap)
 
     def fetch_rgb_rle(self, res: RleRendered) -> np.ndarray:
         """Host fetch + decode of the compressed readback ->
         (T, ts, ts, 3) u8.  Falls back to the raw planar fetch when the
         batch overflowed the wire capacity (and grows the next cap)."""
-        from osm_renderer_tpu.draw.png_writer import rle_decode_packed
+        from osm_renderer_tpu.draw.png_writer import (
+            rle_decode_packed,
+            rle_decode_words,
+        )
         from osm_renderer_tpu.ops.render_pallas import planar_to_rgb
+        from osm_renderer_tpu.ops import rle as rle_mod
 
         wire = np.asarray(res.wire)
         T = int(wire[0])
         total = int(wire[1])
-        self._note_total_runs(res.ts, T, total)
+        ts = res.ts
+        if res.fmt == "v2":
+            self._note_total_words(ts, T, total)
+            if total > res.rtot:
+                return planar_to_rgb(np.asarray(res.planar))
+            total_runs = int(wire[2])
+            n_words = wire[3 : 3 + T]
+            table = wire[3 + T : 3 + T + rle_mod.PAL_CAP]
+            packed32 = wire[3 + T + rle_mod.PAL_CAP :]
+            out = np.empty((T, ts, ts, 3), np.uint8)
+            pos = 0
+            for i in range(T):
+                n = int(n_words[i])
+                out[i] = rle_decode_words(packed32, pos, n, table, ts, ts)
+                pos += n
+            # Palette drift: too many literal escapes -> relearn by
+            # demoting the next batch to v1 (its fetch rebuilds the
+            # table from full run colors).  Cooldown-gated: a corpus
+            # whose tail colors genuinely exceed the palette would
+            # otherwise thrash v1/v2 every batch (table re-upload +
+            # graph flip per request).
+            self._pal_cooldown -= 1
+            lit_runs = (total - total_runs) // 2
+            if (
+                total_runs
+                and lit_runs * 100 > total_runs * 45
+                and self._pal_cooldown <= 0
+            ):
+                self._pal_table = None
+                self._pal_dev = None
+            return out
+        self._note_total_runs(ts, T, total)
         if total > res.rtot:
             return planar_to_rgb(np.asarray(res.planar))
         n_runs = wire[2 : 2 + T]
         packed = wire[2 + T :]
-        ts = res.ts
         out = np.empty((T, ts, ts, 3), np.uint8)
         pos = 0
         for i in range(T):
             n = int(n_runs[i])
             out[i] = rle_decode_packed(packed[pos : pos + n], ts, ts)
             pos += n
+        # Learn the serving palette from this batch's run colors; the
+        # next batch ships indexed.
+        if self.indexed_wire and self._pal_table is None and total > 0:
+            runs = packed[:total]
+            colors, counts = np.unique(runs & 0xFFFFFF, return_counts=True)
+            self._pal_table = rle_mod.build_palette(colors, counts)
+            self._pal_dev = self._dev(self._pal_table)
+            self._pal_cooldown = 16
         return out
 
     def render_rgb(self, prepared: PreparedBatch) -> np.ndarray:

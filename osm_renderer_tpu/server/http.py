@@ -185,6 +185,12 @@ class TileService:
                 if len(seen) >= n_tiles:
                     break
         try:
+            # Two passes: the first learns the serving palette (v1
+            # wire) and fills the chunk caches; the second compiles the
+            # indexed-wire (v2) encode graph, so no request pays it.
+            self.render_tiles_device([(t, 1) for t in seen])
+            with self._png_cache_lock:
+                self._png_cache.clear()
             self.render_tiles_device([(t, 1) for t in seen])
         except Exception as e:  # pragma: no cover - warmup is best-effort
             print(f"warmup failed (serving continues): {e}")

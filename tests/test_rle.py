@@ -163,3 +163,154 @@ def test_rcap_bucket():
     assert rle.rcap_bucket(1500) == 2048
     assert rle.rcap_bucket(4096) == 4096
     assert rle.rcap_bucket(4097) == 8192
+
+
+# ------------------------- indexed-color wire (v2) -------------------------
+
+
+def _palette_from_rgb(rgb):
+    flat = (
+        rgb[..., 0].astype(np.int64) << 16
+        | rgb[..., 1].astype(np.int64) << 8
+        | rgb[..., 2].astype(np.int64)
+    ).reshape(-1)
+    colors, counts = np.unique(flat, return_counts=True)
+    return rle.build_palette(colors, counts)
+
+
+def test_indexed_wire_roundtrip_exact():
+    rng = np.random.default_rng(11)
+    rgb = _random_tiles(rng)
+    ts = rgb.shape[1]
+    table = _palette_from_rgb(rgb)
+    wire = np.asarray(
+        rle.encode_wire_indexed_device(
+            np.asarray(_planar_from_rgb(rgb)), 32768, np.asarray(table)
+        )
+    )
+    tiles = rle.decode_wire_indexed_numpy(wire, ts)
+    assert tiles is not None
+    for t in range(rgb.shape[0]):
+        np.testing.assert_array_equal(tiles[t], rgb[t])
+
+
+def test_indexed_wire_all_literal_and_native():
+    """Empty palette: every run ships as a literal escape, still
+    byte-exact — and the native word decoder agrees with numpy."""
+    from osm_renderer_tpu.draw.png_writer import rle_decode_words
+
+    rng = np.random.default_rng(13)
+    rgb = _random_tiles(rng, T=2)
+    ts = rgb.shape[1]
+    empty = np.full(rle.PAL_CAP, rle.PAL_PAD, np.int32)
+    wire = np.asarray(
+        rle.encode_wire_indexed_device(
+            np.asarray(_planar_from_rgb(rgb)), 65536, np.asarray(empty)
+        )
+    )
+    T = int(wire[0])
+    total_words = int(wire[1])
+    total_runs = int(wire[2])
+    assert total_words == 3 * total_runs  # all literals
+    tiles = rle.decode_wire_indexed_numpy(wire, ts)
+    n_words = wire[3 : 3 + T]
+    table = wire[3 + T : 3 + T + rle.PAL_CAP]
+    packed32 = wire[3 + T + rle.PAL_CAP :]
+    pos = 0
+    for t in range(T):
+        n = int(n_words[t])
+        native = rle_decode_words(packed32, pos, n, table, ts, ts)
+        np.testing.assert_array_equal(native, tiles[t])
+        np.testing.assert_array_equal(native, rgb[t])
+        pos += n
+
+
+def test_indexed_wire_overflow_detected():
+    rng = np.random.default_rng(17)
+    rgb = rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)  # noise
+    table = _palette_from_rgb(_random_tiles(rng, T=1))
+    wire = np.asarray(
+        rle.encode_wire_indexed_device(
+            np.asarray(_planar_from_rgb(rgb)), 1024, np.asarray(table)
+        )
+    )
+    assert int(wire[1]) > 1024  # total_words exceeds the cap
+    assert rle.decode_wire_indexed_numpy(wire, 64) is None
+
+
+def test_renderer_v1_then_v2_serving_equality():
+    """The renderer learns the palette from the first (v1) fetch and
+    ships subsequent batches on the indexed wire; both must decode to
+    the raw planar bytes, and overflow must fall back."""
+    import jax.numpy as jnp
+
+    from osm_renderer_tpu.mapcss.parser import parse_string
+    from osm_renderer_tpu.mapcss.styler import Styler
+    from osm_renderer_tpu.parallel.renderer import BatchRenderer
+    from osm_renderer_tpu.ops.render_pallas import planar_to_rgb
+    from tests.fixtures import build_mini_reader
+    from osm_renderer_tpu.core.tile import Tile, coords_to_max_zoom_tile
+    import tempfile
+
+    reader = build_mini_reader(tempfile.mkdtemp())
+    styler = Styler(
+        parse_string(
+            """
+            canvas { fill-color: #f1eee8; }
+            way[building] { fill-color: #d9d0c9; z-index: 5; }
+            way[highway] { color: #ffffff; width: 3; }
+            area[natural=water] { fill-color: #b5d0d0; }
+            """
+        ),
+        "josm",
+    )
+    t18 = coords_to_max_zoom_tile(47.1412, 9.5215)
+    tiles = [Tile(16, (t18.x >> 2) + dx, t18.y >> 2) for dx in range(2)]
+    te = [(reader.get_entities_in_tile_with_neighbors(t), t) for t in tiles]
+    dev = BatchRenderer(
+        styler, backend="pallas", interpret=True, chunk_cache_tiles=16,
+        indexed_wire=True,
+    )
+    prep = dev.prepare(te, 1)
+    res1 = dev.render_prepared_rle(prep)
+    assert res1.fmt == "v1"
+    rgb1 = dev.fetch_rgb_rle(res1)
+    ref = planar_to_rgb(np.asarray(res1.planar))
+    np.testing.assert_array_equal(rgb1, ref)
+    assert dev._pal_dev is not None  # palette learned
+    res2 = dev.render_prepared_rle(dev.prepare(te, 1))
+    assert res2.fmt == "v2"
+    rgb2 = dev.fetch_rgb_rle(res2)
+    np.testing.assert_array_equal(rgb2, ref)
+    # Forced tiny word cap -> overflow -> raw planar fallback, still exact.
+    wcap0 = dev._pick_wtot(res2.ts, len(te))
+    dev._wtot_by_key[(res2.ts, len(te))] = 256
+    res3 = dev.render_prepared_rle(dev.prepare(te, 1))
+    rgb3 = dev.fetch_rgb_rle(res3)
+    np.testing.assert_array_equal(rgb3, ref)
+    assert dev._wtot_by_key[(res3.ts, len(te))] > 256  # cap regrew
+
+
+def test_pallas_emit_wire_matches_xla():
+    """The Pallas RLE emit kernel must produce bit-identical wire bytes
+    to the XLA gather-based encoder (live payload + header; overflow
+    payloads are garbage on both sides, headers must still agree)."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("Pallas emit kernel needs a real TPU")
+    import jax.numpy as jnp
+    from osm_renderer_tpu.ops import rle_pallas
+
+    rng = np.random.default_rng(3)
+    rgb = _random_tiles(rng, T=4, ts=256)
+    p = _planar_from_rgb(rgb)
+    pd = jnp.asarray(p)
+    ref = np.asarray(rle.encode_wire_device(pd, 65536))
+    got = np.asarray(rle_pallas.encode_wire_pallas_device(pd, 65536))
+    np.testing.assert_array_equal(ref, got)
+    # overflow: headers (tile counts + totals) must agree
+    ref_o = np.asarray(rle.encode_wire_device(pd, 1024))
+    got_o = np.asarray(rle_pallas.encode_wire_pallas_device(pd, 1024))
+    T = int(ref_o[0])
+    np.testing.assert_array_equal(ref_o[: 2 + T], got_o[: 2 + T])
