@@ -329,6 +329,7 @@ def main():
     # --- production stylesheet (osmosnimki-minimal, MAPS.ME type):
     # warm serving with labels at reference rule density ---
     prod_warm_tps = None
+    prod_nolabel_tps = None
     try:
         prod_dir = "tests/fixtures/mapcss"
         prod_styler = Styler(parse_file(prod_dir, "osmosnimki-minimal.mapcss"), "mapsme")
@@ -347,18 +348,30 @@ def main():
                 prod_labeler.composite_labels(
                     np.zeros((256, 256, 3), np.uint8), ents, t, 1.0, prod_styler
                 )
-        t0 = time.perf_counter()
+        # Like-for-like serial loops with and without label
+        # compositing, so the labels line measures the LABELS (round 3
+        # compared this serial loop against the overlapped warm
+        # pipeline and misread the gap as label cost; cached label
+        # layers actually composite in ~16 ms per 30 tiles).
         reps_p = 3
-        for _ in range(reps_p):
-            p = prod_dev.prepare([(None, t) for t in tiles], scale=1)
-            res = prod_dev.render_prepared_rle(p)
-            rgb = prod_dev.fetch_rgb_rle(res)
-            for i, (ents, t) in enumerate(prod_te):
-                img = prod_labeler.composite_labels(
-                    rgb[i], None, t, 1.0, prod_styler
-                )
-                rgb_to_png(img, 1)
-        prod_warm_tps = reps_p * n_tiles / (time.perf_counter() - t0)
+
+        def prod_loop(with_labels: bool) -> float:
+            t0 = time.perf_counter()
+            for _ in range(reps_p):
+                p = prod_dev.prepare([(None, t) for t in tiles], scale=1)
+                res = prod_dev.render_prepared_rle(p)
+                rgb = prod_dev.fetch_rgb_rle(res)
+                for i, (ents, t) in enumerate(prod_te):
+                    img = rgb[i]
+                    if with_labels:
+                        img = prod_labeler.composite_labels(
+                            img, None, t, 1.0, prod_styler
+                        )
+                    rgb_to_png(img, 1)
+            return reps_p * n_tiles / (time.perf_counter() - t0)
+
+        prod_nolabel_tps = prod_loop(False)
+        prod_warm_tps = prod_loop(True)
     except Exception as e:
         print(f"production-stylesheet bench skipped: {e}", file=sys.stderr)
 
@@ -418,6 +431,9 @@ def main():
             ),
             "prod_stylesheet_warm_labels_tiles_per_sec": (
                 round(prod_warm_tps, 1) if prod_warm_tps else None
+            ),
+            "prod_stylesheet_warm_nolabels_tiles_per_sec": (
+                round(prod_nolabel_tps, 1) if prod_nolabel_tps else None
             ),
             "e2e_tiles_per_sec": {
                 "cold": round(e2e_cold_tps, 1),
