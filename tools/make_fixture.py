@@ -8,6 +8,27 @@ road grid + ring road, dense building blocks, parks, a river
 standard OSM XML consumable by any OSM toolchain.
 
 Usage: python tools/make_fixture.py OUT.osm [--blocks N] [--seed S]
+                                            [--pathological]
+
+`--pathological` additionally injects, AT DENSITY, the malformed
+content real extracts carry — the same robustness surface the
+reference handles individually (`find_polygons.rs:141-149` unmatched
+multipolygon segments, `importer.rs:334-353` repeated node pairs,
+`styler.rs:288-298` unparseable style values), but spread across the
+whole city so import -> style -> render -> parity runs it under load:
+
+* self-intersecting (bowtie) building rings in ~1/3 of blocks;
+* self-touching (vertex-reuse figure-eight) park rings in ~1/4;
+* ways with repeated node pairs + zero-length segments in ~1/5;
+* degenerate ways (single node / all nodes identical) in ~1/6;
+* four 1,000-node ways crossing the full extent (hundreds of z18
+  tile columns each);
+* multipolygon relations with unmatched outer segments (must all be
+  dropped with a warning) alongside VALID multipolygons whose rings
+  are split into 5-8 shuffled, partly reversed member ways (must all
+  assemble);
+* exotic tag values: non-numeric `layer`, unicode/entity names,
+  ~500-char values.
 """
 
 from __future__ import annotations
@@ -28,6 +49,11 @@ def main() -> None:
     ap.add_argument("output")
     ap.add_argument("--blocks", type=int, default=14, help="city grid blocks per side")
     ap.add_argument("--seed", type=int, default=20260816)
+    ap.add_argument(
+        "--pathological",
+        action="store_true",
+        help="inject city-wide malformed content (see module docstring)",
+    )
     args = ap.parse_args()
 
     rng = random.Random(args.seed)
@@ -174,6 +200,127 @@ def main() -> None:
         x = rng.uniform(-half, half)
         y = rng.uniform(-half, half)
         add_node(x, y, {"amenity": amenity, "name": name})
+
+    # --- pathological content (opt-in) ---
+    if args.pathological:
+        long_name = "Улица " + "Ω中文é " * 80  # ~560 chars, non-Latin
+
+        for i in range(n):
+            for j in range(n):
+                bx0 = -half + i * block_m
+                by0 = -half + j * block_m
+                cx = bx0 + block_m / 2
+                cy = by0 + block_m / 2
+                if (i + j) % 3 == 0:
+                    # Bowtie (self-intersecting) building ring.
+                    w = rng.uniform(14, 30)
+                    h = rng.uniform(10, 24)
+                    a = add_node(cx - w, cy - h)
+                    b = add_node(cx + w, cy + h)  # crossing diagonal
+                    c = add_node(cx + w, cy - h)
+                    d = add_node(cx - w, cy + h)
+                    add_way(
+                        [a, b, c, d, a],
+                        {"building": "yes", "layer": "très haut"},
+                    )
+                if (i + j) % 4 == 1:
+                    # Figure-eight park: two loops sharing one pinch node.
+                    pinch = add_node(cx, cy)
+                    r = rng.uniform(15, 28)
+                    left = [
+                        add_node(cx - r + r * math.cos(a_), cy + r * math.sin(a_))
+                        for a_ in (0.8, 2.2, 3.6, 5.0)
+                    ]
+                    right = [
+                        add_node(cx + r + r * math.cos(a_), cy + r * math.sin(a_))
+                        for a_ in (4.0, 5.4, 0.6, 2.0)
+                    ]
+                    add_way(
+                        [pinch] + left + [pinch] + right + [pinch],
+                        {"leisure": "park", "name": long_name},
+                    )
+                if (i + j) % 5 == 2:
+                    # Repeated node pairs + zero-length segments.
+                    a = add_node(cx - 20, cy)
+                    b = add_node(cx + 20, cy + rng.uniform(-8, 8))
+                    add_way(
+                        [a, b, a, b, b, b, a],
+                        {"highway": "residential", "name": 'Dup "&<>" way'},
+                    )
+                if (i + j) % 6 == 3:
+                    # Degenerate ways: single node; all nodes identical.
+                    a = add_node(cx, cy - 10)
+                    add_way([a], {"highway": "residential"})
+                    add_way([a, a, a], {"highway": "residential"})
+
+        # Four 1,000-node ways crossing the full extent and beyond.
+        for k in range(4):
+            ang = math.pi * (0.13 + 0.47 * k)
+            dx, dy = math.cos(ang), math.sin(ang)
+            pts = []
+            for t in range(1000):
+                s = -1.6 * half + t * (3.2 * half) / 999.0
+                wob = 25.0 * math.sin(t / 17.0 + k)
+                pts.append(add_node(s * dx - wob * dy, s * dy + wob * dx))
+            add_way(
+                pts,
+                {"highway": "trunk", "name": f"Transect {k}"}
+                if k % 2 == 0
+                else {"railway": "rail", "layer": str(k - 2)},
+            )
+
+        # Multipolygons: 8 broken (unmatched outer segment -> dropped with
+        # a warning) and 8 valid ones whose rings are split into shuffled,
+        # partly reversed member ways (-> must assemble).
+        for k in range(16):
+            broken = k < 8
+            cx = rng.uniform(-half * 0.9, half * 0.9)
+            cy = rng.uniform(-half * 0.9, half * 0.9)
+            m = 12
+            ring = [
+                add_node(
+                    cx + rng.uniform(30, 55) * math.cos(2 * math.pi * q / m),
+                    cy + rng.uniform(30, 55) * math.sin(2 * math.pi * q / m),
+                )
+                for q in range(m)
+            ]
+            closed = ring + [ring[0]]
+            # Split the closed ring into 4-6 consecutive chunks.
+            n_cuts = rng.randint(4, 6)
+            cuts = sorted(rng.sample(range(1, m), n_cuts - 1))
+            bounds = [0] + cuts + [m]
+            pieces = [closed[a : b + 1] for a, b in zip(bounds, bounds[1:])]
+            if broken:
+                pieces[rng.randrange(len(pieces))] = [
+                    add_node(cx + 200, cy + 200),
+                    add_node(cx + 240, cy + 190),
+                ]  # dangling segment: ring cannot close
+            members = []
+            for piece in pieces:
+                if rng.random() < 0.5:
+                    piece = piece[::-1]
+                members.append((add_way(piece, {}), "outer"))
+            rng.shuffle(members)
+            if not broken:
+                # Inner hole, itself split in two.
+                hole = [
+                    add_node(
+                        cx + 12 * math.cos(2 * math.pi * q / 6),
+                        cy + 12 * math.sin(2 * math.pi * q / 6),
+                    )
+                    for q in range(6)
+                ]
+                hc = hole + [hole[0]]
+                members.append((add_way(hc[:4], {}), "inner"))
+                members.append((add_way(hc[3:], {}), "inner"))
+            add_rel(
+                members,
+                {
+                    "type": "multipolygon",
+                    "natural": "water",
+                    "name": f"{'Broken' if broken else 'Split'} MP {k}",
+                },
+            )
 
     # --- write XML ---
     def esc(s: str) -> str:
