@@ -218,9 +218,10 @@ def _emit_call(nblk: int, rtot: int):
     return jax.jit(run)
 
 
-def encode_batch_wire_pallas(planar_u8: jax.Array, rtot: int) -> jax.Array:
-    """Drop-in replacement for ops/rle.py encode_batch_wire — identical
-    wire bytes, Pallas-compacted."""
+def _emit_runs(planar_u8: jax.Array, rtot: int):
+    """Shared run-extraction stage: (T,4,ts,ts) u8 -> (packed (rtot,) i32
+    with garbage past total_runs, nb (nblk,) per-256-px-block run counts,
+    total_runs () i32)."""
     T = planar_u8.shape[0]
     ts = planar_u8.shape[2]
     N = ts * ts
@@ -236,10 +237,20 @@ def encode_batch_wire_pallas(planar_u8: jax.Array, rtot: int) -> jax.Array:
     off = cum - nb
     total_runs = cum[-1]
     # Overflow guard: offsets clamp inside the buffer (content is then
-    # garbage, but the host's total_runs > rtot check routes to the raw
+    # garbage, but the host's total > cap check routes to the raw
     # fallback before reading it).
     off_c = jnp.minimum(off, jnp.int32(rtot - 1))
     packed = _emit_call(nblk, int(rtot))(v, off_c, nb).reshape(-1)[:rtot]
+    return packed, nb, total_runs
+
+
+def encode_batch_wire_pallas(planar_u8: jax.Array, rtot: int) -> jax.Array:
+    """Drop-in replacement for ops/rle.py encode_batch_wire — identical
+    wire bytes, Pallas-compacted."""
+    T = planar_u8.shape[0]
+    ts = planar_u8.shape[2]
+    N = ts * ts
+    packed, nb, total_runs = _emit_runs(planar_u8, rtot)
     j = jnp.arange(rtot, dtype=jnp.int32)
     packed = jnp.where(j < total_runs, packed, 0)
     blocks_per_tile = N // BLOCK
@@ -263,3 +274,289 @@ def _encode_wire_pallas_jit(rtot: int):
 
 def encode_wire_pallas_device(planar_u8: jax.Array, rtot: int) -> jax.Array:
     return _encode_wire_pallas_jit(int(rtot))(planar_u8)
+
+
+# ---------------------------------------------------------------------------
+# Indexed-color (v2) wire emit: runs -> 16-bit words, Pallas-compacted.
+#
+# The XLA v2 encoder (ops/rle.py encode_batch_words) pays a second
+# searchsorted compaction over the word stream (~183 ms device time per
+# 30-tile batch — round-4 profile), which is why the indexed wire was
+# opt-in.  This expand kernel converts the v1 emitter's packed runs to
+# the identical v2 word stream in one pass:
+#
+# * per 128-run group, the palette lookup is a broadcast compare of the
+#   (256, 1) table column against the run-value row — counts of
+#   strictly-smaller entries give the index, equality counts give the
+#   hit flag (exact: colors < 2^24 are f32-exact; PAL_PAD rounds but
+#   stays > any color);
+# * word counts (hit: 1, miss: 3) prefix-sum within the group via a
+#   strict-upper-triangular ones matmul (sums <= 384, f32-exact);
+# * each run's candidate words (hdr, literal lo16, literal hi8) split
+#   into 8-bit hi/lo channels (bf16-exact) and scatter into the group's
+#   (4, 128) word tile by four rank one-hot matmuls (one per output
+#   sublane row), with a ones row recovering per-word validity;
+# * the word tile appends into the same carry/rotate/chunk-DMA
+#   machinery as the run emitter (5-row read-modify-write window since
+#   a group spans <= 384 words), with the global word offset tracked in
+#   SMEM — grid steps run in order, so no offset prepass is needed.
+#
+# Output words are bit-identical to encode_batch_words in non-overflow
+# batches (pinned by tests/test_rle.py); on overflow both sides report
+# total_words > wcap and the host falls back to the raw planar fetch.
+# ---------------------------------------------------------------------------
+
+GBW = 8  # 128-run groups per grid step
+
+
+def _expand_kernel(wcap, tot_s, runs_ref, tbl_ref, stri_ref,
+                   out_ref, wc_ref, carry_vm, state_sm, sem):
+    step = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    g0 = step * GBW
+    total_runs = tot_s[0]
+
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    lane5 = jax.lax.broadcasted_iota(jnp.int32, (5, 128), 1)
+    lanef = jax.lax.broadcasted_iota(jnp.int32, (384, 128), 1).astype(
+        jnp.float32
+    )
+    k_col = (jax.lax.broadcasted_iota(jnp.int32, (384, 1), 0) >> 7).astype(
+        jnp.float32
+    )
+
+    # Palette as a (256, 1) f32 column (255 sorted colors + PAL_PAD).
+    t0 = jnp.transpose(tbl_ref[0:1, :].astype(jnp.float32))
+    t1 = jnp.transpose(tbl_ref[1:2, :].astype(jnp.float32))
+    tcol = jnp.concatenate([t0, t1], axis=0)
+
+    @pl.when(step == 0)
+    def _init():
+        state_sm[0] = 0  # global word offset
+        state_sm[1] = 0  # flushed chunks
+
+    def do_group(bi, _):
+        run_base = (g0 + bi) * 128
+
+        @pl.when(run_base >= total_runs)
+        def _dead():
+            wc_ref[pl.ds(bi, 1), :] = jnp.zeros((1, 128), jnp.int32)
+
+        @pl.when(run_base < total_runs)
+        def _live():
+            packed = runs_ref[bi, :].reshape(1, 128)
+            val = packed & 0xFFFFFF
+            len1 = (packed >> 24) & 0xFF
+            live = (run_base + lane1) < total_runs
+            valf = val.astype(jnp.float32)
+            pidx = jnp.sum(
+                (tcol < valf).astype(jnp.float32), axis=0, keepdims=True
+            )
+            eqc = jnp.sum(
+                (tcol == valf).astype(jnp.float32), axis=0, keepdims=True
+            )
+            hit = live & (eqc > 0.0)
+            wc = jnp.where(live, jnp.where(hit, 1, 3), 0)
+            wc_ref[pl.ds(bi, 1), :] = wc
+            hdr = jnp.where(
+                hit, (pidx.astype(jnp.int32) << 8) | len1, 0xFF00 | len1
+            )
+            w1 = val & 0xFFFF
+            w2 = (val >> 16) & 0xFF
+
+            # Group-local exclusive word offsets + group word total.
+            olocf = jax.lax.dot_general(
+                wc.astype(jnp.bfloat16), stri_ref[...],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                        # (1, 128)
+            nw = jnp.sum(wc)
+
+            # Candidate words split into bf16-exact 8-bit channels;
+            # column c = k*128 + lane  (k: 0 hdr, 1 literal lo16,
+            # 2 literal hi8).
+            his = jnp.concatenate(
+                [hdr >> 8, (w1 >> 8) & 0xFF, jnp.zeros_like(w2)], axis=1
+            )
+            los = jnp.concatenate([hdr & 0xFF, w1 & 0xFF, w2], axis=1)
+            data = jnp.concatenate(
+                [his, los, jnp.ones_like(his)], axis=0
+            ).astype(jnp.bfloat16)                   # (3, 384)
+
+            oloc3 = jnp.concatenate([jnp.transpose(olocf)] * 3, axis=0)
+            wc3 = jnp.concatenate(
+                [jnp.transpose(wc.astype(jnp.float32))] * 3, axis=0
+            )
+            target = oloc3 + k_col                   # (384, 1) word index
+            emit = k_col < wc3
+            outs = []
+            for ws in range(4):
+                O = ((target == lanef + 128.0 * ws) & emit).astype(
+                    jnp.bfloat16
+                )
+                outs.append(
+                    jax.lax.dot_general(
+                        data, O, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )                                     # (3, 128)
+            a_hi = jnp.concatenate([o[0:1] for o in outs], axis=0).astype(
+                jnp.int32
+            )
+            a_lo = jnp.concatenate([o[1:2] for o in outs], axis=0).astype(
+                jnp.int32
+            )
+            a_ok = jnp.concatenate([o[2:3] for o in outs], axis=0).astype(
+                jnp.int32
+            )
+            words = (a_hi << 8) | a_lo               # (4, 128)
+
+            # Unaligned masked append (5-row window: 4 tile rows + 1).
+            woff = state_sm[0]
+            cchunk = state_sm[1]
+            r = jnp.clip(
+                woff - cchunk * CHUNK, 0, CARRY_ROWS * 128 - 5 * 128
+            )
+            r0 = r >> 7
+            s = r & 127
+            A = pltpu.roll(words, s, 1)
+            Av = pltpu.roll(a_ok, s, 1)
+            cur = carry_vm[pl.ds(r0, 5), :]
+            ge = lane5[0:1] >= s
+            lt = ~ge
+            rows = [jnp.where(ge & (Av[0:1] > 0), A[0:1], cur[0:1])]
+            for i in range(1, 4):
+                src = jnp.where(lt, A[i - 1 : i], A[i : i + 1])
+                ok = jnp.where(lt, Av[i - 1 : i], Av[i : i + 1]) > 0
+                rows.append(jnp.where(ok, src, cur[i : i + 1]))
+            rows.append(jnp.where(lt & (Av[3:4] > 0), A[3:4], cur[4:5]))
+            carry_vm[pl.ds(r0, 5), :] = jnp.concatenate(rows, axis=0)
+
+            # Advance; clamp keeps flush targets in-bounds on overflow
+            # (content is then garbage; the host checks total_words).
+            nxt = jnp.minimum(woff + nw, jnp.int32(wcap - 1))
+            state_sm[0] = nxt
+
+            @pl.when(nxt >= (cchunk + 1) * CHUNK)
+            def _flush():
+                cp = pltpu.make_async_copy(
+                    carry_vm.at[pl.ds(0, CHUNK_ROWS)],
+                    out_ref.at[pl.ds(cchunk * CHUNK_ROWS, CHUNK_ROWS)],
+                    sem,
+                )
+                cp.start()
+                cp.wait()
+                carry_vm[pl.ds(0, CHUNK_ROWS), :] = carry_vm[
+                    pl.ds(CHUNK_ROWS, CHUNK_ROWS), :
+                ]
+                state_sm[1] = cchunk + 1
+
+        return 0
+
+    jax.lax.fori_loop(0, GBW, do_group, 0)
+
+    @pl.when(step == nsteps - 1)
+    def _tail():
+        cchunk = state_sm[1]
+        for part in range(2):
+            cp = pltpu.make_async_copy(
+                carry_vm.at[pl.ds(part * CHUNK_ROWS, CHUNK_ROWS)],
+                out_ref.at[pl.ds((cchunk + part) * CHUNK_ROWS, CHUNK_ROWS)],
+                sem,
+            )
+            cp.start()
+            cp.wait()
+
+
+@functools.lru_cache(maxsize=32)
+def _expand_call(wcap: int):
+    from osm_renderer_tpu.ops.rle import PAL_CAP, PAL_PAD
+
+    stri = np.triu(np.ones((128, 128), np.float32), 1).astype(jnp.bfloat16)
+    nrow = wcap // 128
+    out_rows = (wcap // CHUNK + 3) * CHUNK_ROWS
+
+    def run(total_runs, runs2d, table):
+        tbl2d = jnp.concatenate(
+            [table.astype(jnp.int32), jnp.full((256 - PAL_CAP,), PAL_PAD, jnp.int32)]
+        ).reshape(2, 128)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nrow // GBW,),
+            in_specs=[
+                pl.BlockSpec((GBW, 128), lambda i, *_: (i, 0)),
+                pl.BlockSpec((2, 128), lambda i, *_: (0, 0)),
+                pl.BlockSpec((128, 128), lambda i, *_: (0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                pl.BlockSpec((GBW, 128), lambda i, *_: (i, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((CARRY_ROWS, 128), jnp.int32),
+                pltpu.SMEM((2,), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(_expand_kernel, wcap),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((out_rows, 128), jnp.int32),
+                jax.ShapeDtypeStruct((nrow, 128), jnp.int32),
+            ],
+        )(total_runs, runs2d, tbl2d, jnp.asarray(stri))
+
+    return jax.jit(run)
+
+
+def encode_wire_indexed_pallas(
+    planar_u8: jax.Array, wcap: int, table: jax.Array
+) -> jax.Array:
+    """Drop-in replacement for ops/rle.py encode_wire_indexed —
+    identical wire bytes in non-overflow batches, Pallas-compacted."""
+    from osm_renderer_tpu.ops.rle import PAL_CAP
+
+    T = planar_u8.shape[0]
+    ts = planar_u8.shape[2]
+    N = ts * ts
+    assert wcap % (128 * GBW) == 0 and wcap % 2 == 0
+    packed, nb, total_runs = _emit_runs(planar_u8, wcap)
+    runs2d = packed.reshape(wcap // 128, 128)
+    w16_2d, wc2d = _expand_call(int(wcap))(
+        total_runs[None].astype(jnp.int32), runs2d, table
+    )
+    cum_w = jnp.cumsum(wc2d.reshape(-1))             # (wcap,)
+    total_words = jnp.maximum(cum_w[-1], total_runs)
+    j = jnp.arange(wcap, dtype=jnp.int32)
+    w16 = jnp.where(j < total_words, w16_2d.reshape(-1)[:wcap], 0)
+    pair = w16.reshape(wcap // 2, 2)
+    packed32 = pair[:, 0] | (pair[:, 1] << 16)
+    blocks_per_tile = N // BLOCK
+    n_runs_tile = jnp.sum(
+        nb.reshape(T, blocks_per_tile), axis=1, dtype=jnp.int32
+    )
+    run_ends = jnp.cumsum(n_runs_tile) - 1
+    words_end = cum_w[jnp.clip(run_ends, 0, wcap - 1)]
+    n_words_tile = jnp.diff(words_end, prepend=jnp.int32(0))
+    head = jnp.concatenate(
+        [
+            jnp.full((1,), T, jnp.int32),
+            total_words[None].astype(jnp.int32),
+            total_runs[None].astype(jnp.int32),
+            n_words_tile.astype(jnp.int32),
+            table.astype(jnp.int32)[:PAL_CAP],
+        ]
+    )
+    return jnp.concatenate([head, packed32])
+
+
+@functools.lru_cache(maxsize=64)
+def _encode_indexed_pallas_jit(wcap: int):
+    return jax.jit(lambda p, t: encode_wire_indexed_pallas(p, wcap, t))
+
+
+def encode_wire_indexed_pallas_device(
+    planar_u8: jax.Array, wcap: int, table: jax.Array
+) -> jax.Array:
+    return _encode_indexed_pallas_jit(int(wcap))(planar_u8, table)

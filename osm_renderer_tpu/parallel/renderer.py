@@ -83,7 +83,7 @@ class BatchRenderer:
         chunk_cache_tiles: int = 0,
         arena: bool = False,
         device=None,
-        indexed_wire: bool = False,
+        indexed_wire: bool = True,
     ):
         # `device`: pin every resident array (arena, profile/pattern
         # tables, canvas, prepared batches) to one accelerator, so
@@ -117,10 +117,13 @@ class BatchRenderer:
         # Adaptive serving palette (ops/rle.py indexed wire): learned
         # from the first v1 batch's run colors, relearned by demoting to
         # v1 for one batch when the literal fraction drifts too high.
-        # Opt-in (measured round 4: the indexed wire cuts d2h bytes
-        # ~33% but its extra XLA compaction pass costs more device time
-        # than the transfer saves on this box; revisit once the indexed
-        # variant also has a Pallas emitter).
+        # Default ON since the Pallas expand kernel
+        # (ops/rle_pallas.py encode_wire_indexed_pallas) made the v2
+        # encode ~free: drift-controlled A/B on the 30-tile warm loop
+        # measured wire payload 1.18 -> 0.80 MB and full warm cycle
+        # 196 -> 172 ms (+2.9 ms encode, -28.9 ms fetch+decode).  The
+        # XLA v2 encoder (only used in interpret mode) still costs
+        # ~183 ms/30-tile batch of device time.
         self.indexed_wire = indexed_wire
         self._pal_table: Optional[np.ndarray] = None
         self._pal_dev = None
@@ -561,9 +564,20 @@ class BatchRenderer:
         planar = self.render_prepared_planar(prepared)
         if self._pal_dev is not None and rtot is None:
             wcap = self._pick_wtot(prepared.ts, T)
-            wire = rle_mod.encode_wire_indexed_device(
-                planar, wcap, self._pal_dev
-            )
+            if not self.interpret:
+                # Pallas expand kernel: the XLA v2 encoder's word
+                # compaction cost ~183 ms/30-tile batch of device time
+                # (why the indexed wire used to be opt-in); the kernel
+                # emits bit-identical words for ~1-2 ms.
+                from osm_renderer_tpu.ops import rle_pallas
+
+                wire = rle_pallas.encode_wire_indexed_pallas_device(
+                    planar, wcap, self._pal_dev
+                )
+            else:
+                wire = rle_mod.encode_wire_indexed_device(
+                    planar, wcap, self._pal_dev
+                )
             return RleRendered(planar, wire, prepared.ts, wcap, "v2")
         cap = int(rtot) if rtot is not None else self._pick_rtot(prepared.ts, T)
         if not self.interpret:

@@ -19,8 +19,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+# OSMR_TEST_TPU=1 leaves the environment's real backend (JAX_PLATFORMS)
+# in place so the hardware-gated kernel-parity tests (e.g. the Pallas
+# RLE emitters in test_rle.py) actually run instead of skipping; the
+# default test run forces CPU + x64 for the exact integer closed forms.
+if not os.environ.get("OSMR_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 REFERENCE_DIR = os.environ.get("OSMR_REFERENCE_DIR", "/root/reference")
 

@@ -314,3 +314,58 @@ def test_pallas_emit_wire_matches_xla():
     got_o = np.asarray(rle_pallas.encode_wire_pallas_device(pd, 1024))
     T = int(ref_o[0])
     np.testing.assert_array_equal(ref_o[: 2 + T], got_o[: 2 + T])
+
+
+def test_pallas_indexed_wire_matches_xla():
+    """The Pallas indexed-wire (v2) expand kernel must produce
+    bit-identical wire bytes to the XLA encoder in non-overflow batches
+    (palette hits AND literal escapes), and agree on [T, total_runs]
+    plus the overflow signal (total_words > wcap) when the batch
+    overflows."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("Pallas emit kernels need a real TPU")
+    import jax.numpy as jnp
+    from osm_renderer_tpu.ops import rle_pallas
+
+    rng = np.random.default_rng(11)
+    rgb = _random_tiles(rng, T=4, ts=256)
+    p = _planar_from_rgb(rgb)
+    pd = jnp.asarray(p)
+    v = ((p[:, 0].astype(np.int64) << 16) | (p[:, 1].astype(np.int64) << 8)
+         | p[:, 2].astype(np.int64)).reshape(-1)
+    colors, counts = np.unique(v, return_counts=True)
+    # Palette from only half the colors so BOTH word forms occur
+    # (palette hits and 3-word literal escapes).
+    keep = max(1, len(colors) // 2)
+    tab = jnp.asarray(rle.build_palette(colors[:keep], counts[:keep]))
+    # 65536 keeps the XLA reference encoder's compile time sane on the
+    # tunnel (its searchsorted graph compiles ~linearly in wcap).
+    wcap = 65536
+    ref = np.asarray(rle.encode_wire_indexed_device(pd, wcap, tab))
+    got = np.asarray(
+        rle_pallas.encode_wire_indexed_pallas_device(pd, wcap, tab)
+    )
+    np.testing.assert_array_equal(ref, got)
+    assert int(ref[1]) > int(ref[2])  # literal escapes exercised
+
+    # All-literal: an empty-ish palette forces 3-word escapes everywhere.
+    tab_miss = jnp.asarray(
+        np.full(rle.PAL_CAP, rle.PAL_PAD, np.int32)
+    )
+    ref_l = np.asarray(rle.encode_wire_indexed_device(pd, wcap, tab_miss))
+    got_l = np.asarray(
+        rle_pallas.encode_wire_indexed_pallas_device(pd, wcap, tab_miss)
+    )
+    np.testing.assert_array_equal(ref_l, got_l)
+
+    # Overflow: both sides must flag it; [T, total_runs] agree.
+    wee = 1024
+    ref_o = np.asarray(rle.encode_wire_indexed_device(pd, wee, tab))
+    got_o = np.asarray(
+        rle_pallas.encode_wire_indexed_pallas_device(pd, wee, tab)
+    )
+    assert int(ref_o[0]) == int(got_o[0])
+    assert int(ref_o[2]) == int(got_o[2])
+    assert int(ref_o[1]) > wee and int(got_o[1]) > wee
