@@ -355,9 +355,9 @@ def main():
         # layers actually composite in ~16 ms per 30 tiles).
         reps_p = 3
 
-        def prod_loop(with_labels: bool) -> float:
+        def prod_loop(with_labels: bool, reps: int = reps_p) -> float:
             t0 = time.perf_counter()
-            for _ in range(reps_p):
+            for _ in range(reps):
                 p = prod_dev.prepare([(None, t) for t in tiles], scale=1)
                 res = prod_dev.render_prepared_rle(p)
                 rgb = prod_dev.fetch_rgb_rle(res)
@@ -368,8 +368,18 @@ def main():
                             img, None, t, 1.0, prod_styler
                         )
                     rgb_to_png(img, 1)
-            return reps_p * n_tiles / (time.perf_counter() - t0)
+            return reps * n_tiles / (time.perf_counter() - t0)
 
+        # Untimed throwaway reps of the EXACT loops being timed: the
+        # first warm render can still trigger a one-time jit/Pallas
+        # signature compile (e.g. the adaptive wire-capacity bucket
+        # changes after the very first fetch), and round 4's committed
+        # artifact had a ~40 s compile land inside the first timed loop
+        # (BENCH_r04 nolabels = 2.2 t/s vs labels = 202.2).  Two reps:
+        # the first settles the wire-cap bucket, the second compiles
+        # the settled signature.
+        prod_loop(False, reps=2)
+        prod_loop(True, reps=1)
         prod_nolabel_tps = prod_loop(False)
         prod_warm_tps = prod_loop(True)
     except Exception as e:

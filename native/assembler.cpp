@@ -42,7 +42,18 @@ constexpr int KIND_STROKE_SOLID = 3;
 constexpr int NSEC = 12;  // item section slots (shallow/steep16/dead x 4 halves)
 constexpr int KIND_FILL_IMAGE = 5;
 constexpr int KIND_STROKE_DASH = 7;
+constexpr int KIND_STROKE_SPAN = 9;   // gradient spans (alive solid strokes)
 constexpr int KIND_PLACEHOLDER = -2;  // layer-path request marker
+
+// Tent-lane routing constants — must match render_pallas.py
+// (SPAN_TOL / TOL255 / SPAN_ROW_MERGE / SPAN_VS_ITEM); the compression
+// below evaluates the same f32/f64 expressions in the same order as
+// the numpy path, so emitted lanes are bit-identical (pinned by
+// tests/test_native_assembler.py).
+constexpr float SPAN_TOL = 3.0517578125e-05f;  // 2^-15 (alpha domain)
+constexpr float TOL255 = 0.03125f;             // 2^-5 (255 domain)
+constexpr int SPAN_ROW_MERGE = 32;
+constexpr int64_t SPAN_VS_ITEM = 32;
 
 constexpr int LINE_CAP_ROUND = 1;
 constexpr int LINE_CAP_SQUARE = 2;
@@ -94,9 +105,11 @@ struct Built {
 // One logical chunk before array emission.
 struct ChunkT {
   int kind = 0;
-  std::vector<int64_t> geom;   // (n, 4) segs, or (n, 4) span rows (y,lo,hi,0)
-  std::vector<float> trav;     // f32 (strokes)
+  std::vector<int64_t> geom;   // (n, 4) segs / fill spans / tent lanes
+  std::vector<float> trav;     // f32 (strokes); tent apex a (span chunks)
   std::vector<int32_t> prof;   // per-seg profile idx
+  std::vector<float> spanb;    // tent slope b (KIND_STROKE_SPAN)
+  std::vector<float> spanxc;   // tent apex x (KIND_STROKE_SPAN)
   bool last = false;
   float color[3] = {0, 0, 0};
   float opacity = 1.f;
@@ -404,6 +417,265 @@ static bool seg_all_alive(int64_t x1, int64_t y1, int64_t x2, int64_t y2,
   if (double(3 * mx - 1) < 2.0 * ft * den) return true;
   if (den <= 0.0) return false;
   return seg_alive_exact(x1, y1, x2, y2, mn, mx, den, ft);
+}
+
+// ---------------------------------------------------------------------------
+// Stroke tent lanes: render_pallas.py _route_stroke_spans machinery
+// (_stroke_span_raster / _emit_run_tents / _compress_span_rows), exact
+// transcription — every f32/f64 expression in the numpy order.
+// ---------------------------------------------------------------------------
+
+struct SpanLane {
+  int64_t y0, y1, xlo, xhi;
+  float a, b, xc;
+};
+
+static inline uint32_t f32_bits(float v) {
+  uint32_t u;
+  std::memcpy(&u, &v, 4);
+  return u;
+}
+
+// render_pallas.py _stroke_span_cost_est
+static int64_t stroke_span_cost_est(int64_t x1, int64_t y1, int64_t x2,
+                                    int64_t y2, double c_hw, int32_t ts) {
+  const bool vert = x1 == x2;
+  if (vert && y1 == y2) return 0;
+  const int64_t m = int64_t(std::ceil(c_hw)) + 2;
+  auto clip = [&](int64_t v) {
+    return std::min<int64_t>(std::max<int64_t>(v, 0), ts - 1);
+  };
+  const int64_t ylo = clip(std::min(y1, y2) - m);
+  const int64_t yhi = clip(std::max(y1, y2) + m);
+  const int64_t rows = yhi - ylo + 1;
+  return vert ? (rows + SPAN_ROW_MERGE - 1) / SPAN_ROW_MERGE + 2 * m : rows;
+}
+
+// render_pallas.py _tent_verify: the kernel's f32 reconstruction
+// max(min(a - b*|x - xc|, plat255), 0) against the rasterized truth.
+static bool tent_verify(const float* v255, int64_t n, int64_t x0, float a,
+                        float b, float xc, float plat255) {
+  for (int64_t i = 0; i < n; ++i) {
+    const float t0 = a - b * std::abs(float(x0 + i) - xc);
+    const float t = std::max(std::min(t0, plat255), 0.0f);
+    if (!(std::abs(t - v255[i]) <= TOL255)) return false;
+  }
+  return true;
+}
+
+// render_pallas.py _emit_run_tents emit_piece: one-sided tent for a
+// linear piece, recursively halved if the verify fails.
+static void emit_piece_rec(int64_t y, int64_t x0, const float* vals,
+                           const float* v255, float plat255, int64_t p0,
+                           int64_t p1, std::vector<SpanLane>* out) {
+  float a, b, xc;
+  if (p1 == p0) {
+    a = v255[p0];
+    b = 0.0f;
+    xc = float(x0 + p0);
+  } else {
+    const float da = vals[p0 + 1] - vals[p0];
+    if (da <= 0.0f) {
+      a = vals[p0] * 255.0f;
+      b = (-da) * 255.0f;
+      xc = float(x0 + p0);
+    } else {
+      a = (vals[p0] + da * float(p1 - p0)) * 255.0f;
+      b = da * 255.0f;
+      xc = float(x0 + p1);
+    }
+  }
+  if (tent_verify(v255 + p0, p1 - p0 + 1, x0 + p0, a, b, xc, plat255)) {
+    out->push_back({y, y, x0 + p0, x0 + p1, a, b, xc});
+  } else {
+    const int64_t mid = (p0 + p1) / 2;
+    emit_piece_rec(y, x0, vals, v255, plat255, p0, mid, out);
+    emit_piece_rec(y, x0, vals, v255, plat255, mid + 1, p1, out);
+  }
+}
+
+// render_pallas.py _emit_run_tents: one maximal nonzero run -> verified
+// tent lanes (greedy linear pieces, then [rise, plateau?, fall] groups
+// merged into one clipped tent via the f64 end-line intersection).
+static void emit_run_tents(int64_t y, int64_t x0, const float* vals,
+                           int64_t L, float plat255,
+                           std::vector<SpanLane>* out) {
+  std::vector<float> v255(static_cast<size_t>(L));
+  for (int64_t i = 0; i < L; ++i) v255[size_t(i)] = vals[i] * 255.0f;
+  struct Piece {
+    int64_t p0, p1;
+    float a0, da;
+  };
+  std::vector<Piece> pieces;
+  int64_t i = 0;
+  while (i < L) {
+    if (i + 1 == L) {
+      pieces.push_back({i, i, vals[i], 0.0f});
+      break;
+    }
+    const float da = vals[i + 1] - vals[i];
+    int64_t j = i + 1;
+    while (j + 1 < L) {
+      const float pred = vals[i] + da * float(j + 1 - i);
+      if (std::abs(vals[j + 1] - pred) > SPAN_TOL) break;
+      ++j;
+    }
+    pieces.push_back({i, j, vals[i], da});
+    i = j + 1;
+  }
+  size_t gi = 0;
+  while (gi < pieces.size()) {
+    const Piece p = pieces[gi];
+    size_t group_end = gi;
+    if (p.da > 0.0f) {
+      size_t k = gi + 1;
+      if (k < pieces.size() && pieces[k].da == 0.0f) ++k;
+      if (k < pieces.size() && pieces[k].da < 0.0f) group_end = k;
+    }
+    if (group_end > gi) {
+      const Piece up = pieces[gi];
+      const Piece dn = pieces[group_end];
+      const double dau = double(up.da), dad = double(dn.da);
+      const double xu = double(x0 + up.p0), xd = double(x0 + dn.p0);
+      const double xstar =
+          (double(dn.a0) - dad * xd - double(up.a0) + dau * xu) / (dau - dad);
+      const double astar = double(up.a0) + dau * (xstar - xu);
+      const float a = float(astar * 255.0);
+      const float b = float(dau * 255.0);
+      const float xc = float(xstar);
+      const int64_t p0 = up.p0, p1 = dn.p1;
+      if (tent_verify(v255.data() + p0, p1 - p0 + 1, x0 + p0, a, b, xc,
+                      plat255)) {
+        out->push_back({y, y, x0 + p0, x0 + p1, a, b, xc});
+        gi = group_end + 1;
+        continue;
+      }
+    }
+    emit_piece_rec(y, x0, vals, v255.data(), plat255, p.p0, p.p1, out);
+    ++gi;
+  }
+}
+
+// render_pallas.py _stroke_span_raster + _compress_span_rows: exact
+// per-pixel alpha of the routed segments (the f32 expressions the
+// alive-mode item kernel evaluates), fmax-merged, then compressed into
+// verified tent lanes with exact-bit row-range merging.
+static void stroke_spans(const std::vector<int64_t>& g, double c_hw,
+                         double c_op, int32_t ts,
+                         std::vector<SpanLane>* lanes) {
+  static thread_local std::vector<float> acc;
+  if (int64_t(acc.size()) < int64_t(ts) * ts)
+    acc.assign(size_t(ts) * size_t(ts), 0.0f);
+  const int64_t n = int64_t(g.size() / 4);
+  int64_t row_lo = ts, row_hi = -1;
+  const float hwf = float(c_hw);
+  const float opf = float(c_op);
+  const float ffrom = std::max(hwf - 0.5f, 0.0f);
+  const float fto = std::max(hwf + 0.5f, 1.0f);
+  const float om = std::min(2.0f * hwf, 1.0f);
+  const float dfe = fto - ffrom;
+  const float plat255 = float(opf * om) * 255.0f;
+  const int64_t m = int64_t(std::ceil(c_hw)) + 2;
+  for (int64_t s = 0; s < n; ++s) {
+    const int64_t x1 = g[s * 4], y1 = g[s * 4 + 1];
+    const int64_t x2 = g[s * 4 + 2], y2 = g[s * 4 + 3];
+    if (x1 == x2 && y1 == y2) continue;  // degenerate: paints nothing
+    const int64_t dx = std::llabs(x2 - x1), dy = std::llabs(y2 - y1);
+    const int64_t mn = std::min(dx, dy);
+    const int64_t mx = std::max(std::max(dx, dy), int64_t(1));
+    const float den = std::sqrt(float(dx * dx + dy * dy));
+    const float inv = 1.0f / std::max(den, 1e-9f);
+    const bool swap = dx > dy;
+    const int64_t mn0 = swap ? y1 : x1, mx0 = swap ? x1 : y1;
+    const int64_t x_inc = x1 <= x2 ? 1 : -1, y_inc = y1 <= y2 ? 1 : -1;
+    const int64_t mn_i = swap ? y_inc : x_inc, mx_i = swap ? x_inc : y_inc;
+    const int64_t nc = x2 * y1 - y2 * x1, sdx = x2 - x1, sdy = y2 - y1;
+    const int64_t cK = (2 * mx * mn + mx - 1) / (2 * mx);
+    const int64_t gK = (2 * cK * mn + mx - 1) / (2 * mx);
+    const int64_t hK = mx + gK;
+    const int64_t ylo = std::max(std::min(y1, y2) - m, int64_t(0));
+    const int64_t yhi = std::min(std::max(y1, y2) + m, int64_t(ts - 1));
+    const int64_t xlo = std::max(std::min(x1, x2) - m, int64_t(0));
+    const int64_t xhi = std::min(std::max(x1, x2) + m, int64_t(ts - 1));
+    if (ylo > yhi || xlo > xhi) continue;
+    for (int64_t y = ylo; y <= yhi; ++y) {
+      float* arow = acc.data() + size_t(y) * size_t(ts);
+      for (int64_t x = xlo; x <= xhi; ++x) {
+        const int64_t raw = nc + sdy * x - sdx * y;
+        const float cd = float(std::llabs(raw)) * inv;
+        const float vrm = (fto - cd) / dfe;
+        const float vr = cd < ffrom ? 1.0f : (cd < fto ? vrm : 0.0f);
+        const float op = om * vr;
+        if (!(op > 0.0f)) continue;
+        const int64_t MN = swap ? y : x, MX = swap ? x : y;
+        const int64_t n0 = (MN - mn0) * mn_i;
+        const int64_t m0 = (MX - mx0) * mx_i;
+        const int64_t A = 2 * mn * n0 + 2 * mx * m0 + (mx - 1);
+        const int64_t T = floor_div(A, 2 * mx);
+        const bool edge = (A - T * (2 * mx)) == (2 * mx - 1);
+        const bool in_slab = (A >= 0) && (T <= hK);
+        const bool ok_edge = (in_slab && T < hK) ||
+                             ((T == hK) && (n0 >= mn)) ||
+                             ((A == -1) && (n0 <= 0));
+        if (!(edge ? ok_edge : in_slab)) continue;
+        const float v = opf * op;
+        if (v > arow[x]) arow[x] = v;
+      }
+    }
+    row_lo = std::min(row_lo, ylo);
+    row_hi = std::max(row_hi, yhi);
+  }
+  // Compression with row-range merging (then clear the touched rows —
+  // the canvas is thread-local and must leave all-zero).
+  std::vector<size_t> prev_row, cur_row;
+  int64_t prev_y = INT64_MIN;
+  std::vector<SpanLane> row_out;
+  for (int64_t y = row_lo; y <= row_hi; ++y) {
+    float* arow = acc.data() + size_t(y) * size_t(ts);
+    row_out.clear();
+    int64_t x = 0;
+    while (x < ts) {
+      if (!(arow[x] > 0.0f)) {
+        ++x;
+        continue;
+      }
+      const int64_t x0r = x;
+      while (x < ts && arow[x] > 0.0f) ++x;
+      emit_run_tents(y, x0r, arow + x0r, x - x0r, plat255, &row_out);
+    }
+    std::memset(arow, 0, size_t(ts) * sizeof(float));
+    if (row_out.empty()) {
+      prev_row.clear();
+      prev_y = INT64_MIN;
+      continue;
+    }
+    cur_row.clear();
+    std::vector<size_t> cand =
+        (prev_y == y - 1) ? prev_row : std::vector<size_t>();
+    for (const SpanLane& lane : row_out) {
+      bool merged = false;
+      for (size_t ci = 0; ci < cand.size(); ++ci) {
+        SpanLane& Lm = (*lanes)[cand[ci]];
+        if (Lm.xlo == lane.xlo && Lm.xhi == lane.xhi &&
+            f32_bits(Lm.a) == f32_bits(lane.a) &&
+            f32_bits(Lm.b) == f32_bits(lane.b) &&
+            f32_bits(Lm.xc) == f32_bits(lane.xc) &&
+            (y - Lm.y0) < SPAN_ROW_MERGE) {
+          Lm.y1 = y;
+          cur_row.push_back(cand[ci]);
+          cand.erase(cand.begin() + std::ptrdiff_t(ci));
+          merged = true;
+          break;
+        }
+      }
+      if (!merged) {
+        lanes->push_back(lane);
+        cur_row.push_back(lanes->size() - 1);
+      }
+    }
+    prev_row = cur_row;
+    prev_y = y;
+  }
 }
 
 void stroke_items(const int64_t* g, int64_t n, double c_hw, int32_t ts,
@@ -856,6 +1128,100 @@ int64_t osmr_assemble_tile(
     i = j;
   }
 
+  // -- _route_stroke_spans (tent lanes for alive solid strokes) -------------
+  if (ts <= 512) {
+    std::vector<ChunkT> routed;
+    routed.reserve(chunks.size());
+    for (ChunkT& c : chunks) {
+      const int64_t n = int64_t(c.trav.size());
+      bool solid = c.kind == KIND_STROKE && n > 0;
+      if (solid)
+        for (int64_t s = 0; s < n; ++s)
+          if (c.prof[s]) {
+            solid = false;
+            break;
+          }
+      if (!solid) {
+        routed.push_back(std::move(c));
+        continue;
+      }
+      std::vector<uint8_t> sel(size_t(n), 0);
+      std::vector<int64_t> gsel;
+      bool any_rest = false;
+      for (int64_t s = 0; s < n; ++s) {
+        const int64_t* sg = c.geom.data() + s * 4;
+        const bool alive = seg_all_alive(sg[0], sg[1], sg[2], sg[3], c.hw);
+        const int64_t se =
+            stroke_span_cost_est(sg[0], sg[1], sg[2], sg[3], c.hw, ts);
+        const int64_t ie = stroke_item_count(sg, 1, c.hw, ts);
+        if (alive && se <= SPAN_VS_ITEM * ie) {
+          sel[size_t(s)] = 1;
+          gsel.insert(gsel.end(), sg, sg + 4);
+        } else {
+          any_rest = true;
+        }
+      }
+      std::vector<SpanLane> lanes;
+      if (!gsel.empty())
+        stroke_spans(gsel, c.hw, double(c.opacity), ts, &lanes);
+      std::vector<ChunkT> pieces;
+      // One chunk per CH lanes, full tile width (measured: static
+      // 128-col half sectioning cost MORE — occupancy dropped ~25%
+      // while the per-chunk fixed cost barely moved).
+      const int64_t S = int64_t(lanes.size());
+      for (int64_t off = 0; off < S; off += CH) {
+        const int64_t end = std::min<int64_t>(off + CH, S);
+        ChunkT p;
+        p.kind = KIND_STROKE_SPAN;
+        for (int64_t s = off; s < end; ++s) {
+          const SpanLane& L = lanes[size_t(s)];
+          p.geom.insert(p.geom.end(), {L.y0, L.y1, L.xlo, L.xhi});
+          p.trav.push_back(L.a);
+          p.spanb.push_back(L.b);
+          p.spanxc.push_back(L.xc);
+          p.prof.push_back(0);
+        }
+        std::memcpy(p.color, c.color, sizeof(c.color));
+        p.opacity = c.opacity;
+        p.hw = c.hw;
+        p.pat = c.pat;
+        pieces.push_back(std::move(p));
+      }
+      if (any_rest) {
+        ChunkT p;
+        p.kind = KIND_STROKE;
+        for (int64_t s = 0; s < n; ++s) {
+          if (sel[size_t(s)]) continue;
+          p.geom.insert(p.geom.end(), c.geom.begin() + s * 4,
+                        c.geom.begin() + (s + 1) * 4);
+          p.trav.push_back(c.trav[size_t(s)]);
+          p.prof.push_back(c.prof[size_t(s)]);
+        }
+        std::memcpy(p.color, c.color, sizeof(c.color));
+        p.opacity = c.opacity;
+        p.hw = c.hw;
+        p.pat = c.pat;
+        pieces.push_back(std::move(p));
+      }
+      if (pieces.empty()) {
+        // Nothing painted and no remainder: keep an empty span chunk so
+        // the generation's `last` still blends.
+        ChunkT p;
+        p.kind = KIND_STROKE_SPAN;
+        std::memcpy(p.color, c.color, sizeof(c.color));
+        p.opacity = c.opacity;
+        p.hw = c.hw;
+        p.pat = c.pat;
+        pieces.push_back(std::move(p));
+      }
+      for (size_t pi = 0; pi < pieces.size(); ++pi) {
+        pieces[pi].last = (pi + 1 == pieces.size()) ? c.last : false;
+        routed.push_back(std::move(pieces[pi]));
+      }
+    }
+    chunks = std::move(routed);
+  }
+
   // -- _split_big_stroke_chunks (item budget) -------------------------------
   {
     std::vector<ChunkT> split;
@@ -954,7 +1320,17 @@ int64_t osmr_assemble_tile(
     const ChunkT& c = chunks[ci];
     const int64_t n = int64_t(c.geom.size() / 4);
     int64_t ylo = 0, yhi = 0;
-    if (c.kind == KIND_FILL || c.kind == KIND_FILL_IMAGE) {
+    if (c.kind == KIND_STROKE_SPAN) {
+      // Tent lanes: row range in columns 0 (y0) / 1 (y1).
+      if (n) {
+        ylo = c.geom[0];
+        yhi = c.geom[1];
+        for (int64_t s = 0; s < n; ++s) {
+          ylo = std::min(ylo, c.geom[s * 4]);
+          yhi = std::max(yhi, c.geom[s * 4 + 1]);
+        }
+      }
+    } else if (c.kind == KIND_FILL || c.kind == KIND_FILL_IMAGE) {
       if (n) {
         ylo = yhi = c.geom[0];
         for (int64_t s = 0; s < n; ++s) {
@@ -1033,6 +1409,24 @@ int64_t osmr_assemble_tile(
       for (int64_t s = n; s < CH; ++s) {
         geom[0 * CH + s] = -1;
         geom[1 * CH + s] = 1;
+      }
+    } else if (n && c.kind == KIND_STROKE_SPAN) {
+      // Tent lanes: geometry (y0, y1, xlo, xhi); (a, b, xc) in the f32
+      // aux lanes 0..2.  Pad lanes cover no row and an empty interval.
+      float* aux = o_aux + ci * 4 * CH;
+      for (int64_t s = 0; s < n; ++s) {
+        geom[0 * CH + s] = int32_t(c.geom[s * 4]);
+        geom[1 * CH + s] = int32_t(c.geom[s * 4 + 1]);
+        geom[2 * CH + s] = int32_t(c.geom[s * 4 + 2]);
+        geom[3 * CH + s] = int32_t(c.geom[s * 4 + 3]);
+        aux[0 * CH + s] = c.trav[size_t(s)];
+        aux[1 * CH + s] = c.spanb[size_t(s)];
+        aux[2 * CH + s] = c.spanxc[size_t(s)];
+      }
+      for (int64_t s = n; s < CH; ++s) {
+        geom[0 * CH + s] = -1;
+        geom[1 * CH + s] = -2;
+        geom[2 * CH + s] = 1;
       }
     } else if (n) {
       float* trav = o_trav + ci * CH;

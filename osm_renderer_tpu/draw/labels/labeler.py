@@ -239,7 +239,23 @@ class Labeler:
             if compact is None:
                 return base_rgb
             y0, y1, x0, x1, rgb255, alpha = compact
-            out = base_rgb.copy()
+            out = np.ascontiguousarray(base_rgb)
+            if out is base_rgb:
+                out = base_rgb.copy()
+            from osm_renderer_tpu.draw.png_writer import _get_native
+
+            lib = _get_native()
+            if lib is not None:
+                # Native src-over of the compact patch, bit-identical to
+                # the numpy expression below (same f64 operation order;
+                # pinned by tests/test_labels.py) — the warm serving
+                # pipeline's composite stage shares one host core with
+                # PNG encode, so this stage is C++ like the encoder.
+                lib.osmr_label_composite(
+                    out, out.shape[1], y0, y1, x0, x1, rgb255,
+                    np.ascontiguousarray(alpha[..., 0]),
+                )
+                return out
             sub = rgb255 + (1.0 - alpha) * base_rgb[y0:y1, x0:x1].astype(
                 np.float64
             )

@@ -16,6 +16,7 @@ import struct
 import subprocess
 import threading
 import zlib
+from typing import Optional
 
 import numpy as np
 
@@ -28,6 +29,7 @@ _NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libosmr_pngenc.so")
 _U8P = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
 _I32P = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+_F64P = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
 
 _native = None
 _native_failed = False
@@ -70,6 +72,21 @@ def _get_native():
                 ctypes.c_int32, ctypes.c_int32, _U8P,
             ]
             lib.osmr_rle_decode_words.restype = ctypes.c_int32
+            lib.osmr_rle_decode_words_idx.argtypes = [
+                _I32P, ctypes.c_int64, ctypes.c_int32, _I32P,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, _U8P, _I32P,
+            ]
+            lib.osmr_rle_decode_words_idx.restype = ctypes.c_int32
+            lib.osmr_png_encode_pal.argtypes = [
+                _U8P, ctypes.c_int32, ctypes.c_int32, _I32P, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_char_p, ctypes.c_size_t,
+            ]
+            lib.osmr_png_encode_pal.restype = ctypes.c_size_t
+            lib.osmr_label_composite.argtypes = [
+                _U8P, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, _F64P, _F64P,
+            ]
+            lib.osmr_label_composite.restype = None
             _native = lib
         except Exception:
             _native_failed = True
@@ -182,6 +199,39 @@ def rle_to_png(
 ) -> bytes:
     """Device RLE -> PNG bytes (decode + encode, both native when built)."""
     return rgb_to_png(rle_decode(vals, lens, n_runs, h, w), compress_level)
+
+
+def words_to_png_pal(
+    packed32: np.ndarray, word_off: int, n_words: int, table: np.ndarray,
+    h: int, w: int, compress_level: int = 6,
+) -> Optional[bytes]:
+    """One tile's slice of the indexed wire -> palette (PNG-8) bytes,
+    decoding STRAIGHT to index rows — the serving wire's adaptive
+    <= 255-color palette is exactly a PLTE (the reference's encoder
+    role, png_writer.rs:4-21, at 1/3 the raw stream).  Returns None
+    when the tile needs the RGB path (palette overflow after literal
+    extension, or no native library) — pixels are lossless either way
+    (tests/test_rle.py decodes and compares)."""
+    lib = _get_native()
+    if lib is None:
+        return None
+    packed32 = np.ascontiguousarray(packed32, dtype=np.int32)
+    table = np.ascontiguousarray(table, dtype=np.int32)
+    idx = np.empty((h, w), np.uint8)
+    plte = np.zeros(256, np.int32)
+    n_pal = lib.osmr_rle_decode_words_idx(
+        packed32, int(word_off), int(n_words), table, table.shape[0],
+        h, w, idx, plte,
+    )
+    if not n_pal:
+        return None
+    buf = ctypes.create_string_buffer(h * w + 4096)
+    n = lib.osmr_png_encode_pal(
+        idx, h, w, plte, int(n_pal), compress_level, buf, len(buf)
+    )
+    if not n:
+        return None
+    return buf.raw[:n]
 
 
 def rgb_to_png(rgb: np.ndarray, compress_level: int = 6) -> bytes:

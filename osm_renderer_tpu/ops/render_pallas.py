@@ -75,6 +75,32 @@ KIND_LAYER = 6      # host-rasterized premultiplied layer (src-over of a pattern
 # the alpha.  Round-capped dashes keep the per-segment KIND_STROKE path.
 KIND_STROKE_DASH = 7
 KIND_STROKE_DASH_WIDE = 8   # legacy (r2): no longer emitted
+# Solid strokes whose walk starts are all provably alive paint, per
+# pixel row, a piecewise-LINEAR alpha in x (the feather is linear in
+# the integer cross product, which is linear in x along a row; the
+# slab/edge-band rules only clip the row interval).  The host
+# rasterizes the exact per-pixel alpha once (kernel-identical f32
+# formulas), pre-merges the generation's overlaps with fmax (max of
+# linears is piecewise linear) and compresses each row into gradient
+# spans (y, x0, x1, a0, da); the kernel paints a whole 128-span chunk
+# with ONE f32 coverage matmul per 32-row block — painted-volume-bound
+# (~1 span per ~12 painted px) instead of window-bound like the item
+# path (DESIGN.md §5 round-5).  Dead-start segments keep the exact
+# item path; cross-chunk overlap stays exact because pending is fmax.
+KIND_STROKE_SPAN = 9
+
+# Span tolerances.  SPAN_TOL bounds the first-stage linear-piece
+# extraction (alpha domain); TOL255 bounds the final per-lane verify in
+# the kernel's 255-scaled domain (every emitted lane is checked
+# per-pixel against the rasterized truth with the exact f32 expression
+# the kernel evaluates, so the served alpha error is <= TOL255/255 +
+# 2^-9/255 from the bf16 int/frac matmul split — ~0.03 of a u8 step).
+SPAN_TOL = np.float32(2.0 ** -15)
+TOL255 = np.float32(2.0 ** -5)
+# Row-range merge cap: identical consecutive rows (verticals) collapse
+# into one lane covering up to this many rows (bounded so a chunk's
+# row-block loop stays local).
+SPAN_ROW_MERGE = 32
 
 NSEC = 12         # item section slots per chunk: [0,4) shallow alive
                   # (8x128 windows; subsumes axis-aligned — mn = 0
@@ -357,6 +383,362 @@ def _seg_all_alive(g: np.ndarray, c_hw: float) -> np.ndarray:
     return alive
 
 
+def _stroke_span_raster(g: np.ndarray, c_hw: float, c_op: float, ts: int):
+    """Exact per-pixel alpha of a generation's alive solid segments,
+    fmax-merged into one canvas.
+
+    Every formula is the f32 expression the alive-mode item kernel
+    evaluates (eval_group in make_render_kernel), so per-pixel values
+    match the item path bit-for-bit: integer cross product -> f32
+    feather -> alive-path visited rules (in_slab / edge-band ok_edge).
+    Returns (acc (ts, ts) f32, ylo, yhi) with [ylo, yhi] the touched
+    row range (ylo > yhi when nothing painted)."""
+    acc = np.zeros((ts, ts), dtype=np.float32)
+    row_lo, row_hi = ts, -1
+    hwf = np.float32(c_hw)
+    opf = np.float32(c_op)
+    feather_from = np.maximum(hwf - np.float32(0.5), np.float32(0.0))
+    feather_to = np.maximum(hwf + np.float32(0.5), np.float32(1.0))
+    om = np.minimum(np.float32(2.0) * hwf, np.float32(1.0))
+    dfe = feather_to - feather_from
+    m = int(np.ceil(c_hw)) + 2
+    gi = g.astype(np.int64)
+    for s in range(gi.shape[0]):
+        x1, y1, x2, y2 = (int(v) for v in gi[s])
+        if x1 == x2 and y1 == y2:
+            continue  # degenerate: the walk paints nothing
+        dx = abs(x2 - x1)
+        dy = abs(y2 - y1)
+        mn = min(dx, dy)
+        mx = max(dx, dy, 1)
+        den = np.sqrt(np.float32(dx * dx + dy * dy))
+        inv = np.float32(1.0) / np.maximum(den, np.float32(1e-9))
+        swap = dx > dy
+        mn0, mx0 = (y1, x1) if swap else (x1, y1)
+        x_inc = 1 if x1 <= x2 else -1
+        y_inc = 1 if y1 <= y2 else -1
+        mn_i, mx_i = (y_inc, x_inc) if swap else (x_inc, y_inc)
+        nc = x2 * y1 - y2 * x1
+        sdx = x2 - x1
+        sdy = y2 - y1
+        cK = (2 * mx * mn + mx - 1) // (2 * mx)
+        gK = (2 * cK * mn + mx - 1) // (2 * mx)
+        hK = mx + gK
+        ylo = max(min(y1, y2) - m, 0)
+        yhi = min(max(y1, y2) + m, ts - 1)
+        xlo = max(min(x1, x2) - m, 0)
+        xhi = min(max(x1, x2) + m, ts - 1)
+        if ylo > yhi or xlo > xhi:
+            continue
+        ys = np.arange(ylo, yhi + 1, dtype=np.int64)[:, None]
+        xs = np.arange(xlo, xhi + 1, dtype=np.int64)[None, :]
+        raw = nc + sdy * xs - sdx * ys
+        cd = np.abs(raw).astype(np.float32) * inv
+        vr = np.where(
+            cd < feather_from,
+            np.float32(1.0),
+            np.where(cd < feather_to, (feather_to - cd) / dfe, np.float32(0.0)),
+        )
+        op = om * vr
+        in_line = op > np.float32(0.0)
+        MN = ys if swap else xs
+        MX = xs if swap else ys
+        n0 = (MN - mn0) * mn_i
+        m0 = (MX - mx0) * mx_i
+        A = 2 * mn * n0 + 2 * mx * m0 + (mx - 1)
+        T = A // (2 * mx)  # int64 floor division (A may be negative)
+        edge = (A - T * (2 * mx)) == (2 * mx - 1)
+        in_slab = (A >= 0) & (T <= hK)
+        ok_edge = (
+            (in_slab & (T < hK))
+            | ((T == hK) & (n0 >= mn))
+            | ((A == -1) & (n0 <= 0))
+        )
+        visited = in_line & np.where(edge, ok_edge, in_slab)
+        v = np.where(visited, opf * op, np.float32(0.0))
+        np.maximum(acc[ylo : yhi + 1, xlo : xhi + 1], v,
+                   out=acc[ylo : yhi + 1, xlo : xhi + 1])
+        row_lo = min(row_lo, ylo)
+        row_hi = max(row_hi, yhi)
+    return acc, row_lo, row_hi
+
+
+def _span_plat255(c_hw: float, c_op: float) -> np.float32:
+    """The plateau value opacity * opacity_mul * 255 in the exact f32
+    order the kernel computes it from its per-chunk scalars."""
+    hwf = np.float32(c_hw)
+    om = np.minimum(np.float32(2.0) * hwf, np.float32(1.0))
+    return np.float32(np.float32(np.float32(c_op) * om) * np.float32(255.0))
+
+
+def _tent_verify(vals255, x0: int, a: np.float32, b: np.float32,
+                 xc: np.float32, plat255: np.float32) -> bool:
+    """Per-pixel check of the kernel's f32 tent reconstruction
+    max(min(a - b*|x - xc|, plat255), 0) against the rasterized truth
+    (255-domain)."""
+    xs = np.arange(x0, x0 + vals255.shape[0], dtype=np.int32).astype(np.float32)
+    t = a - b * np.abs(xs - xc)
+    t = np.maximum(np.minimum(t, plat255), np.float32(0.0))
+    return bool((np.abs(t - vals255) <= TOL255).all())
+
+
+def _emit_run_tents(y: int, x0: int, vals: np.ndarray,
+                    plat255: np.float32, out: list) -> None:
+    """One maximal nonzero run -> verified tent lanes.
+
+    Stage 1 splits the run into greedy linear pieces (first-difference
+    slope, SPAN_TOL in the alpha domain).  Stage 2 merges each
+    [rising, plateau?, falling] piece group into ONE clipped tent
+    (apex from the f64 intersection of the end lines) when the
+    255-domain verify passes; every other piece emits as a one-sided
+    tent (xc at the falling end), halved recursively in the (never
+    observed) case its verify fails.  Deterministic scalar order —
+    mirrored bit-for-bit by native/assembler.cpp."""
+    L = vals.shape[0]
+    vals255 = vals * np.float32(255.0)
+    pieces = []  # (p0 rel, p1 rel, a0, da)
+    i = 0
+    while i < L:
+        if i + 1 == L:
+            pieces.append((i, i, vals[i], np.float32(0.0)))
+            break
+        da = vals[i + 1] - vals[i]
+        j = i + 1
+        while j + 1 < L:
+            pred = vals[i] + da * np.float32(j + 1 - i)
+            if abs(vals[j + 1] - pred) > SPAN_TOL:
+                break
+            j += 1
+        pieces.append((i, j, vals[i], da))
+        i = j + 1
+
+    def emit_piece(p0: int, p1: int):
+        # One-sided tent: a linear piece a0 + da*(x - p0) is the tent
+        # a - b*|x - xc| with xc at the high-value end.
+        a0 = vals[p0]
+        if p1 == p0:
+            cand = (np.float32(vals255[p0]), np.float32(0.0),
+                    np.float32(x0 + p0))
+        else:
+            da = vals[p0 + 1] - vals[p0]
+            if da <= np.float32(0.0):
+                a = a0 * np.float32(255.0)
+                b = (-da) * np.float32(255.0)
+                xc = np.float32(x0 + p0)
+            else:
+                a = (a0 + da * np.float32(p1 - p0)) * np.float32(255.0)
+                b = da * np.float32(255.0)
+                xc = np.float32(x0 + p1)
+            cand = (a, b, xc)
+        if _tent_verify(vals255[p0 : p1 + 1], x0 + p0, *cand, plat255):
+            out.append((y, x0 + p0, x0 + p1) + cand)
+        else:  # split and retry (exact at 1 px by construction)
+            mid = (p0 + p1) // 2
+            emit_piece(p0, mid)
+            emit_piece(mid + 1, p1)
+
+    gi = 0
+    while gi < len(pieces):
+        p = pieces[gi]
+        group_end = gi
+        if p[3] > np.float32(0.0):
+            k = gi + 1
+            if k < len(pieces) and pieces[k][3] == np.float32(0.0):
+                k += 1  # clipped plateau between the ramps
+            if k < len(pieces) and pieces[k][3] < np.float32(0.0):
+                group_end = k
+        if group_end > gi:
+            up = pieces[gi]
+            dn = pieces[group_end]
+            # Apex = intersection of the two end lines, in f64 (exact
+            # enough; verified in f32 below).
+            dau = float(up[3])
+            dad = float(dn[3])
+            xu = float(x0 + up[0])
+            xd = float(x0 + dn[0])
+            xstar = (float(dn[2]) - dad * xd - float(up[2]) + dau * xu) / (
+                dau - dad
+            )
+            astar = float(up[2]) + dau * (xstar - xu)
+            a = np.float32(astar * 255.0)
+            b = np.float32(dau * 255.0)
+            xc = np.float32(xstar)
+            p0 = up[0]
+            p1 = dn[1]
+            if _tent_verify(vals255[p0 : p1 + 1], x0 + p0, a, b, xc, plat255):
+                out.append((y, x0 + p0, x0 + p1, a, b, xc))
+                gi = group_end + 1
+                continue
+        emit_piece(p[0], p[1])
+        gi += 1
+
+
+def _compress_span_rows(acc: np.ndarray, row_lo: int, row_hi: int,
+                        plat255: np.float32):
+    """Painted canvas -> verified tent lanes with row-range merging.
+
+    Per row, maximal nonzero runs emit tent lanes (_emit_run_tents);
+    consecutive rows whose lanes are bit-identical (vertical strokes:
+    the per-row computation repeats exactly) merge into one lane
+    covering up to SPAN_ROW_MERGE rows.
+
+    Returns (spans (S, 4) int64 rows (y0, y1, xlo, xhi), a (S,) f32,
+    b (S,) f32, xc (S,) f32) in row-major emission order (255-domain
+    payload)."""
+    lanes = []  # [y0, y1, xlo, xhi, a, b, xc] (mutable for the merge)
+    prev_row: list = []  # indices into lanes with y1 == previous row
+    prev_y = None
+    zero = np.float32(0.0)
+    for y in range(row_lo, row_hi + 1):
+        line = acc[y]
+        nz = np.flatnonzero(line > zero)
+        if nz.size == 0:
+            prev_row = []
+            prev_y = None
+            continue
+        brk = np.flatnonzero(np.diff(nz) > 1)
+        starts = np.concatenate(([0], brk + 1))
+        ends = np.concatenate((brk, [nz.size - 1]))
+        row_out: list = []
+        for r0, r1 in zip(starts, ends):
+            x0 = int(nz[r0])
+            _emit_run_tents(y, x0, line[x0 : int(nz[r1]) + 1], plat255, row_out)
+        cur_row = []
+        cand = list(prev_row) if prev_y == y - 1 else []
+        for lane in row_out:
+            yy, xlo, xhi, a, b, xc = lane
+            merged = False
+            for ci, li in enumerate(cand):
+                L = lanes[li]
+                if (
+                    L[2] == xlo and L[3] == xhi
+                    and L[4].tobytes() == a.tobytes()
+                    and L[5].tobytes() == b.tobytes()
+                    and L[6].tobytes() == xc.tobytes()
+                    and (y - L[0]) < SPAN_ROW_MERGE
+                ):
+                    L[1] = y
+                    cur_row.append(li)
+                    cand.pop(ci)
+                    merged = True
+                    break
+            if not merged:
+                lanes.append([yy, yy, xlo, xhi, a, b, xc])
+                cur_row.append(len(lanes) - 1)
+        prev_row = cur_row
+        prev_y = y
+    if not lanes:
+        return (
+            np.zeros((0, 4), np.int64),
+            np.zeros(0, np.float32),
+            np.zeros(0, np.float32),
+            np.zeros(0, np.float32),
+        )
+    spans = np.asarray([L[:4] for L in lanes], np.int64)
+    a = np.asarray([L[4] for L in lanes], np.float32)
+    b = np.asarray([L[5] for L in lanes], np.float32)
+    xc = np.asarray([L[6] for L in lanes], np.float32)
+    return spans, a, b, xc
+
+
+# Module flag for A/B benchmarking (tools/, bench comparisons); the
+# production default routes alive solid strokes to the span path.
+STROKE_SPANS = True
+
+# Per-segment path choice: a segment routes to tent lanes when its
+# lane estimate is within SPAN_VS_ITEM x its item-window count.
+# Measured on the 97-tile corpus (device trace, same session):
+# items-only 6.90 ms, ratio 8 5.64 ms, ratio 32 5.10 ms ~= route-all
+# 5.08 ms — the transpose-free lane cost (~2.5 ns/lane) beats the
+# ~40 ns/window item path on essentially all alive solid geometry, so
+# the default effectively routes everything alive; the finite ratio
+# remains as a guard for pathological shapes (enormous-hw casings
+# whose rows dwarf their window count).  Pure count arithmetic,
+# mirrored bit-for-bit by the C++ assembler.
+SPAN_VS_ITEM = 32
+
+
+def _stroke_span_cost_est(g: np.ndarray, c_hw: float, ts: int) -> np.ndarray:
+    """Per-segment estimate of emitted tent lanes: ~1 per touched row
+    (a run compresses to one clipped tent); vertical segments row-merge
+    their (identical) body rows in SPAN_ROW_MERGE blocks, keeping ~2m
+    distinct end rows."""
+    gi = g.astype(np.int64)
+    m = int(np.ceil(c_hw)) + 2
+    ylo = np.clip(np.minimum(gi[:, 1], gi[:, 3]) - m, 0, ts - 1)
+    yhi = np.clip(np.maximum(gi[:, 1], gi[:, 3]) + m, 0, ts - 1)
+    rows = yhi - ylo + 1
+    vert = gi[:, 0] == gi[:, 2]
+    est = np.where(vert, (rows + SPAN_ROW_MERGE - 1) // SPAN_ROW_MERGE + 2 * m, rows)
+    nondeg = ~(vert & (gi[:, 1] == gi[:, 3]))
+    return np.where(nondeg, est, 0)
+
+
+def _route_stroke_spans(chunks, ts: int):
+    """Replace each solid KIND_STROKE chunk with gradient-span chunks
+    for its provably-alive, span-cheaper segments plus (if any) one
+    KIND_STROKE remainder chunk for the rest (dead-start segments and
+    item-cheaper alive ones) — same generation, `last` only on the
+    final piece.  Cross-piece overlap is exact because the kernel
+    merges a generation's chunks with fmax."""
+    if not STROKE_SPANS:
+        return chunks
+    out = []
+    for tup in chunks:
+        k, g, trav, prof, last = tup[:5]
+        meta = tup[5:]
+        c_color, c_op, c_hw, c_pat = meta
+        n = g.shape[0]
+        if k != KIND_STROKE or n == 0:
+            out.append(tup)
+            continue
+        if np.any(np.asarray(prof)[:n]):
+            out.append(tup)  # dashed: item / per-segment path
+            continue
+        alive = _seg_all_alive(g, c_hw)
+        span_est = _stroke_span_cost_est(g, c_hw, ts)
+        item_est = _stroke_item_counts(g, c_hw, ts)
+        span_sel = alive & (span_est <= SPAN_VS_ITEM * item_est)
+        acc, rlo, rhi = (
+            _stroke_span_raster(g[span_sel], c_hw, c_op, ts)
+            if span_sel.any()
+            else (None, 0, -1)
+        )
+        if rhi >= rlo:
+            spans, sa, sb, sxc = _compress_span_rows(
+                acc, rlo, rhi, _span_plat255(c_hw, c_op)
+            )
+        else:
+            spans = np.zeros((0, 4), np.int64)
+            sa = sb = sxc = np.zeros(0, np.float32)
+        abc = np.stack([sa, sb, sxc], axis=1)  # (S, 3) trav-slot payload
+        rest = ~span_sel
+        pieces = []
+        # One chunk per CH lanes, full tile width (measured: static
+        # 128-col half sectioning cost MORE — occupancy dropped ~25%
+        # while the per-chunk fixed cost barely moved).
+        S = spans.shape[0]
+        for off in range(0, S, CH):
+            end = min(off + CH, S)
+            pieces.append(
+                (KIND_STROKE_SPAN, spans[off:end], abc[off:end],
+                 np.zeros(end - off, np.int64))
+            )
+        if rest.any():
+            pieces.append(
+                (KIND_STROKE, g[rest], np.asarray(trav)[:n][rest],
+                 np.asarray(prof)[:n][rest])
+            )
+        if not pieces:  # nothing painted and no dead segs: keep an
+            # empty span chunk so the generation's `last` still blends.
+            pieces.append((KIND_STROKE_SPAN, np.zeros((0, 4), np.int64),
+                           abc[:0], np.zeros(0, np.int64)))
+        for pi, p in enumerate(pieces):
+            is_tail = pi + 1 == len(pieces)
+            out.append(p + (last if is_tail else False,) + meta)
+    return out
+
+
 def _emit_windows(seg_ids, b0col, nbcol):
     """Flat item words `sg | (block << 8)` for one column subrange."""
     tot = int(nbcol.sum())
@@ -539,6 +921,7 @@ def build_tile_chunks(stream, ts: int, prof_chain_free=None) -> TileChunks:
     initialized."""
     chunks = _convert_tile_chunks(stream, ts)
     if ts <= 512:
+        chunks = _route_stroke_spans(chunks, ts)
         chunks = _split_big_stroke_chunks(chunks, ts, prof_chain_free)
     n_chunks = max(len(chunks), 1)
 
@@ -566,7 +949,11 @@ def build_tile_chunks(stream, ts: int, prof_chain_free=None) -> TileChunks:
             k, g, _, _, _, _, _, c_hw, _ = chunks[ci]
             n = g.shape[0]
             assert n <= CH, f"chunk of {n} exceeds CH={CH}"
-            if k in (KIND_FILL, KIND_FILL_IMAGE):
+            if k == KIND_STROKE_SPAN:
+                # Tent lanes: row range in columns 0 (y0) / 1 (y1).
+                ylo = g[:, 0].min() if n else 0
+                yhi = g[:, 1].max() if n else 0
+            elif k in (KIND_FILL, KIND_FILL_IMAGE):
                 # Span chunks: y in column 0.
                 ylo = g[:, 0].min() if n else 0
                 yhi = g[:, 0].max() if n else 0
@@ -616,6 +1003,17 @@ def build_tile_chunks(stream, ts: int, prof_chain_free=None) -> TileChunks:
                 # empty x interval.
                 geom[o, 0, n:] = -1
                 geom[o, 1, n:] = 1
+            elif n and k == KIND_STROKE_SPAN:
+                # Tent lanes: geometry (y0, y1, xlo, xhi); (a, b, xc)
+                # ride the f32 aux lanes 0..2 (the trav-slot of the
+                # routed tuple is the (n, 3) payload), read vectorized
+                # by the kernel.  Pad lanes cover no row and an empty
+                # x interval.
+                geom[o, :, :n] = g.T.astype(np.int32)
+                geom[o, 0, n:] = -1
+                geom[o, 1, n:] = -2
+                geom[o, 2, n:] = 1
+                aux[o, 0:3, :n] = np.asarray(c_trav, np.float32).T
             elif n:
                 geom[o, :, :n] = g.T.astype(np.int32)
                 trav[o, 0, :n] = c_trav
@@ -955,6 +1353,66 @@ def make_render_kernel(ts: int):
                             preferred_element_type=jnp.float32,
                         )
                         alpha = jnp.where(C > 0.5, opacity, 0.0)
+                        cur = pending_ref[pl.ds(r0, RB_F), :]
+                        pending_ref[pl.ds(r0, RB_F), :] = jnp.fmax(cur, alpha)
+                        return 0
+
+                    lax.fori_loop(0, nb, row_block, 0)
+
+                # -------------------- stroke tent lanes --------------------
+                # Host-compressed clipped-tent alpha (_route_stroke_spans):
+                # lane s covers rows [y0_s, y1_s], columns [xlo_s, xhi_s],
+                # alpha*255 = max(min(a_s - b_s*|x - xc_s|, plat255), 0).
+                # Lanes are disjoint per (row, x) within a chunk (host
+                # fmax-merged), so the coverage matmul's sum selects
+                # exactly one lane's value.  bf16 split keeps it exact
+                # enough: integer part of alpha*255 is bf16-exact
+                # (0..256), the [0, 1) fraction rounds at 2^-9 of one u8
+                # step.  Two 1-pass bf16 matmuls instead of a 6-pass f32
+                # HIGHEST dot.
+                @pl.when(kind == KIND_STROKE_SPAN)
+                def _stroke_span():
+                    # Everything stays LANE-major (no relayouts): the
+                    # value tile M is built transposed — (ts, CH) with x
+                    # in sublanes, lanes = spans — from (1, CH) param
+                    # rows, and the coverage dot contracts the LANE axis
+                    # of both operands (NT matmul, native on the MXU).
+                    y0_l = geom_ref[gi, 0, :].reshape(1, CH)
+                    y1_l = geom_ref[gi, 1, :].reshape(1, CH)
+                    xlo_l = geom_ref[gi, 2, :].reshape(1, CH)
+                    xhi_l = geom_ref[gi, 3, :].reshape(1, CH)
+                    a_l = aux_ref[gi, 0, :].reshape(1, CH)
+                    b_l = aux_ref[gi, 1, :].reshape(1, CH)
+                    xc_l = aux_ref[gi, 2, :].reshape(1, CH)
+                    plat255 = opacity * jnp.fmin(2.0 * hw, 1.0) * 255.0
+                    xs_c = lax.broadcasted_iota(jnp.int32, (ts, CH), 0)
+                    cov = (xs_c >= xlo_l) & (xs_c <= xhi_l)
+                    tent = a_l - b_l * jnp.abs(
+                        xs_c.astype(jnp.float32) - xc_l
+                    )
+                    M255T = jnp.where(
+                        cov, jnp.fmax(jnp.fmin(tent, plat255), 0.0), 0.0
+                    )
+                    MintT = jnp.floor(M255T)
+                    MhiT = MintT.astype(jnp.bfloat16)
+                    MloT = (M255T - MintT).astype(jnp.bfloat16)
+
+                    def row_block(blk, _):
+                        r0 = (y0 + blk) * RB_F
+                        rows_col = r0 + lax.broadcasted_iota(
+                            jnp.int32, (RB_F, 1), 0
+                        )
+                        U = ((rows_col >= y0_l) & (rows_col <= y1_l)).astype(
+                            jnp.bfloat16
+                        )
+                        dn = (((1,), (1,)), ((), ()))
+                        ahi = lax.dot_general(
+                            U, MhiT, dn, preferred_element_type=jnp.float32
+                        )
+                        alo = lax.dot_general(
+                            U, MloT, dn, preferred_element_type=jnp.float32
+                        )
+                        alpha = (ahi + alo) * jnp.float32(1.0 / 255.0)
                         cur = pending_ref[pl.ds(r0, RB_F), :]
                         pending_ref[pl.ds(r0, RB_F), :] = jnp.fmax(cur, alpha)
                         return 0
@@ -2049,13 +2507,16 @@ def _render_body(kernel, b, canvas_rgb, ts: int, T: int, interpret: bool):
         ]
     )
     kind_step = b.kind.reshape(n_steps, GROUP)
-    is_dash_item = kind_step >= KIND_STROKE_DASH
+    is_dash_item = kind_step == KIND_STROKE_DASH
+    is_span = kind_step == KIND_STROKE_SPAN
     step_dash = jnp.any(
         (kind_step == KIND_STROKE) | is_dash_item, axis=1
     ).astype(jnp.int32)
+    # aux is read by every stroke flavor: per-segment scalars for the
+    # item/segment paths, (a0, da) gradient lanes for span chunks.
     step_stroke = jnp.any(
         ((kind_step >= KIND_STROKE) & (kind_step <= KIND_STROKE_SOLID))
-        | is_dash_item,
+        | is_dash_item | is_span,
         axis=1,
     ).astype(jnp.int32)
     step_solid = jnp.any(

@@ -591,14 +591,13 @@ class BatchRenderer:
             wire = rle_mod.encode_wire_device(planar, cap)
         return RleRendered(planar, wire, prepared.ts, cap)
 
-    def fetch_rgb_rle(self, res: RleRendered) -> np.ndarray:
-        """Host fetch + decode of the compressed readback ->
-        (T, ts, ts, 3) u8.  Falls back to the raw planar fetch when the
-        batch overflowed the wire capacity (and grows the next cap)."""
-        from osm_renderer_tpu.draw.png_writer import (
-            rle_decode_packed,
-            rle_decode_words,
-        )
+    def fetch_tile_view(self, res: RleRendered) -> "RleTileView":
+        """Host fetch of the compressed readback as a lazy per-tile
+        view: tiles decode to RGB on demand, and v2 (indexed-wire)
+        tiles can skip RGB entirely and emit a palette PNG straight
+        from the word stream (`RleTileView.png8`).  Falls back to the
+        raw planar fetch when the batch overflowed the wire capacity
+        (and grows the next cap)."""
         from osm_renderer_tpu.ops.render_pallas import planar_to_rgb
         from osm_renderer_tpu.ops import rle as rle_mod
 
@@ -607,19 +606,26 @@ class BatchRenderer:
         total = int(wire[1])
         ts = res.ts
         if res.fmt == "v2":
-            self._note_total_words(ts, T, total)
-            if total > res.rtot:
-                return planar_to_rgb(np.asarray(res.planar))
             total_runs = int(wire[2])
+            if total > res.rtot:
+                # Overflow: the Pallas emitter's word total is computed
+                # from whatever packed-run bits fit the buffer, so it can
+                # overstate the true need ~3x; seeding the next wcap from
+                # it would pad every subsequent d2h transfer until the
+                # shrink hysteresis corrects it.  A run emits at most 3
+                # words, so 3*total_runs is a sound bound.
+                self._note_total_words(
+                    ts, T, min(total, 3 * max(total_runs, 1))
+                )
+                return RleTileView(
+                    T, ts, rgb=planar_to_rgb(np.asarray(res.planar))
+                )
+            self._note_total_words(ts, T, total)
             n_words = wire[3 : 3 + T]
             table = wire[3 + T : 3 + T + rle_mod.PAL_CAP]
             packed32 = wire[3 + T + rle_mod.PAL_CAP :]
-            out = np.empty((T, ts, ts, 3), np.uint8)
-            pos = 0
-            for i in range(T):
-                n = int(n_words[i])
-                out[i] = rle_decode_words(packed32, pos, n, table, ts, ts)
-                pos += n
+            offs = np.zeros(T + 1, np.int64)
+            np.cumsum(n_words, out=offs[1:])
             # Palette drift: too many literal escapes -> relearn by
             # demoting the next batch to v1 (its fetch rebuilds the
             # table from full run colors).  Cooldown-gated: a corpus
@@ -635,18 +641,18 @@ class BatchRenderer:
             ):
                 self._pal_table = None
                 self._pal_dev = None
-            return out
+            return RleTileView(
+                T, ts, words=(packed32, offs, table)
+            )
         self._note_total_runs(ts, T, total)
         if total > res.rtot:
-            return planar_to_rgb(np.asarray(res.planar))
+            return RleTileView(
+                T, ts, rgb=planar_to_rgb(np.asarray(res.planar))
+            )
         n_runs = wire[2 : 2 + T]
         packed = wire[2 + T :]
-        out = np.empty((T, ts, ts, 3), np.uint8)
-        pos = 0
-        for i in range(T):
-            n = int(n_runs[i])
-            out[i] = rle_decode_packed(packed[pos : pos + n], ts, ts)
-            pos += n
+        offs = np.zeros(T + 1, np.int64)
+        np.cumsum(n_runs, out=offs[1:])
         # Learn the serving palette from this batch's run colors; the
         # next batch ships indexed.
         if self.indexed_wire and self._pal_table is None and total > 0:
@@ -655,11 +661,66 @@ class BatchRenderer:
             self._pal_table = rle_mod.build_palette(colors, counts)
             self._pal_dev = self._dev(self._pal_table)
             self._pal_cooldown = 16
+        return RleTileView(T, ts, runs=(packed, offs))
+
+    def fetch_rgb_rle(self, res: RleRendered) -> np.ndarray:
+        """Host fetch + decode of the compressed readback ->
+        (T, ts, ts, 3) u8 (eager form of fetch_tile_view)."""
+        view = self.fetch_tile_view(res)
+        out = np.empty((view.T, view.ts, view.ts, 3), np.uint8)
+        for i in range(view.T):
+            out[i] = view.rgb(i)
         return out
 
     def render_rgb(self, prepared: PreparedBatch) -> np.ndarray:
         """Full batch to host RGB via the compressed readback."""
         return self.fetch_rgb_rle(self.render_prepared_rle(prepared))
+
+
+class RleTileView:
+    """Per-tile view of one fetched RLE wire.
+
+    Exactly one of `rgb` (raw-fallback batch array), `words` (v2
+    indexed 16-bit-word stream: packed32, word offsets, palette table)
+    or `runs` (v1 packed runs: packed, run offsets) is set.  `rgb(i)`
+    decodes tile i; `png8(i, level)` emits a palette PNG straight from
+    the v2 word stream (None when the tile needs the RGB path)."""
+
+    def __init__(self, T: int, ts: int, rgb=None, words=None, runs=None):
+        self.T = T
+        self.ts = ts
+        self._rgb = rgb
+        self._words = words
+        self._runs = runs
+
+    def rgb(self, i: int) -> np.ndarray:
+        from osm_renderer_tpu.draw.png_writer import (
+            rle_decode_packed,
+            rle_decode_words,
+        )
+
+        if self._rgb is not None:
+            return self._rgb[i]
+        ts = self.ts
+        if self._words is not None:
+            packed32, offs, table = self._words
+            return rle_decode_words(
+                packed32, int(offs[i]), int(offs[i + 1] - offs[i]),
+                table, ts, ts,
+            )
+        packed, offs = self._runs
+        return rle_decode_packed(packed[int(offs[i]) : int(offs[i + 1])], ts, ts)
+
+    def png8(self, i: int, level: int) -> Optional[bytes]:
+        if self._words is None:
+            return None
+        from osm_renderer_tpu.draw.png_writer import words_to_png_pal
+
+        packed32, offs, table = self._words
+        return words_to_png_pal(
+            packed32, int(offs[i]), int(offs[i + 1] - offs[i]),
+            table, self.ts, self.ts, level,
+        )
 
 
 def pad_batch_to(tiles: int, prepared: PreparedBatch) -> PreparedBatch:

@@ -38,10 +38,25 @@ def pytest_collection_modifyitems(config, items):
     """Mark the interpret-mode device-parity modules `slow` so the
     per-commit loop can run `pytest -m "not slow"` (~2 min) and leave
     the full parity sweep (~25 min: Mosaic interpret + e2e goldens) to
-    pre-merge runs.  No test is skipped by default."""
+    pre-merge runs.  No test is skipped by default.
+
+    Under OSMR_TEST_TPU=1 the suite runs on the real backend WITHOUT
+    the x64 pin, which silently changes numerics for every test that
+    relies on exact x64 integer closed forms — so in that mode only
+    tests explicitly marked `tpu_hw` (written for real-TPU numerics)
+    are run; everything else is skipped, not silently degraded."""
     import pytest
 
     slow_modules = {"test_pallas", "test_drawer_e2e", "test_parallel", "test_arena"}
     for item in items:
         if item.module.__name__.split(".")[-1] in slow_modules:
             item.add_marker(pytest.mark.slow)
+
+    if os.environ.get("OSMR_TEST_TPU"):
+        skip = pytest.mark.skip(
+            reason="OSMR_TEST_TPU=1 drops the CPU+x64 pin; this test's "
+            "numerics assume it (only tpu_hw-marked tests run)"
+        )
+        for item in items:
+            if "tpu_hw" not in item.keywords:
+                item.add_marker(skip)

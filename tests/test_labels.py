@@ -282,3 +282,30 @@ def test_atlas_collision_all_or_nothing(city, styler):
         if _round == 0:
             first = layer.export_center().copy()
     assert np.array_equal(first, layer.export_center())
+
+
+def test_native_label_composite_matches_numpy():
+    """The C++ compact-patch src-over (pngenc.cpp osmr_label_composite)
+    must be byte-identical to the numpy expression it replaces."""
+    from osm_renderer_tpu.draw.png_writer import _get_native
+
+    lib = _get_native()
+    if lib is None:
+        pytest.skip("native pngenc unavailable")
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 256, (256, 256, 3), dtype=np.uint8)
+    y0, y1, x0, x1 = 40, 173, 7, 201
+    h, w = y1 - y0, x1 - x0
+    alpha = np.clip(rng.uniform(-0.4, 1.0, (h, w, 1)), 0.0, 1.0)
+    rgb255 = rng.uniform(0.0, 1.0, (h, w, 3)) * alpha * 255.0
+
+    sub = rgb255 + (1.0 - alpha) * base[y0:y1, x0:x1].astype(np.float64)
+    want = base.copy()
+    want[y0:y1, x0:x1] = np.clip(np.trunc(sub + 1e-9), 0, 255).astype(np.uint8)
+
+    got = base.copy()
+    lib.osmr_label_composite(
+        got, got.shape[1], y0, y1, x0, x1,
+        np.ascontiguousarray(rgb255), np.ascontiguousarray(alpha[..., 0]),
+    )
+    np.testing.assert_array_equal(got, want)

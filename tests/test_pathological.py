@@ -45,6 +45,10 @@ def _patho_reader():
     from osm_renderer_tpu.geodata.importer import import_osm
     from osm_renderer_tpu.geodata.reader import GeodataReader
 
+    import osm_renderer_tpu.geodata.find_polygons as fp_mod
+    import osm_renderer_tpu.geodata.importer as imp_mod
+    import osm_renderer_tpu.geodata.saver as sav_mod
+
     gen = os.path.join(REPO_ROOT, "tools", "make_fixture.py")
     osm = os.path.join(tempfile.gettempdir(), "osmr_patho_city.osm")
     if not os.path.exists(osm) or os.path.getmtime(osm) < os.path.getmtime(gen):
@@ -53,7 +57,16 @@ def _patho_reader():
             check=True,
         )
     bin_path = os.path.join(tempfile.gettempdir(), "osmr_patho_city.bin")
-    if not os.path.exists(bin_path) or os.path.getmtime(bin_path) < os.path.getmtime(osm):
+    # The cached .bin must also be invalidated by importer-pipeline code
+    # changes, or a stale /tmp artifact from an earlier session could
+    # mask (or fake) importer regressions.
+    src_mtime = max(
+        os.path.getmtime(osm),
+        os.path.getmtime(imp_mod.__file__),
+        os.path.getmtime(fp_mod.__file__),
+        os.path.getmtime(sav_mod.__file__),
+    )
+    if not os.path.exists(bin_path) or os.path.getmtime(bin_path) < src_mtime:
         import_osm(osm, bin_path)
     return GeodataReader.load(bin_path)
 
@@ -92,10 +105,21 @@ def test_import_invariants():
     way_lens = [len(Way(reader, i).node_ids) for i in range(len(reader.ways))]
     assert sum(1 for n in way_lens if n >= 1000) >= N_TRANSECTS
 
-    # Repeated-pair ways: [a,b,a,b,b,b,a] must import with consecutive
-    # duplicate pairs removed (7 refs -> a,b,a,b,a: dedup drops the
-    # repeated (a,b)/(b,a) pairs and the zero-length (b,b)).
-    assert any(3 <= n <= 5 for n in way_lens)
+    # Repeated-pair ways: [a,b,a,b,b,b,a] must import as exactly
+    # [a,b,b] (3 refs): the pair-SET dedup (importer.py
+    # postprocess_node_refs, reference importer.rs postprocess) drops
+    # every ref whose (prev, cur) pair was seen in either direction —
+    # the second a (pair (b,a) seen), the second b ((a,b) seen), the
+    # FIRST (b,b) is new and kept, the rest drop.  Locate those ways by
+    # their name tag so a dedup regression cannot hide behind the
+    # 5-node building ways.
+    dup_lens = [
+        len(Way(reader, i).node_ids)
+        for i in range(len(reader.ways))
+        if Way(reader, i).tags().get_by_key("name") == 'Dup "&<>" way'
+    ]
+    assert dup_lens, "pathological fixture lost its dup-pair ways"
+    assert all(n == 3 for n in dup_lens), dup_lens
     # Degenerate ways (single node) survive import without crashing.
     assert any(n == 1 for n in way_lens)
 

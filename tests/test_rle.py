@@ -291,6 +291,7 @@ def test_renderer_v1_then_v2_serving_equality():
     assert dev._wtot_by_key[(res3.ts, len(te))] > 256  # cap regrew
 
 
+@pytest.mark.tpu_hw
 def test_pallas_emit_wire_matches_xla():
     """The Pallas RLE emit kernel must produce bit-identical wire bytes
     to the XLA gather-based encoder (live payload + header; overflow
@@ -316,6 +317,7 @@ def test_pallas_emit_wire_matches_xla():
     np.testing.assert_array_equal(ref_o[: 2 + T], got_o[: 2 + T])
 
 
+@pytest.mark.tpu_hw
 def test_pallas_indexed_wire_matches_xla():
     """The Pallas indexed-wire (v2) expand kernel must produce
     bit-identical wire bytes to the XLA encoder in non-overflow batches
@@ -369,3 +371,100 @@ def test_pallas_indexed_wire_matches_xla():
     assert int(ref_o[0]) == int(got_o[0])
     assert int(ref_o[2]) == int(got_o[2])
     assert int(ref_o[1]) > wee and int(got_o[1]) > wee
+
+
+def test_png8_from_words_lossless():
+    """words_to_png_pal emits a palette PNG whose decoded pixels equal
+    the RGB-path decode exactly (PLTE = wire palette + literal
+    extension), and falls back to None when the tile's colors exceed
+    256 (the RGB path then serves it)."""
+    PIL = pytest.importorskip("PIL.Image")
+    from osm_renderer_tpu.draw.png_writer import (
+        rle_decode_words,
+        words_to_png_pal,
+    )
+    from osm_renderer_tpu.draw.png_writer import _get_native
+
+    if _get_native() is None:
+        pytest.skip("native pngenc unavailable")
+
+    rng = np.random.default_rng(11)
+    # Small palette image with a few literal (off-palette) colors.
+    table = (rng.integers(0, 2**24, rle.PAL_CAP)).astype(np.int64)
+    h = w = 64
+
+    def build_words(colors):
+        words = []
+        pos = 0
+        k = 0
+        while pos < h * w:
+            ln = min(int(rng.integers(1, 256)), h * w - pos)
+            c = colors[k % len(colors)]
+            k += 1
+            if c[0] == "pal":
+                words.append((c[1] << 8) | (ln - 1))
+            else:
+                v = c[1]
+                words.append((0xFF << 8) | (ln - 1))
+                words.append(v & 0xFFFF)
+                words.append((v >> 16) & 0xFF)
+            pos += ln
+        if len(words) % 2:
+            words.append(0)
+        w16 = np.asarray(words, np.int64)
+        return ((w16[0::2] & 0xFFFF) | (w16[1::2] << 16)).astype(np.int32), len(words) - (len(words) % 2 == 0 and 0 or 1)
+
+    colors = [("pal", 3), ("pal", 77), ("lit", 0x123456), ("pal", 200),
+              ("lit", 0xABCDEF)]
+    packed32, _ = build_words(colors)
+    # recount true words
+    n_words = 0
+    pos = 0
+    w16 = np.empty(2 * packed32.shape[0], np.int64)
+    w16[0::2] = packed32 & 0xFFFF
+    w16[1::2] = (packed32.astype(np.int64) >> 16) & 0xFFFF
+    i = 0
+    while pos < h * w:
+        hdr = int(w16[i])
+        if (hdr >> 8) == 0xFF:
+            i += 3
+        else:
+            i += 1
+        pos += (hdr & 0xFF) + 1
+    n_words = i
+
+    ref = rle_decode_words(packed32, 0, n_words, table, h, w)
+    png = words_to_png_pal(packed32, 0, n_words, table, h, w, 6)
+    assert png is not None
+    import io
+
+    got = np.asarray(PIL.open(io.BytesIO(png)).convert("RGB"))
+    np.testing.assert_array_equal(got, ref)
+
+    # >256 distinct colors via literals: the palette path must decline.
+    many = [("lit", int(v)) for v in rng.choice(2**24, 400, replace=False)]
+    packed32b, _ = build_words(many)
+    pos = i = 0
+    w16 = np.empty(2 * packed32b.shape[0], np.int64)
+    w16[0::2] = packed32b & 0xFFFF
+    w16[1::2] = (packed32b.astype(np.int64) >> 16) & 0xFFFF
+    while pos < h * w:
+        hdr = int(w16[i])
+        if (hdr >> 8) == 0xFF:
+            i += 3
+        else:
+            i += 1
+        pos += (hdr & 0xFF) + 1
+    # 400 distinct literals over 64x64 at runs >= 1: may or may not
+    # overflow depending on how many runs fit; force single-pixel runs.
+    words = []
+    for p in range(h * w):
+        v = int(rng.integers(0, 2**24))
+        words.append((0xFF << 8) | 0)
+        words.append(v & 0xFFFF)
+        words.append((v >> 16) & 0xFF)
+    if len(words) % 2:
+        words.append(0)
+    w16 = np.asarray(words, np.int64)
+    packed32c = ((w16[0::2] & 0xFFFF) | (w16[1::2] << 16)).astype(np.int32)
+    assert words_to_png_pal(packed32c, 0, 3 * h * w, table, h, w, 6) is None
