@@ -230,12 +230,24 @@ def main():
 
         def encode(te, res):
             # Compressed readback: only the RLE wire crosses the tunnel.
-            rgb = srv.fetch_rgb_rle(res)
+            # Mirrors the server's encode (http.py _encode_sub): label-free
+            # tiles emit PNG-8 straight from the indexed wire; labeled
+            # tiles decode, composite (native), and RGB-encode.
+            view = srv.fetch_tile_view(res)
             for i, (ents, t) in enumerate(te):
-                img = rgb[i]
-                if labeler is not None:
-                    img = labeler.composite_labels(img, ents, t, 1.0, styler)
-                rgb_to_png(img, 1)
+                compact = (
+                    labeler.ensure_layer(ents, t, 1.0, styler, 256)
+                    if labeler is not None
+                    else None
+                )
+                png = view.png8(i, 1) if compact is None else None
+                if png is None:
+                    img = view.rgb(i)
+                    if compact is not None:
+                        img = labeler.composite_labels(
+                            img, ents, t, 1.0, styler
+                        )
+                    rgb_to_png(img, 1)
 
         inflight = None
         t0 = time.perf_counter()
@@ -360,14 +372,23 @@ def main():
             for _ in range(reps):
                 p = prod_dev.prepare([(None, t) for t in tiles], scale=1)
                 res = prod_dev.render_prepared_rle(p)
-                rgb = prod_dev.fetch_rgb_rle(res)
+                view = prod_dev.fetch_tile_view(res)
                 for i, (ents, t) in enumerate(prod_te):
-                    img = rgb[i]
-                    if with_labels:
-                        img = prod_labeler.composite_labels(
-                            img, None, t, 1.0, prod_styler
+                    compact = (
+                        prod_labeler.ensure_layer(
+                            None, t, 1.0, prod_styler, 256
                         )
-                    rgb_to_png(img, 1)
+                        if with_labels
+                        else None
+                    )
+                    png = view.png8(i, 1) if compact is None else None
+                    if png is None:
+                        img = view.rgb(i)
+                        if compact is not None:
+                            img = prod_labeler.composite_labels(
+                                img, None, t, 1.0, prod_styler
+                            )
+                        rgb_to_png(img, 1)
             return reps * n_tiles / (time.perf_counter() - t0)
 
         # Untimed throwaway reps of the EXACT loops being timed: the

@@ -206,6 +206,30 @@ class Labeler:
         with self._layer_lock:
             self._layer_cache.clear()
 
+    def ensure_layer(
+        self, entities, tile: Tile, scale: float, styler: Styler, ts: int
+    ):
+        """Build (or fetch from the LRU) the tile's compact committed
+        label layer.  Returns None when the tile carries no labels —
+        the serving path then skips compositing entirely (and may emit
+        the tile straight from the indexed wire as PNG-8)."""
+        key = (tile.zoom, tile.x, tile.y, ts)
+        compact = _MISS = object()
+        if self.label_cache_tiles:
+            with self._layer_lock:
+                compact = self._layer_cache.get(key, _MISS)
+                if compact is not _MISS:
+                    self._layer_cache.move_to_end(key)
+        if compact is _MISS:
+            layer = self._label_layer_atlas(entities, tile, scale, styler, ts)
+            compact = _compact_label_layer(layer)
+            if self.label_cache_tiles:
+                with self._layer_lock:
+                    self._layer_cache[key] = compact
+                    while len(self._layer_cache) > self.label_cache_tiles:
+                        self._layer_cache.popitem(last=False)
+        return compact
+
     def composite_labels(
         self, base_rgb: np.ndarray, entities, tile: Tile, scale: float, styler: Styler
     ) -> np.ndarray:
@@ -218,21 +242,7 @@ class Labeler:
         the exact per-glyph scanline path."""
         ts = base_rgb.shape[0]
         if self.use_atlas:
-            key = (tile.zoom, tile.x, tile.y, ts)
-            compact = _MISS = object()
-            if self.label_cache_tiles:
-                with self._layer_lock:
-                    compact = self._layer_cache.get(key, _MISS)
-                    if compact is not _MISS:
-                        self._layer_cache.move_to_end(key)
-            if compact is _MISS:
-                layer = self._label_layer_atlas(entities, tile, scale, styler, ts)
-                compact = _compact_label_layer(layer)
-                if self.label_cache_tiles:
-                    with self._layer_lock:
-                        self._layer_cache[key] = compact
-                        while len(self._layer_cache) > self.label_cache_tiles:
-                            self._layer_cache.popitem(last=False)
+            compact = self.ensure_layer(entities, tile, scale, styler, ts)
             # Most tiles carry no labels (or a small cluster): composite
             # only the non-zero-alpha bounding box, and skip entirely
             # when the layer is empty.

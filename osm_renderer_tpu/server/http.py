@@ -59,6 +59,25 @@ def extract_tile_from_path(path: str) -> Optional[Tuple[Tile, int]]:
     return Tile(z, x, y), scale
 
 
+class _ShardedTileView:
+    """Per-tile view over multiple per-chip RleTileViews (multi-device
+    groups): tile i lives at shard_views[remap[i][0]] slot remap[i][1]."""
+
+    def __init__(self, shard_views, remap, T: int, ts: int):
+        self._views = shard_views
+        self._remap = remap
+        self.T = T
+        self.ts = ts
+
+    def rgb(self, i: int):
+        v, j = self._remap[i]
+        return self._views[v].rgb(j)
+
+    def png8(self, i: int, level: int):
+        v, j = self._remap[i]
+        return self._views[v].png8(j, level)
+
+
 class TileService:
     """Shared immutable state + rendering dispatch."""
 
@@ -264,20 +283,24 @@ class TileService:
         return ("raw", out, needs_cpu, prep_dt, t0)
 
     def _collect_group_device(self, pending):
-        """Block on a dispatched sub-batch: (rgb, needs_cpu, prep_dt,
+        """Block on a dispatched sub-batch: (view, needs_cpu, prep_dt,
         exec_dt, d2h_dt).  Execution (dispatch -> ready) and readback
         (device -> host) are genuinely different resources (chip vs
-        interconnect), reported as distinct spans."""
+        interconnect), reported as distinct spans.  `view` is a
+        per-tile RleTileView: tiles decode lazily, and v2 tiles
+        without labels can skip RGB entirely (PNG-8 from the wire)."""
         import time as _time
+
+        from osm_renderer_tpu.parallel.renderer import RleTileView
 
         kind, res, needs_cpu, prep_dt, t0 = pending
         if kind == "rle":
             res.wire.block_until_ready()
             exec_dt = _time.perf_counter() - t0
             t1 = _time.perf_counter()
-            rgb = self.batch_renderer.fetch_rgb_rle(res)
+            view = self.batch_renderer.fetch_tile_view(res)
             d2h_dt = _time.perf_counter() - t1
-            return rgb, needs_cpu, prep_dt, exec_dt, d2h_dt
+            return view, needs_cpu, prep_dt, exec_dt, d2h_dt
 
         out = res
         out.block_until_ready()
@@ -285,7 +308,8 @@ class TileService:
         t1 = _time.perf_counter()
         rgb = np.asarray(out)
         d2h_dt = _time.perf_counter() - t1
-        return rgb, needs_cpu, prep_dt, exec_dt, d2h_dt
+        view = RleTileView(rgb.shape[0], rgb.shape[1], rgb=rgb)
+        return view, needs_cpu, prep_dt, exec_dt, d2h_dt
 
     def _dev_idx(self, tile: Tile) -> int:
         """Stable tile -> chip mapping: a tile always renders on the
@@ -329,13 +353,18 @@ class TileService:
         exec_dt = _time.perf_counter() - t0
         t0 = _time.perf_counter()
         ts = 256 * scale
-        rgb = np.empty((n_tiles, ts, ts, 3), dtype=np.uint8)
+        remap = {}
+        shard_views = []
         for r, idxs, res in results:
-            shard_rgb = r.fetch_rgb_rle(res)
+            view = r.fetch_tile_view(res)
+            shard_views.append(view)
             for j, i in enumerate(idxs):
-                rgb[i] = shard_rgb[j]
+                remap[i] = (len(shard_views) - 1, j)
         d2h_dt = _time.perf_counter() - t0
-        return rgb, needs_cpu, prep_dt, exec_dt, d2h_dt
+        return (
+            _ShardedTileView(shard_views, remap, n_tiles, ts),
+            needs_cpu, prep_dt, exec_dt, d2h_dt,
+        )
 
     def render_tiles_device(self, requests: List[Tuple[Tile, int]]) -> List[bytes]:
         """Batched device render; one dispatch per scale group.
@@ -438,7 +467,7 @@ class TileService:
 
     def _encode_sub(
         self, sub_group, sub_te, scale, out, ent_share,
-        rgb, needs_cpu, prep_dt, exec_dt, d2h_dt,
+        view, needs_cpu, prep_dt, exec_dt, d2h_dt,
     ) -> None:
         n = len(sub_group)
         for gi, ((i, t), (entities, _)) in enumerate(zip(sub_group, sub_te)):
@@ -455,7 +484,7 @@ class TileService:
                 perfstats.add_span("Device readback (batch share)", d2h_dt / n)
 
             with perfstats.measure("Compose and encode"):
-                if gi in needs_cpu or rgb is None:
+                if gi in needs_cpu or view is None:
                     if entities is None:
                         entities = self.reader.get_entities_in_tile_with_neighbors(
                             t, self.osm_ids
@@ -465,7 +494,7 @@ class TileService:
                     )
                     out[i] = rgb_to_png(img, self.png_level)
                 else:
-                    img = rgb[gi]
+                    compact = None
                     if self.labeler is not None:
                         if entities is None and not self.labeler.has_cached_layer(
                             t, 256 * scale
@@ -479,10 +508,25 @@ class TileService:
                                     t, self.osm_ids
                                 )
                             )
-                        img = self.labeler.composite_labels(
-                            img, entities, t, float(scale), self.styler
+                        compact = self.labeler.ensure_layer(
+                            entities, t, float(scale), self.styler,
+                            256 * scale,
                         )
-                    out[i] = rgb_to_png(img, self.png_level)
+                    png = None
+                    if compact is None:
+                        # No labels on this tile: emit PNG-8 straight
+                        # from the indexed wire — the wire's palette IS
+                        # a PLTE; the pixels never leave index form
+                        # (1/3 the encoder stream, smaller PNGs).
+                        png = view.png8(gi, self.png_level)
+                    if png is None:
+                        img = view.rgb(gi)
+                        if compact is not None:
+                            img = self.labeler.composite_labels(
+                                img, entities, t, float(scale), self.styler
+                            )
+                        png = rgb_to_png(img, self.png_level)
+                    out[i] = png
             self._png_cache_put(t, scale, out[i])
             with self._perf_lock:
                 perfstats.finish_tile(self.perf_stats)

@@ -237,10 +237,18 @@ def test_device_backend_cold_subbatch_pipeline(tmp_path, monkeypatch):
         assert d.max() <= 96, (t, d.max())
         assert (d > 8).mean() < 1e-3, t
 
-    # Warm repeat (chunk + label caches hit, pure arena path) is
-    # byte-identical batch-to-batch.
+    # Warm repeat (chunk + label caches hit, pure arena path): same
+    # PIXELS as the first pass — the container may legitimately switch
+    # from RGB to palette PNG-8 once the indexed wire kicks in (the
+    # first batch serves from the v1 wire while the palette is being
+    # learned) — and byte-identical once the format is steady.
     again = dev.render_tiles_device([(t, 1) for t in tiles])
-    assert again == pngs
+    for p_a, p_b in zip(pngs, again):
+        a = np.asarray(Image.open(_io.BytesIO(p_a)).convert("RGB"))
+        b = np.asarray(Image.open(_io.BytesIO(p_b)).convert("RGB"))
+        np.testing.assert_array_equal(a, b)
+    third = dev.render_tiles_device([(t, 1) for t in tiles])
+    assert third == again
 
 
 def test_png_cache(tmp_path):
