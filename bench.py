@@ -228,22 +228,23 @@ def main():
             else [tiles]
         )
 
-        def encode(te, res):
+        def encode(te, res, compacts, device_labeled):
             # Compressed readback: only the RLE wire crosses the tunnel.
-            # Mirrors the server's encode (http.py _encode_sub): label-free
-            # tiles emit PNG-8 straight from the indexed wire; labeled
-            # tiles decode, composite (native), and RGB-encode.
+            # Mirrors the server's encode (http.py _encode_sub):
+            # label-free AND device-labeled tiles emit PNG-8 straight
+            # from the indexed wire (labels were blitted on device);
+            # host-composite only when the device path couldn't.
             view = srv.fetch_tile_view(res)
             for i, (ents, t) in enumerate(te):
-                compact = (
-                    labeler.ensure_layer(ents, t, 1.0, styler, 256)
-                    if labeler is not None
+                compact = compacts[i] if compacts is not None else None
+                png = (
+                    view.png8(i, 1)
+                    if compact is None or i in device_labeled
                     else None
                 )
-                png = view.png8(i, 1) if compact is None else None
                 if png is None:
                     img = view.rgb(i)
-                    if compact is not None:
+                    if compact is not None and i not in device_labeled:
                         img = labeler.composite_labels(
                             img, ents, t, 1.0, styler
                         )
@@ -266,7 +267,15 @@ def main():
                     )
                     for t in g
                 ]
-                p = srv.prepare(te, scale=1)
+                compacts = (
+                    [
+                        labeler.ensure_layer(ents, t, 1.0, styler, 256)
+                        for ents, t in te
+                    ]
+                    if labeler is not None
+                    else None
+                )
+                p = srv.prepare(te, scale=1, label_layers=compacts)
                 r = srv.render_prepared_rle(p)  # async dispatch
                 try:
                     r.wire.copy_to_host_async()
@@ -274,7 +283,7 @@ def main():
                     pass
                 if inflight is not None:
                     encode(*inflight)
-                inflight = (te, r)
+                inflight = (te, r, compacts, set(p.device_labeled))
         encode(*inflight)
         dt = time.perf_counter() - t0
         return n_batches * n_tiles / dt
@@ -370,21 +379,30 @@ def main():
         def prod_loop(with_labels: bool, reps: int = reps_p) -> float:
             t0 = time.perf_counter()
             for _ in range(reps):
-                p = prod_dev.prepare([(None, t) for t in tiles], scale=1)
+                compacts = (
+                    [
+                        prod_labeler.ensure_layer(None, t, 1.0, prod_styler, 256)
+                        for t in tiles
+                    ]
+                    if with_labels
+                    else None
+                )
+                p = prod_dev.prepare(
+                    [(None, t) for t in tiles], scale=1, label_layers=compacts
+                )
                 res = prod_dev.render_prepared_rle(p)
                 view = prod_dev.fetch_tile_view(res)
+                dl = set(p.device_labeled)
                 for i, (ents, t) in enumerate(prod_te):
-                    compact = (
-                        prod_labeler.ensure_layer(
-                            None, t, 1.0, prod_styler, 256
-                        )
-                        if with_labels
+                    compact = compacts[i] if compacts is not None else None
+                    png = (
+                        view.png8(i, 1)
+                        if compact is None or i in dl
                         else None
                     )
-                    png = view.png8(i, 1) if compact is None else None
                     if png is None:
                         img = view.rgb(i)
-                        if compact is not None:
+                        if compact is not None and i not in dl:
                             img = prod_labeler.composite_labels(
                                 img, None, t, 1.0, prod_styler
                             )

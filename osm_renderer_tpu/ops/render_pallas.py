@@ -2483,6 +2483,60 @@ def render_arena_planar(
     )
 
 
+@functools.lru_cache(maxsize=128)
+def _arena_render_label_jit(ts: int, T: int, IT: int, interpret: bool):
+    """Arena render + fused device label blit: the combined upload is
+    pack_small_arena's buffer with the (T, ts) slab-row map appended
+    (still ONE h2d transfer per warm batch), and the committed label
+    layers blend over the planar u8 output inside the same jit — warm
+    labeled serving does no host compositing (reference bar: labels are
+    a minor fraction of tile time, drawer.rs:107-125)."""
+    from osm_renderer_tpu.parallel.label_slab import blit_planar
+
+    kernel = make_render_kernel(ts)
+
+    def run(combined, geomA, travA, sprofA, auxA, itemsA,
+            prof_rows, prof_total, patterns, canvas_rgb, label_plane):
+        n_packed = combined.shape[0] - T * ts
+        packed = combined[:n_packed].reshape(N_SMALL, -1)
+        lrow = combined[n_packed:].reshape(T, ts)
+        bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
+        idx = packed[15]
+        color = jnp.stack([bc(packed[10]), bc(packed[11]), bc(packed[12])], axis=1)
+        b = PallasBatch(
+            geom=geomA[idx],
+            traveled=travA[idx],
+            seg_prof=sprofA[idx],
+            seg_aux=auxA[idx],
+            tile_id=packed[0], first=packed[1], kind=packed[2],
+            cnt=packed[3], last=packed[4], y0=packed[5], nb=packed[6],
+            prim_y0=packed[7], prim_nb=packed[8],
+            color=color, opacity=bc(packed[13]), hw=bc(packed[14]),
+            profiles=prof_rows, profile_total=prof_total,
+            pat=packed[9], patterns=patterns,
+            items=itemsA[idx, :, :IT],
+            isec=packed[16:].T,
+        )
+        out = _render_body(kernel, b, canvas_rgb, ts, T, interpret)
+        return blit_planar(out, label_plane, lrow)
+
+    return jax.jit(run)
+
+
+def render_arena_planar_labeled(
+    combined: np.ndarray, arena, prof_rows, prof_total, patterns,
+    canvas_rgb, ts: int, n_tiles: int, IT: int, label_plane,
+    interpret: bool = False,
+):
+    """render_arena_planar + device label blit; `combined` is the
+    packed buffer with the slab-row map appended (one upload)."""
+    return _arena_render_label_jit(ts, int(n_tiles), int(IT), bool(interpret))(
+        jnp.asarray(combined), arena.geom, arena.trav, arena.sprof,
+        arena.aux, arena.items, prof_rows, prof_total, patterns,
+        canvas_rgb, label_plane,
+    )
+
+
 
 
 def _render_body(kernel, b, canvas_rgb, ts: int, T: int, interpret: bool):

@@ -60,6 +60,12 @@ class PreparedBatch(NamedTuple):
     arena_packed: object = None        # (N_SMALL, C) i32 np buffer
     arena_it: int = 0                  # bucketed item width
     arena_ctx: object = None           # (arena, prof_dev, tot_dev, pat_dev)
+    # Device label blit (parallel/label_slab.py): slab-row map appended
+    # to the packed upload; labeled tiles come back with their committed
+    # label layers already composited on device.
+    label_rows: object = None          # (T, ts) i32 np buffer or None
+    label_ctx: object = None           # (slab, slab.generation)
+    device_labeled: tuple = ()         # tile indices blitted on device
 
 
 class BatchRenderer:
@@ -141,6 +147,9 @@ class BatchRenderer:
             from osm_renderer_tpu.parallel.arena import ChunkArena
 
             self.chunk_arena = ChunkArena(device=device)
+        # Device label slabs (parallel/label_slab.py), one per tile
+        # size; populated lazily when prepare() receives label layers.
+        self._label_slabs: dict = {}
         self.icon_cache = None
         if stylesheet_dir is not None:
             from osm_renderer_tpu.draw.labels.icons import IconCache
@@ -157,10 +166,16 @@ class BatchRenderer:
             _na.get_native()
 
     def prepare(
-        self, tiles_entities: Sequence[Tuple[object, Tile]], scale: int = 1
+        self, tiles_entities: Sequence[Tuple[object, Tile]], scale: int = 1,
+        label_layers: Optional[Sequence] = None,
     ) -> PreparedBatch:
+        """label_layers: optional per-tile compact committed label
+        layers (labeler.ensure_layer results, None = unlabeled).  On
+        the arena path labeled tiles are composited ON DEVICE (see
+        PreparedBatch.device_labeled); elsewhere the hint is ignored
+        and callers keep the host composite."""
         if self.backend == "pallas":
-            return self._prepare_pallas(tiles_entities, scale)
+            return self._prepare_pallas(tiles_entities, scale, label_layers)
         dtype = np.float32 if self.precision == "fast" else np.float64
         profiles = prim_mod.ProfileTable()
         patterns = prim_mod.PatternTable(self.icon_cache, 256 * scale)
@@ -257,6 +272,8 @@ class BatchRenderer:
             self._profiles_dev.clear()
             if self.chunk_arena is not None:
                 self.chunk_arena.clear()
+            for slab in self._label_slabs.values():
+                slab.clear()
 
     # Host-rasterized layers (out-of-bound prims) accumulate in a
     # persistent pattern table as their tiles churn through the cache;
@@ -267,7 +284,9 @@ class BatchRenderer:
     # many chunks (compile fails around ~10k on v5e).
     MAX_BATCH_CHUNKS = 8192
 
-    def _prepare_pallas(self, tiles_entities, scale: int) -> PreparedBatch:
+    def _prepare_pallas(
+        self, tiles_entities, scale: int, label_layers=None
+    ) -> PreparedBatch:
         from osm_renderer_tpu.ops import render_pallas as RP
 
         ts_px = 256 * scale
@@ -361,7 +380,7 @@ class BatchRenderer:
             try:
                 return self._finalize_arena(
                     tile_chunks, tile_keys, profiles, patterns, ts_px,
-                    n_tiles, fallback, scale,
+                    n_tiles, fallback, scale, label_layers,
                 )
             except MemoryError:
                 # Arena exhausted: rebuild lazily; this batch takes the
@@ -391,17 +410,43 @@ class BatchRenderer:
 
     def _finalize_arena(
         self, tile_chunks, tile_keys, profiles, patterns, ts_px,
-        n_tiles, fallback, scale,
+        n_tiles, fallback, scale, label_layers=None,
     ) -> PreparedBatch:
         """Arena-path batch finalize: insert fresh tiles' big chunk
         fields into the device arena (one upload), pack the per-chunk
-        scalars + gather rows into the small host buffer."""
+        scalars + gather rows into the small host buffer.  Labeled
+        tiles additionally get their committed label layers staged in
+        the device label slab and a slab-row map appended to the packed
+        upload (the render jit blits them — no host compositing)."""
         from osm_renderer_tpu.ops import render_pallas as RP
 
         arena = self.chunk_arena
         arena.insert(list(zip(tile_keys, tile_chunks)))
         offsets = [arena.offset(k) for k in tile_keys]
         packed, it_width = RP.pack_small_arena(tile_chunks, offsets)
+
+        label_rows = label_ctx = None
+        device_labeled: tuple = ()
+        if label_layers is not None and any(
+            c is not None for c in label_layers
+        ):
+            labeled = [
+                (ti, tile_keys[ti], compact)
+                for ti, compact in enumerate(label_layers)
+                if compact is not None and ti not in fallback
+            ]
+            if labeled:
+                slab = self._label_slab(ts_px)
+                try:
+                    slab.insert([(k, c) for _, k, c in labeled])
+                except MemoryError:
+                    slab.clear()
+                    slab.insert([(k, c) for _, k, c in labeled])
+                label_rows = slab.lrow(
+                    n_tiles, [(ti, k) for ti, k, _ in labeled]
+                )
+                label_ctx = (slab, slab.generation)
+                device_labeled = tuple(ti for ti, _, _ in labeled)
 
         ver = len(profiles.rows)
         got = self._profiles_dev.get(scale)
@@ -425,7 +470,19 @@ class BatchRenderer:
             None, self._canvas(np.float32), ts_px, n_tiles, "pallas",
             tuple(fallback), arena_packed=packed, arena_it=it_width,
             arena_ctx=(arena, prof_dev, tot_dev, gp[1], arena.generation),
+            label_rows=label_rows, label_ctx=label_ctx,
+            device_labeled=device_labeled,
         )
+
+    def _label_slab(self, ts_px: int):
+        got = self._label_slabs.get(ts_px)
+        if got is None:
+            from osm_renderer_tpu.parallel.label_slab import LabelSlab
+
+            got = self._label_slabs[ts_px] = LabelSlab(
+                ts_px, device=self.device
+            )
+        return got
 
     def _shard_pallas(self, pb):
         # Chunk streams interleave tiles, so dp-sharding the pallas batch
@@ -476,7 +533,10 @@ class BatchRenderer:
         interleave (the kernel's native output layout)."""
         assert prepared.precision == "pallas"
         if prepared.arena_packed is not None:
-            from osm_renderer_tpu.ops.render_pallas import render_arena_planar
+            from osm_renderer_tpu.ops.render_pallas import (
+                render_arena_planar,
+                render_arena_planar_labeled,
+            )
 
             arena, prof_dev, tot_dev, pat_dev, gen = prepared.arena_ctx
             if gen != arena.generation:
@@ -484,6 +544,24 @@ class BatchRenderer:
                 # reset); offsets are stale.  ValueError routes the server
                 # to its per-batch CPU fallback; bench/tests re-prepare.
                 raise ValueError("chunk arena reset between prepare and render")
+            if prepared.label_rows is not None:
+                slab, sgen = prepared.label_ctx
+                if sgen != slab.generation:
+                    raise ValueError(
+                        "label slab reset between prepare and render"
+                    )
+                combined = np.concatenate(
+                    [
+                        prepared.arena_packed.reshape(-1),
+                        prepared.label_rows.reshape(-1),
+                    ]
+                )
+                return render_arena_planar_labeled(
+                    self._dev(combined), arena, prof_dev, tot_dev,
+                    pat_dev, prepared.canvas_rgb, prepared.ts,
+                    prepared.chunk, prepared.arena_it, slab.plane,
+                    self.interpret,
+                )
             # Committed upload: device-pinned renderers send the packed
             # buffer straight to their chip (everything else in the call
             # is already arena-resident there).

@@ -257,16 +257,26 @@ class TileService:
             perfstats.finish_tile(self.perf_stats)
         return png
 
-    def _dispatch_group_device(self, tiles_entities, scale: int, t_prep0: float):
+    def _dispatch_group_device(
+        self, tiles_entities, scale: int, t_prep0: float, compacts=None
+    ):
         """Single-device: prepare + async render dispatch, WITHOUT
         waiting for the device or the readback — callers can assemble
         the next sub-batch while this one renders and transfers
-        (`render_tiles_device` streams cold groups this way)."""
+        (`render_tiles_device` streams cold groups this way).
+
+        `compacts`: per-tile committed label layers — on the arena
+        path labeled tiles composite ON DEVICE (the render jit blits
+        the label slab; parallel/label_slab.py) and come back with
+        labels baked in."""
         import time as _time
 
-        prepared = self.batch_renderer.prepare(tiles_entities, scale)
+        prepared = self.batch_renderer.prepare(
+            tiles_entities, scale, label_layers=compacts
+        )
         prep_dt = _time.perf_counter() - t_prep0
         needs_cpu = set(getattr(prepared, "cpu_fallback_tiles", ()))
+        device_labeled = set(getattr(prepared, "device_labeled", ()))
         if prepared.precision == "pallas":
             # Compressed readback: the d2h link is the serving
             # bottleneck on tunnel-attached hosts, so tiles cross it
@@ -277,30 +287,31 @@ class TileService:
                 res.wire.copy_to_host_async()
             except Exception:
                 pass
-            return ("rle", res, needs_cpu, prep_dt, t0)
+            return ("rle", res, needs_cpu, prep_dt, t0, device_labeled)
         t0 = _time.perf_counter()
         out = self.batch_renderer.render_prepared(prepared)
-        return ("raw", out, needs_cpu, prep_dt, t0)
+        return ("raw", out, needs_cpu, prep_dt, t0, device_labeled)
 
     def _collect_group_device(self, pending):
         """Block on a dispatched sub-batch: (view, needs_cpu, prep_dt,
-        exec_dt, d2h_dt).  Execution (dispatch -> ready) and readback
-        (device -> host) are genuinely different resources (chip vs
-        interconnect), reported as distinct spans.  `view` is a
-        per-tile RleTileView: tiles decode lazily, and v2 tiles
-        without labels can skip RGB entirely (PNG-8 from the wire)."""
+        exec_dt, d2h_dt, device_labeled).  Execution (dispatch ->
+        ready) and readback (device -> host) are genuinely different
+        resources (chip vs interconnect), reported as distinct spans.
+        `view` is a per-tile RleTileView: tiles decode lazily, and v2
+        tiles without labels can skip RGB entirely (PNG-8 from the
+        wire)."""
         import time as _time
 
         from osm_renderer_tpu.parallel.renderer import RleTileView
 
-        kind, res, needs_cpu, prep_dt, t0 = pending
+        kind, res, needs_cpu, prep_dt, t0, device_labeled = pending
         if kind == "rle":
             res.wire.block_until_ready()
             exec_dt = _time.perf_counter() - t0
             t1 = _time.perf_counter()
             view = self.batch_renderer.fetch_tile_view(res)
             d2h_dt = _time.perf_counter() - t1
-            return view, needs_cpu, prep_dt, exec_dt, d2h_dt
+            return view, needs_cpu, prep_dt, exec_dt, d2h_dt, device_labeled
 
         out = res
         out.block_until_ready()
@@ -309,7 +320,7 @@ class TileService:
         rgb = np.asarray(out)
         d2h_dt = _time.perf_counter() - t1
         view = RleTileView(rgb.shape[0], rgb.shape[1], rgb=rgb)
-        return view, needs_cpu, prep_dt, exec_dt, d2h_dt
+        return view, needs_cpu, prep_dt, exec_dt, d2h_dt, device_labeled
 
     def _dev_idx(self, tile: Tile) -> int:
         """Stable tile -> chip mapping: a tile always renders on the
@@ -321,7 +332,9 @@ class TileService:
             return 0
         return ((tile.x * 0x9E3779B1) ^ (tile.y * 0x85EBCA77) ^ tile.zoom) % n
 
-    def _render_group_multi(self, tiles_entities, scale: int, t_prep0: float):
+    def _render_group_multi(
+        self, tiles_entities, scale: int, t_prep0: float, compacts=None
+    ):
         """Multi-accelerator split: each chip runs the FULL single-chip
         serving program — its own BatchRenderer with a device-pinned
         chunk arena and the RLE readback — over its stable tile shard
@@ -338,11 +351,20 @@ class TileService:
         for i, (_, t) in enumerate(tiles_entities):
             by_dev.setdefault(self._dev_idx(t), []).append(i)
         needs_cpu: set = set()
+        device_labeled: set = set()
         staged = []
         for d, idxs in by_dev.items():
             r = self.batch_renderers[d]
-            prep = r.prepare([tiles_entities[i] for i in idxs], scale)
+            prep = r.prepare(
+                [tiles_entities[i] for i in idxs], scale,
+                label_layers=(
+                    [compacts[i] for i in idxs] if compacts is not None else None
+                ),
+            )
             needs_cpu.update(idxs[f] for f in getattr(prep, "cpu_fallback_tiles", ()))
+            device_labeled.update(
+                idxs[f] for f in getattr(prep, "device_labeled", ())
+            )
             staged.append((r, idxs, prep))
         prep_dt = _time.perf_counter() - t_prep0
         results = [
@@ -363,7 +385,7 @@ class TileService:
         d2h_dt = _time.perf_counter() - t0
         return (
             _ShardedTileView(shard_views, remap, n_tiles, ts),
-            needs_cpu, prep_dt, exec_dt, d2h_dt,
+            needs_cpu, prep_dt, exec_dt, d2h_dt, device_labeled,
         )
 
     def render_tiles_device(self, requests: List[Tuple[Tile, int]]) -> List[bytes]:
@@ -404,6 +426,29 @@ class TileService:
                 )
                 for _, t in group
             ]
+            # Committed label layers, decided per tile BEFORE dispatch:
+            # the device path composites them on-chip (label slab), so
+            # the encode stage needs only the labeled/unlabeled verdict.
+            compacts = None
+            if self.labeler is not None and self.batch_renderer is not None:
+                compacts = []
+                for gi, (entities, t) in enumerate(tiles_entities):
+                    if entities is None and not self.labeler.has_cached_layer(
+                        t, 256 * scale
+                    ):
+                        # Evicted between the _need_entities check and
+                        # now (earlier tiles of this batch inserted
+                        # layers); re-fetch rather than crash.
+                        entities = self.reader.get_entities_in_tile_with_neighbors(
+                            t, self.osm_ids
+                        )
+                        tiles_entities[gi] = (entities, t)
+                    compacts.append(
+                        self.labeler.ensure_layer(
+                            entities, t, float(scale), self.styler,
+                            256 * scale,
+                        )
+                    )
             ent_dt = _time.perf_counter() - t0
             n = len(group)
             # Cold-heavy groups stream in sub-batches: host assembly of
@@ -427,19 +472,22 @@ class TileService:
                 pending = None
                 if sl is not None:
                     t0 = _time.perf_counter()
+                    sub_compacts = compacts[sl] if compacts is not None else None
                     try:
                         if single_dev:
                             pending = (
                                 "dispatched",
                                 self._dispatch_group_device(
-                                    tiles_entities[sl], scale, t0
+                                    tiles_entities[sl], scale, t0,
+                                    sub_compacts,
                                 ),
                             )
                         else:
                             pending = (
                                 "done",
                                 self._render_group_multi(
-                                    tiles_entities[sl], scale, t0
+                                    tiles_entities[sl], scale, t0,
+                                    sub_compacts,
                                 ),
                             )
                     except ValueError:
@@ -457,17 +505,20 @@ class TileService:
                             pp[1],
                             None,
                             None,
+                            set(),
                         )
                     self._encode_sub(
                         group[psl], tiles_entities[psl], scale, out,
-                        ent_dt / n, *res,
+                        ent_dt / n,
+                        compacts[psl] if compacts is not None else None,
+                        *res,
                     )
                 inflight = (sl, pending) if sl is not None else None
         return [out[i] for i in range(len(requests))]
 
     def _encode_sub(
-        self, sub_group, sub_te, scale, out, ent_share,
-        view, needs_cpu, prep_dt, exec_dt, d2h_dt,
+        self, sub_group, sub_te, scale, out, ent_share, sub_compacts,
+        view, needs_cpu, prep_dt, exec_dt, d2h_dt, device_labeled,
     ) -> None:
         n = len(sub_group)
         for gi, ((i, t), (entities, _)) in enumerate(zip(sub_group, sub_te)):
@@ -494,34 +545,23 @@ class TileService:
                     )
                     out[i] = rgb_to_png(img, self.png_level)
                 else:
-                    compact = None
-                    if self.labeler is not None:
-                        if entities is None and not self.labeler.has_cached_layer(
-                            t, 256 * scale
-                        ):
-                            # The layer was evicted between the
-                            # _need_entities check and now (earlier
-                            # tiles of this batch inserted layers);
-                            # re-fetch rather than crash.
-                            entities = (
-                                self.reader.get_entities_in_tile_with_neighbors(
-                                    t, self.osm_ids
-                                )
-                            )
-                        compact = self.labeler.ensure_layer(
-                            entities, t, float(scale), self.styler,
-                            256 * scale,
-                        )
+                    compact = (
+                        sub_compacts[gi] if sub_compacts is not None else None
+                    )
                     png = None
-                    if compact is None:
-                        # No labels on this tile: emit PNG-8 straight
-                        # from the indexed wire — the wire's palette IS
-                        # a PLTE; the pixels never leave index form
-                        # (1/3 the encoder stream, smaller PNGs).
+                    if compact is None or gi in device_labeled:
+                        # Unlabeled tiles — and device-labeled ones,
+                        # whose labels the render jit already blitted —
+                        # emit PNG-8 straight from the indexed wire
+                        # when the tile's colors fit the (literal-
+                        # extended) palette; the wire's palette IS a
+                        # PLTE (1/3 the encoder stream, smaller PNGs).
                         png = view.png8(gi, self.png_level)
                     if png is None:
                         img = view.rgb(gi)
-                        if compact is not None:
+                        if compact is not None and gi not in device_labeled:
+                            # Host composite: non-arena batches (no
+                            # label slab) keep the round-4 path.
                             img = self.labeler.composite_labels(
                                 img, entities, t, float(scale), self.styler
                             )
