@@ -490,14 +490,27 @@ class TileService:
                                     sub_compacts,
                                 ),
                             )
-                    except ValueError:
-                        pending = ("err", _time.perf_counter() - t0)
+                    except ValueError as e:
+                        pending = ("err", _time.perf_counter() - t0, str(e))
                 if inflight is not None:
                     psl, pp = inflight
                     if pp[0] == "dispatched":
                         res = self._collect_group_device(pp[1])
                     elif pp[0] == "done":
                         res = pp[1]
+                    elif single_dev and "MAX_BATCH_CHUNKS" in pp[2]:
+                        # Chunk-dense sub-batch overflowed the kernel's
+                        # SMEM scalar-prefetch bound: halve and retry on
+                        # the device (the failed prepare already filled
+                        # the chunk cache, so the halves concat warm)
+                        # instead of falling back to per-tile CPU.
+                        self._encode_split_sub(
+                            group[psl], tiles_entities[psl], scale, out,
+                            ent_dt / n,
+                            compacts[psl] if compacts is not None else None,
+                        )
+                        inflight = (sl, pending) if sl is not None else None
+                        continue
                     else:
                         res = (
                             None,
@@ -515,6 +528,44 @@ class TileService:
                     )
                 inflight = (sl, pending) if sl is not None else None
         return [out[i] for i in range(len(requests))]
+
+    def _encode_split_sub(
+        self, sub_group, sub_te, scale, out, ent_share, sub_compacts
+    ) -> None:
+        """Render a chunk-dense sub-batch by recursive halving: each
+        half dispatches + collects + encodes synchronously, halving
+        again if it still exceeds MAX_BATCH_CHUNKS.  A single tile that
+        alone overflows the bound (not observed in practice; it would
+        need ~8k distinct primitives in one tile) falls back to the
+        CPU oracle, preserving output."""
+        import time as _time
+
+        n = len(sub_group)
+        if n == 1:
+            self._encode_sub(
+                sub_group, sub_te, scale, out, ent_share, sub_compacts,
+                None, {0}, 0.0, None, None, set(),
+            )
+            return
+        mid = n // 2
+        for sl in (slice(0, mid), slice(mid, n)):
+            sc = sub_compacts[sl] if sub_compacts is not None else None
+            t0 = _time.perf_counter()
+            try:
+                pending = self._dispatch_group_device(
+                    sub_te[sl], scale, t0, sc
+                )
+                res = self._collect_group_device(pending)
+            except ValueError as e:
+                if "MAX_BATCH_CHUNKS" not in str(e):
+                    raise
+                self._encode_split_sub(
+                    sub_group[sl], sub_te[sl], scale, out, ent_share, sc
+                )
+                continue
+            self._encode_sub(
+                sub_group[sl], sub_te[sl], scale, out, ent_share, sc, *res
+            )
 
     def _encode_sub(
         self, sub_group, sub_te, scale, out, ent_share, sub_compacts,

@@ -341,3 +341,71 @@ def test_mixed_zoom_requests_fold_into_one_dispatch(tmp_path):
         a = np.asarray(Image.open(_io.BytesIO(p_m)).convert("RGB"))
         b = np.asarray(Image.open(_io.BytesIO(p_s)).convert("RGB"))
         np.testing.assert_array_equal(a, b, err_msg=str(t))
+
+
+def test_chunk_dense_group_splits_on_device(tmp_path):
+    """A warm group whose total chunk count exceeds the kernel's SMEM
+    scalar-prefetch bound (MAX_BATCH_CHUNKS) must split into smaller
+    device dispatches — NOT silently fall back to per-tile CPU
+    rendering (tent lanes inflated per-tile chunk counts enough that a
+    ~370-tile warm z17 group really overflows).  Output must be
+    byte-equal to serving each tile alone."""
+    from tests.fixtures import MINI_OSM
+    from osm_renderer_tpu.geodata.importer import import_osm
+    from osm_renderer_tpu.parallel.renderer import BatchRenderer
+
+    osm_path = os.path.join(str(tmp_path), "mini.osm")
+    with open(osm_path, "w") as f:
+        f.write(MINI_OSM)
+    bin_path = os.path.join(str(tmp_path), "mini.bin")
+    import_osm(osm_path, bin_path)
+
+    styler = Styler(parse_file(STYLESHEET_DIR, "default.mapcss"), "josm")
+    dev = TileService(
+        bin_path, styler, STYLESHEET_DIR, backend="device", png_cache_tiles=0
+    )
+    dev.devices = dev.devices[:1]
+    dev.batch_renderer = BatchRenderer(
+        styler, backend="pallas", interpret=True,
+        stylesheet_dir=STYLESHEET_DIR, tile_bucket=True,
+        chunk_cache_tiles=512, arena=True,
+    )
+
+    t18 = coords_to_max_zoom_tile(47.1412, 9.5215)
+    base = Tile(16, t18.x >> 2, t18.y >> 2)
+    tiles = [
+        Tile(16, base.x + dx, base.y + dy) for dy in range(2) for dx in range(3)
+    ]
+    solo = [dev.render_tiles_device([(t, 1)])[0] for t in tiles]
+
+    # Find the real per-tile chunk counts, then set the bound so the
+    # 6-tile group must split at least once but each tile still fits.
+    counts = [
+        dev.batch_renderer._chunk_cache[(t.zoom, t.x, t.y, 1)][0].kind.shape[0]
+        for t in tiles
+    ]
+    dev.batch_renderer.MAX_BATCH_CHUNKS = max(counts) * 2 + 8
+
+    splits = []
+    orig = TileService._encode_split_sub
+
+    def spy(self, *a, **kw):
+        splits.append(len(a[0]))
+        return orig(self, *a, **kw)
+
+    TileService._encode_split_sub = spy
+    try:
+        grouped = dev.render_tiles_device([(t, 1) for t in tiles])
+    finally:
+        TileService._encode_split_sub = orig
+
+    assert splits, "oversized group never took the split path"
+    # Container may legitimately differ (PNG-8 vs RGB: the palette is
+    # per-batch); served PIXELS must match the solo renders exactly.
+    from PIL import Image
+    import io as _io
+
+    for t, p_g, p_s in zip(tiles, grouped, solo):
+        a = np.asarray(Image.open(_io.BytesIO(p_g)).convert("RGB"))
+        b = np.asarray(Image.open(_io.BytesIO(p_s)).convert("RGB"))
+        np.testing.assert_array_equal(a, b, err_msg=str(t))
