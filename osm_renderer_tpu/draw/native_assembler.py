@@ -166,26 +166,40 @@ def assemble_tile_chunks_native(
     if lib is None:
         return None
 
-    styled = styler.style_areas(
-        entities.ways, entities.multipolygons, tile.zoom, False
-    )
+    # Measure points mirror the reference's drawer.rs:51-123 spans; the
+    # contextmanager is a no-op unless a perfstats tile run is active
+    # (tools/cold_profile.py, /perf_stats).
+    from osm_renderer_tpu.perfstats.spans import measure
+
+    with measure("Style areas"):
+        styled = styler.style_areas(
+            entities.ways, entities.multipolygons, tile.zoom, False
+        )
 
     # Project every referenced node once (same as assemble_tile_prims).
-    id_arrays = [w.node_ids for w in entities.ways]
-    for mp in entities.multipolygons:
-        for pi in range(mp.polygon_count()):
-            id_arrays.append(mp.get_polygon(pi).node_ids)
-    if id_arrays:
-        all_ids = np.unique(np.concatenate(id_arrays))
-        lats, lons = (
-            entities.ways[0].reader.node_coords(all_ids)
-            if entities.ways
-            else entities.multipolygons[0].reader.node_coords(all_ids)
-        )
-        all_pts = project_points(lats, lons, tile, scale)
-    else:
-        all_ids = np.zeros(0, dtype=np.int64)
-        all_pts = np.zeros((0, 2), dtype=np.int64)
+    with measure("Project nodes"):
+        id_arrays = [w.node_ids for w in entities.ways]
+        for mp in entities.multipolygons:
+            for pi in range(mp.polygon_count()):
+                id_arrays.append(mp.get_polygon(pi).node_ids)
+        if id_arrays:
+            all_ids = np.unique(np.concatenate(id_arrays))
+            lats, lons = (
+                entities.ways[0].reader.node_coords(all_ids)
+                if entities.ways
+                else entities.multipolygons[0].reader.node_coords(all_ids)
+            )
+            all_pts = project_points(lats, lons, tile, scale)
+        else:
+            all_ids = np.zeros(0, dtype=np.int64)
+            all_pts = np.zeros((0, 2), dtype=np.int64)
+
+    # "Build requests" covers the styled-row walk through request-array
+    # packing; an ExitStack keeps the ~150-line block un-reindented.
+    from contextlib import ExitStack
+
+    _req_span = ExitStack()
+    _req_span.enter_context(measure("Build requests"))
 
     rq = _Requests()
     refs_parts = []
@@ -243,6 +257,7 @@ def assemble_tile_chunks_native(
         )
 
     _ICON_SKIP = "icon-skip"  # icon fill with no pattern table: CPU fallback
+    _ICON_NONE = "icon-none"  # unloadable icon: the reference draws nothing
 
     def fill_meta(style):
         op = style.fill_opacity if style.fill_opacity is not None else 1.0
@@ -265,38 +280,50 @@ def assemble_tile_chunks_native(
     fill_rows: list = []
     casing_rows: list = []
     stroke_rows: list = []
-    _MISS = object()
+    # Per-style dispatch memo: one dict hit replaces five attribute
+    # loads + None tests per styled row (the row loop is the cold
+    # path's hottest Python — tools/cold_profile.py).
+    flags_memo: dict = {}
+    ring_get = ring_cache.get
     for entity, style in styled:
         sid = id(style)
-        if style.fill_color is not None or style.fill_image is not None:
-            fm = fill_memo.get(sid, _MISS)
-            if fm is _MISS:
+        fl = flags_memo.get(sid)
+        if fl is None:
+            fl = flags_memo[sid] = (
+                style.fill_color is not None or style.fill_image is not None,
+                style.casing_color is not None
+                and style.casing_width is not None,
+                style.color is not None,
+            )
+        want_fill, has_c, has_s = fl
+        if want_fill:
+            fm = fill_memo.get(sid)
+            if fm is None:
                 fm = fill_memo[sid] = fill_meta(style)
+                if fm is None:
+                    fm = fill_memo[sid] = _ICON_NONE
             if fm is _ICON_SKIP:
                 has_icon_fills = True
-            elif fm is not None:
-                fill_rows.append((fm, add_rings(entity), entity))
-        if type(entity) is Way:
-            has_c = (
-                style.casing_color is not None and style.casing_width is not None
-            )
-            has_s = style.color is not None
-            if has_c or has_s:
-                rings = add_rings(entity)
-                # Profile-table indices must be assigned in the Python
-                # pipeline's pass order (every casing profile before any
-                # stroke profile), so the memo cells here are resolved
-                # in a deferred pass below, in first-encounter order.
-                if has_c:
-                    cm = casing_memo.get(sid)
-                    if cm is None:
-                        cm = casing_memo[sid] = [None, style]
-                    casing_rows.append((cm, rings, entity))
-                if has_s:
-                    sm = stroke_memo.get(sid)
-                    if sm is None:
-                        sm = stroke_memo[sid] = [None, style]
-                    stroke_rows.append((sm, rings, entity))
+            elif fm is not _ICON_NONE:
+                fill_rows.append(
+                    (fm, ring_get(id(entity)) or add_rings(entity), entity)
+                )
+        if (has_c or has_s) and type(entity) is Way:
+            rings = ring_get(id(entity)) or add_rings(entity)
+            # Profile-table indices must be assigned in the Python
+            # pipeline's pass order (every casing profile before any
+            # stroke profile), so the memo cells here are resolved
+            # in a deferred pass below, in first-encounter order.
+            if has_c:
+                cm = casing_memo.get(sid)
+                if cm is None:
+                    cm = casing_memo[sid] = [None, style]
+                casing_rows.append((cm, rings, entity))
+            if has_s:
+                sm = stroke_memo.get(sid)
+                if sm is None:
+                    sm = stroke_memo[sid] = [None, style]
+                stroke_rows.append((sm, rings, entity))
 
     for cell in casing_memo.values():
         st = cell[1]
@@ -346,8 +373,12 @@ def assemble_tile_chunks_native(
     req_rings = np.asarray(rq.req_rings, np.int64).reshape(-1, 2)
     cf_mask = profiles.chain_free_mask().astype(np.uint8)
 
+    _req_span.close()
+
     geom_total = refs_idx.shape[0]
     cap_needed = max(64, n_req * 2 + geom_total // 32 + 16)
+    _nat_span = ExitStack()
+    _nat_span.enter_context(measure("Native assemble"))
     while True:
         buf = _buffers(cap_needed)
         C_cap = buf.cap
@@ -381,9 +412,12 @@ def assemble_tile_chunks_native(
         if n_chunks >= 0:
             break
         cap_needed = C_cap * 2
+    _nat_span.close()
 
     from osm_renderer_tpu.ops.render_pallas import TileChunks, build_tile_chunks
 
+    _pack_span = ExitStack()
+    _pack_span.enter_context(measure("Pack chunks"))
     n = int(n_chunks)
     placeholders = np.flatnonzero(o_ph[:n] >= 0)
 
@@ -418,6 +452,7 @@ def assemble_tile_chunks_native(
     from osm_renderer_tpu.ops.render_pallas import _pad_group
 
     tc = _pad_group(tc)
+    _pack_span.close()
     return tc, has_icon_fills
 
 
