@@ -1165,9 +1165,9 @@ int64_t osmr_assemble_tile(
       if (!gsel.empty())
         stroke_spans(gsel, c.hw, double(c.opacity), ts, &lanes);
       std::vector<ChunkT> pieces;
-      // One chunk per CH lanes, full tile width (measured: static
-      // 128-col half sectioning cost MORE — occupancy dropped ~25%
-      // while the per-chunk fixed cost barely moved).
+      // One chunk per CH lanes, full tile width, row-walk order (see
+      // render_pallas._route_stroke_spans for the measured dead ends:
+      // half sectioning and half re-ordering both lost to this).
       const int64_t S = int64_t(lanes.size());
       for (int64_t off = 0; off < S; off += CH) {
         const int64_t end = std::min<int64_t>(off + CH, S);

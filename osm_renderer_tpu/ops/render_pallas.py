@@ -714,9 +714,14 @@ def _route_stroke_spans(chunks, ts: int):
         abc = np.stack([sa, sb, sxc], axis=1)  # (S, 3) trav-slot payload
         rest = ~span_sel
         pieces = []
-        # One chunk per CH lanes, full tile width (measured: static
-        # 128-col half sectioning cost MORE — occupancy dropped ~25%
-        # while the per-chunk fixed cost barely moved).
+        # One chunk per CH lanes, full tile width, row-walk order.
+        # Measured dead ends (r5, true device time): static 128-col
+        # half sectioning dropped occupancy ~25%; re-ORDERING lanes by
+        # column half (pure, or keyed by 64/128-row superblocks)
+        # traded the width-128 window (_derive_col_windows) against an
+        # equal-or-larger nb growth — every variant was a wash or
+        # worse than row-walk order.  The window still fires on the
+        # ~20% of chunks that are naturally x-local (more at @2x).
         S = spans.shape[0]
         for off in range(0, S, CH):
             end = min(off + CH, S)
@@ -1092,9 +1097,42 @@ def _group_align_indices(pat: np.ndarray, group: int) -> List[int]:
     return idx
 
 
+def _derive_col_windows(tc: TileChunks) -> TileChunks:
+    """Write each fill/span chunk's 128-column window into slot 0 of
+    its (item-only, otherwise unused) isec row: 1 + half index when
+    every lane's x-interval lands inside one 128-col half of the tile,
+    0 for full width.  The kernel branches on this SMEM scalar to run
+    the coverage matmuls at width 128 (bench corpus: 93% of fill
+    chunks; ~20% of span chunks are naturally x-local, more at @2x —
+    re-ordering span lanes to raise that measured worse, see
+    _route_stroke_spans).  Derived here, after assembly, so both the
+    Python and native assembly paths share one implementation."""
+    kind = tc.kind
+    sel = (
+        (kind == KIND_FILL) | (kind == KIND_FILL_IMAGE)
+        | (kind == KIND_STROKE_SPAN)
+    )
+    if not sel.any():
+        return tc
+    is_span = kind == KIND_STROKE_SPAN
+    xlo = np.where(is_span[:, None], tc.geom[:, 2, :], tc.geom[:, 1, :])
+    xhi = np.where(is_span[:, None], tc.geom[:, 3, :], tc.geom[:, 2, :])
+    ok = xlo <= xhi  # pad lanes carry the empty interval (1, 0)
+    big = np.int64(1) << 30
+    xmn = np.where(ok, xlo, big).min(axis=1)
+    xmx = np.where(ok, xhi, -1).max(axis=1)
+    one = sel & (xmn >= 0) & (xmx >= 0) & ((xmn >> 7) == (xmx >> 7))
+    isec = tc.isec.copy()
+    isec[:, 0] = np.where(
+        one, (xmn >> 7) + 1, np.where(sel, 0, isec[:, 0])
+    ).astype(isec.dtype)
+    return tc._replace(isec=isec)
+
+
 def _pad_group(tc: TileChunks, group: int = GROUP) -> TileChunks:
     """Pad a tile's chunk list to a multiple of GROUP with PAD chunks
     (and pattern-align it) so grid steps never straddle tiles."""
+    tc = _derive_col_windows(tc)
     idx = _group_align_indices(tc.pat, group)
     if len(idx) == tc.kind.shape[0]:
         return tc
@@ -1337,27 +1375,64 @@ def make_render_kernel(ts: int):
                     y_l = geom_ref[gi, 0, :].reshape(1, CH)
                     xlo_l = geom_ref[gi, 1, :].reshape(1, CH)
                     xhi_l = geom_ref[gi, 2, :].reshape(1, CH)
-                    # Span x-bounds to sublanes (one relayout per chunk,
-                    # amortized over the row blocks).
-                    xlo_c = jnp.transpose(xlo_l).reshape(CH, 1)
-                    xhi_c = jnp.transpose(xhi_l).reshape(CH, 1)
-                    xs_w = lax.broadcasted_iota(jnp.int32, (CH, ts), 1)
-                    W = ((xs_w >= xlo_c) & (xs_w <= xhi_c)).astype(jnp.bfloat16)
+                    # Column-half window: most fill chunks cover a tiny
+                    # x-range (bench corpus: 93% inside one 128-col
+                    # half, median spread 19 px), so the W-build and
+                    # the coverage matmul run at width 128 when the
+                    # chunk's lanes land in one half.  The half is
+                    # derived on the HOST (_derive_col_windows, slot 0
+                    # of the otherwise item-only isec table): an SMEM
+                    # scalar predicate is real control flow, where an
+                    # in-kernel lane min/max made Mosaic execute both
+                    # branches masked (measured +10% full-kernel).
+                    colp1 = isec_s[ch * NSEC + 0]
 
-                    def row_block(blk, _):
-                        r0 = (y0 + blk) * RB_F
-                        rows_col = r0 + lax.broadcasted_iota(jnp.int32, (RB_F, 1), 0)
-                        U = (rows_col == y_l).astype(jnp.bfloat16)
-                        C = lax.dot_general(
-                            U, W, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
+                    def paint(xoff, width):
+                        # Lane-major W (x in sublanes, lanes = spans),
+                        # contracted on the LANE axis of both operands
+                        # like the tent-lane path: the former
+                        # sublane-major W needed two (1,CH)->(CH,1)
+                        # relayouts per chunk that dominated the fill
+                        # path's fixed cost (measured 0.65 us/chunk
+                        # fixed vs 0.24 for the relayout-free spans).
+                        xs_w = xoff + lax.broadcasted_iota(
+                            jnp.int32, (width, CH), 0
                         )
-                        alpha = jnp.where(C > 0.5, opacity, 0.0)
-                        cur = pending_ref[pl.ds(r0, RB_F), :]
-                        pending_ref[pl.ds(r0, RB_F), :] = jnp.fmax(cur, alpha)
-                        return 0
+                        Wt = ((xs_w >= xlo_l) & (xs_w <= xhi_l)).astype(
+                            jnp.bfloat16
+                        )
 
-                    lax.fori_loop(0, nb, row_block, 0)
+                        def row_block(blk, _):
+                            r0 = (y0 + blk) * RB_F
+                            rows_col = r0 + lax.broadcasted_iota(
+                                jnp.int32, (RB_F, 1), 0
+                            )
+                            U = (rows_col == y_l).astype(jnp.bfloat16)
+                            C = lax.dot_general(
+                                U, Wt, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
+                            alpha = jnp.where(C > 0.5, opacity, 0.0)
+                            sl = (
+                                pl.ds(r0, RB_F),
+                                slice(xoff, xoff + width),
+                            )
+                            cur = pending_ref[sl]
+                            pending_ref[sl] = jnp.fmax(cur, alpha)
+                            return 0
+
+                        lax.fori_loop(0, nb, row_block, 0)
+
+                    # Static column slices per half (dynamic lane-dim
+                    # slices relayout every pending access).
+                    for h in range(n_halves):
+                        @pl.when(colp1 == h + 1)
+                        def _fill_win(h=h):
+                            paint(h * 128, 128)
+
+                    @pl.when((colp1 == 0) | (colp1 > n_halves))
+                    def _fill_full():
+                        paint(0, ts)
 
                 # -------------------- stroke tent lanes --------------------
                 # Host-compressed clipped-tent alpha (_route_stroke_spans):
@@ -1373,10 +1448,11 @@ def make_render_kernel(ts: int):
                 @pl.when(kind == KIND_STROKE_SPAN)
                 def _stroke_span():
                     # Everything stays LANE-major (no relayouts): the
-                    # value tile M is built transposed — (ts, CH) with x
-                    # in sublanes, lanes = spans — from (1, CH) param
-                    # rows, and the coverage dot contracts the LANE axis
-                    # of both operands (NT matmul, native on the MXU).
+                    # value tile M is built transposed — (width, CH)
+                    # with x in sublanes, lanes = spans — from (1, CH)
+                    # param rows, and the coverage dot contracts the
+                    # LANE axis of both operands (NT matmul, native on
+                    # the MXU).
                     y0_l = geom_ref[gi, 0, :].reshape(1, CH)
                     y1_l = geom_ref[gi, 1, :].reshape(1, CH)
                     xlo_l = geom_ref[gi, 2, :].reshape(1, CH)
@@ -1385,39 +1461,66 @@ def make_render_kernel(ts: int):
                     b_l = aux_ref[gi, 1, :].reshape(1, CH)
                     xc_l = aux_ref[gi, 2, :].reshape(1, CH)
                     plat255 = opacity * jnp.fmin(2.0 * hw, 1.0) * 255.0
-                    xs_c = lax.broadcasted_iota(jnp.int32, (ts, CH), 0)
-                    cov = (xs_c >= xlo_l) & (xs_c <= xhi_l)
-                    tent = a_l - b_l * jnp.abs(
-                        xs_c.astype(jnp.float32) - xc_l
-                    )
-                    M255T = jnp.where(
-                        cov, jnp.fmax(jnp.fmin(tent, plat255), 0.0), 0.0
-                    )
-                    MintT = jnp.floor(M255T)
-                    MhiT = MintT.astype(jnp.bfloat16)
-                    MloT = (M255T - MintT).astype(jnp.bfloat16)
+                    # Column-half window, host-derived like fills (slot
+                    # 0 of isec): fires on the ~20% of span chunks
+                    # whose lanes are naturally x-local (more at @2x);
+                    # the M-build plus both matmuls then run at width
+                    # 128.  Re-ordering lanes to raise the hit rate
+                    # measured worse (see _route_stroke_spans).
+                    colp1 = isec_s[ch * NSEC + 0]
 
-                    def row_block(blk, _):
-                        r0 = (y0 + blk) * RB_F
-                        rows_col = r0 + lax.broadcasted_iota(
-                            jnp.int32, (RB_F, 1), 0
+                    def paint(xoff, width):
+                        xs_c = xoff + lax.broadcasted_iota(
+                            jnp.int32, (width, CH), 0
                         )
-                        U = ((rows_col >= y0_l) & (rows_col <= y1_l)).astype(
-                            jnp.bfloat16
+                        cov = (xs_c >= xlo_l) & (xs_c <= xhi_l)
+                        tent = a_l - b_l * jnp.abs(
+                            xs_c.astype(jnp.float32) - xc_l
                         )
-                        dn = (((1,), (1,)), ((), ()))
-                        ahi = lax.dot_general(
-                            U, MhiT, dn, preferred_element_type=jnp.float32
+                        M255T = jnp.where(
+                            cov, jnp.fmax(jnp.fmin(tent, plat255), 0.0), 0.0
                         )
-                        alo = lax.dot_general(
-                            U, MloT, dn, preferred_element_type=jnp.float32
-                        )
-                        alpha = (ahi + alo) * jnp.float32(1.0 / 255.0)
-                        cur = pending_ref[pl.ds(r0, RB_F), :]
-                        pending_ref[pl.ds(r0, RB_F), :] = jnp.fmax(cur, alpha)
-                        return 0
+                        MintT = jnp.floor(M255T)
+                        MhiT = MintT.astype(jnp.bfloat16)
+                        MloT = (M255T - MintT).astype(jnp.bfloat16)
 
-                    lax.fori_loop(0, nb, row_block, 0)
+                        def row_block(blk, _):
+                            r0 = (y0 + blk) * RB_F
+                            rows_col = r0 + lax.broadcasted_iota(
+                                jnp.int32, (RB_F, 1), 0
+                            )
+                            U = (
+                                (rows_col >= y0_l) & (rows_col <= y1_l)
+                            ).astype(jnp.bfloat16)
+                            dn = (((1,), (1,)), ((), ()))
+                            ahi = lax.dot_general(
+                                U, MhiT, dn,
+                                preferred_element_type=jnp.float32,
+                            )
+                            alo = lax.dot_general(
+                                U, MloT, dn,
+                                preferred_element_type=jnp.float32,
+                            )
+                            alpha = (ahi + alo) * jnp.float32(1.0 / 255.0)
+                            sl = (
+                                pl.ds(r0, RB_F),
+                                slice(xoff, xoff + width),
+                            )
+                            cur = pending_ref[sl]
+                            pending_ref[sl] = jnp.fmax(cur, alpha)
+                            return 0
+
+                        lax.fori_loop(0, nb, row_block, 0)
+
+                    # Static column slices per half (see _fill note).
+                    for h in range(n_halves):
+                        @pl.when(colp1 == h + 1)
+                        def _span_win(h=h):
+                            paint(h * 128, 128)
+
+                    @pl.when((colp1 == 0) | (colp1 > n_halves))
+                    def _span_full():
+                        paint(0, ts)
 
                 # ------------------------- strokes -------------------------
                 # Per-segment row-block path.  Since the work-item path took
