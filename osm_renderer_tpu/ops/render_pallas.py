@@ -2589,20 +2589,22 @@ def render_arena_planar(
 @functools.lru_cache(maxsize=128)
 def _arena_render_label_jit(ts: int, T: int, IT: int, interpret: bool):
     """Arena render + fused device label blit: the combined upload is
-    pack_small_arena's buffer with the (T, ts) slab-row map appended
-    (still ONE h2d transfer per warm batch), and the committed label
-    layers blend over the planar u8 output inside the same jit — warm
-    labeled serving does no host compositing (reference bar: labels are
-    a minor fraction of tile time, drawer.rs:107-125)."""
-    from osm_renderer_tpu.parallel.label_slab import blit_planar
+    pack_small_arena's buffer with the compact (T, 3) (off, y0, n)
+    slab-row triples appended (still ONE h2d transfer per warm batch —
+    12 bytes/tile; the full row map expands on device), and the
+    committed label layers blend over the planar u8 output inside the
+    same jit — warm labeled serving does no host compositing
+    (reference bar: labels are a minor fraction of tile time,
+    drawer.rs:107-125)."""
+    from osm_renderer_tpu.parallel.label_slab import blit_planar, expand_ltriples
 
     kernel = make_render_kernel(ts)
 
     def run(combined, geomA, travA, sprofA, auxA, itemsA,
             prof_rows, prof_total, patterns, canvas_rgb, label_plane):
-        n_packed = combined.shape[0] - T * ts
+        n_packed = combined.shape[0] - T * 3
         packed = combined[:n_packed].reshape(N_SMALL, -1)
-        lrow = combined[n_packed:].reshape(T, ts)
+        lrow = expand_ltriples(combined[n_packed:].reshape(T, 3), ts)
         bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
         idx = packed[15]
         color = jnp.stack([bc(packed[10]), bc(packed[11]), bc(packed[12])], axis=1)

@@ -270,6 +270,30 @@ class LabelSlab:
             lr[ti, y0 : y0 + n] = np.arange(off, off + n, dtype=np.int32)
         return lr
 
+    def ltriples(self, n_tiles: int, keyed: List[Tuple[int, object]]) -> np.ndarray:
+        """(T, 3) i32 compact slab-row map [(off, y0, n) per tile;
+        n = 0 -> unlabeled].  A layer's rows are always consecutive in
+        the slab, so the full (T, ts) lrow map expands on device
+        (expand_ltriples) and the per-batch upload carries 12 bytes per
+        tile instead of 4*ts — the warm labeled packed upload rides the
+        same latency-bound tunnel transfer as the unlabeled one."""
+        tri = np.zeros((n_tiles, 3), np.int32)
+        for ti, key in keyed:
+            off, n, y0 = self._offsets[key]
+            self._offsets.move_to_end(key)
+            tri[ti] = (off, y0, n)
+        return tri
+
+
+def expand_ltriples(tri, ts: int):
+    """(T, 3) i32 (off, y0, n) -> (T, ts) i32 lrow map (jit-traceable;
+    row 0 = identity for rows outside [y0, y0 + n))."""
+    off = tri[:, 0:1]
+    y0 = tri[:, 1:2]
+    n = tri[:, 2:3]
+    ys = jnp.arange(ts, dtype=jnp.int32)[None, :]
+    return jnp.where((ys >= y0) & (ys < y0 + n), off + (ys - y0), 0)
+
 
 @functools.lru_cache(maxsize=32)
 def _grow_jit(old_cap: int, new_cap: int, ts: int, donate: bool):

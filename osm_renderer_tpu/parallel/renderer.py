@@ -63,7 +63,7 @@ class PreparedBatch(NamedTuple):
     # Device label blit (parallel/label_slab.py): slab-row map appended
     # to the packed upload; labeled tiles come back with their committed
     # label layers already composited on device.
-    label_rows: object = None          # (T, ts) i32 np buffer or None
+    label_rows: object = None          # (T, 3) i32 (off, y0, n) or None
     label_ctx: object = None           # (slab, slab.generation)
     device_labeled: tuple = ()         # tile indices blitted on device
 
@@ -442,7 +442,7 @@ class BatchRenderer:
                 except MemoryError:
                     slab.clear()
                     slab.insert([(k, c) for _, k, c in labeled])
-                label_rows = slab.lrow(
+                label_rows = slab.ltriples(
                     n_tiles, [(ti, k) for ti, k, _ in labeled]
                 )
                 label_ctx = (slab, slab.generation)
